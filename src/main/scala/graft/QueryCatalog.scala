@@ -1,0 +1,671 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.Scd2
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** The declared operator inventory (SURVEY.md §2 + the LLM-pipeline
+  * extensions), one runnable query per operator, each with a DuckDB
+  * oracle where SQL can express the semantics.
+  *
+  * Determinism rules (the driver hash-compares results):
+  *  - no raw double SUM/AVG — aggregate decimals (exact, associative)
+  *    and cast the final value to double, identically on both sides;
+  *  - every query ends in a total ORDER BY;
+  *  - timestamps leave as formatted strings;
+  *  - ints standardized to BIGINT.
+  */
+object QueryCatalog {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // exact decimal sum, surfaced as double (identical on both engines)
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------
+  // SCD2 synthetic current/new inputs derived deterministically from
+  // `supplier` (the testdata has no versioned dim, so we build one):
+  // even keys re-arrive, keys %4==0 with a changed attribute, keys
+  // %5==0 re-keyed +1_000_000 as brand-new.
+  // ---------------------------------------------------------------
+  private val scdAsOf = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val scdStart = Timestamp.valueOf("2023-01-01 00:00:00")
+
+  private def scdInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sup = t(s, dir, "supplier")
+    val acct = floor(col("s_acctbal")).cast("long")
+    val existing = sup.select(col("s_suppkey"), col("s_name"), acct.as("acct"))
+      .withColumn("start_date", lit(scdStart))
+      .withColumn("end_date", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val newBatch = sup.filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey"), col("s_name"),
+        (acct + when(col("s_suppkey") % 4 === 0, 100).otherwise(0)).as("acct"))
+      .unionByName(sup.filter(col("s_suppkey") % 5 === 0)
+        .select((col("s_suppkey") + 1000000L).as("s_suppkey"), col("s_name"), acct.as("acct")))
+    (newBatch, existing)
+  }
+
+  private def scdFormat(df: DataFrame): DataFrame =
+    df.select(col("s_suppkey"), col("s_name"), col("acct"),
+        date_format(col("start_date"), "yyyy-MM-dd").as("start_date"),
+        date_format(col("end_date"), "yyyy-MM-dd").as("end_date"),
+        col("is_current"))
+      .orderBy(col("s_suppkey"), col("is_current"), col("start_date"))
+
+  private val scdSqlInputs =
+    """WITH existing AS (
+      |  SELECT s_suppkey, s_name, CAST(FLOOR(s_acctbal) AS BIGINT) AS acct,
+      |         TIMESTAMP '2023-01-01 00:00:00' AS start_date,
+      |         CAST(NULL AS TIMESTAMP) AS end_date, TRUE AS is_current
+      |  FROM supplier
+      |), newbatch AS (
+      |  SELECT s_suppkey, s_name,
+      |         CAST(FLOOR(s_acctbal) AS BIGINT)
+      |           + CASE WHEN s_suppkey % 4 = 0 THEN 100 ELSE 0 END AS acct
+      |  FROM supplier WHERE s_suppkey % 2 = 0
+      |  UNION ALL
+      |  SELECT s_suppkey + 1000000 AS s_suppkey, s_name,
+      |         CAST(FLOOR(s_acctbal) AS BIGINT) AS acct
+      |  FROM supplier WHERE s_suppkey % 5 = 0
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Core relational queries (parity with SURVEY.md §2) — each entry is
+  // (spark builder, duckdb oracle SQL).
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, QueryFn] = Map(
+    // A5/A7/A9 + P6: multi-aggregate group-by (pricing summary).
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P1/P2/P4: projection + pushed-down comparison filters.
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P7/P8/P9/P10: when/otherwise, arithmetic, literals (raw double
+    // scalar math — deterministic, no aggregation).
+    "q03_derived_columns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("charge"),
+          when(col("l_quantity") < 10, lit("LOW"))
+            .when(col("l_quantity") < 40, lit("MID"))
+            .otherwise(lit("HIGH")).as("qty_class"),
+          (col("l_discount") > lit(0.05)).as("high_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // A4: projected distinct.
+    "q04_distinct_projected" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // A2/P3: duplicate detection via group-by-all-columns (forced dups
+    // by self-union since the testdata is dup-free).
+    "q05_dup_detect" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val doubled = r.union(r)
+      doubled.groupBy(doubled.columns.map(col).toIndexedSeq: _*).count()
+        .filter(col("count") > 1)
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // J3/J4: 3-way inner equi-join + aggregation.
+    "q06_join_3way_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum2(col("o_totalprice")).as("total_revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    // J1 + P11: left outer join + fillna on the miss side.
+    "q07_join_left_fillna" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      t(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0L, Seq("n_orders"))
+        .select(col("c_custkey"), col("c_name"), col("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J2: left anti join (customers with no order above a threshold).
+    "q08_join_anti" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // left semi join (EXISTS).
+    "q09_join_semi" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // SCD2, reference-exact semantics (SURVEY.md §2.9).
+    "q10_scd2_reference" -> ((s, dir) => {
+      val (newBatch, existing) = scdInputs(s, dir)
+      scdFormat(Scd2.reference(newBatch, existing, "s_suppkey", Seq("s_name", "acct"), scdAsOf))
+    }),
+
+    // SCD2, corrected textbook semantics.
+    "q11_scd2_corrected" -> ((s, dir) => {
+      val (newBatch, existing) = scdInputs(s, dir)
+      scdFormat(Scd2.corrected(newBatch, existing, "s_suppkey", Seq("s_name", "acct"), scdAsOf))
+    }),
+
+    // U1/A3/I3: overlapping-slice union + full-row dedup (incremental
+    // merge semantics).
+    "q12_incremental_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val slice1 = o.filter(col("o_orderdate") < lit(Timestamp.valueOf("1999-01-01 00:00:00")))
+      val slice2 = o.filter(col("o_orderdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+      slice1.union(slice2).dropDuplicates()
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // W (extension beyond reference): ranking window, top-3 per group.
+    "q13_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    }),
+
+    // running aggregate window (exact decimal running sum).
+    "q14_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // F1/P5/A4: dim_date build (distinct dates + date parts).
+    "q15_dim_date" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderdate")).distinct()
+        .select(
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_id"),
+          year(col("o_orderdate")).cast("long").as("year"),
+          month(col("o_orderdate")).cast("long").as("month"),
+          dayofmonth(col("o_orderdate")).cast("long").as("day"))
+        .orderBy(col("date_id"))
+    }),
+
+    // dashboard Q1 parity: sales by year/month (dashboard.py:30-41).
+    "q16_sales_by_month" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("year"),
+          month(col("o_orderdate")).cast("long").as("month"))
+        .agg(dsum2(col("o_totalprice")).as("total_sales"))
+        .orderBy(col("year"), col("month"))
+    }),
+
+    // dashboard Q2 parity: quantity by product in a year, ranked
+    // (dashboard.py:53-67).
+    "q17_qty_by_brand" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1998)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum2(col("l_quantity")).as("total_quantity_sold"))
+        .orderBy(col("total_quantity_sold").desc, col("p_brand"))
+    }),
+
+    // dashboard Q3 parity: SUM + AVG by store×product analog
+    // (dashboard.py:78-91).
+    "q18_supplier_part_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("s_name"), col("p_brand"))
+        .agg(
+          dsum2(col("l_quantity")).as("total_sold"),
+          (dsum2(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+        .orderBy(col("s_name"), col("p_brand"))
+    }),
+
+    // dashboard Q4 parity: two SUMs by store×product analog
+    // (dashboard.py:102-115).
+    "q19_store_product_sums" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("s_name"), col("p_brand"))
+        .agg(
+          dsum2(col("l_quantity")).as("total_quantity"),
+          dsum2(col("l_extendedprice")).as("total_sales"))
+        .orderBy(col("total_sales").desc, col("s_name"), col("p_brand"))
+    }),
+
+    // streaming-equivalent tumbling window aggregation (batch mode).
+    "q20_events_hourly" -> ((s, dir) => {
+      EventStreams.hourlyStats(t(s, dir, "events"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // sessionization via session_window (batch mode).
+    "q21_events_sessionize" -> ((s, dir) => {
+      EventStreams.sessionize(t(s, dir, "events"), "30 minutes")
+        .select(
+          col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // text: token counting.
+    "q22_docs_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // dedup: exact text dedup by content hash (dup groups forced by a
+    // deterministic re-keyed copy of every 10th doc).
+    "q23_docs_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dupes = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      Dedup.exact(d.unionByName(dupes), "doc_id", "text")
+        .orderBy(col("text_hash"))
+    }),
+
+    // text: quality-scoring ratios.
+    "q24_docs_quality" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(txt).cast("long").as("len_chars"),
+          TextFunctions.alphaRatio(txt).as("alpha_ratio"),
+          TextFunctions.spaceRatio(txt).as("space_ratio"),
+          TextFunctions.meanTokenLen(txt).as("mean_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- extension operators (no exact SQL oracle → rows-only) ---
+
+    // language ID heuristic.
+    "q25_docs_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("detected_lang"),
+          TextFunctions.stopwordRatio(col("text"), "en").as("en_stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash + LSH near-dup pairs, Jaccard-verified. Near-dups forced
+    // by re-keyed copies with the last 2 tokens dropped.
+    "q26_docs_minhash_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1),
+            greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(1)))).as("text"))
+      Dedup.nearDupPairs(d.unionByName(mutated), "doc_id", "text", threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup candidates (Hamming ≤ 3 over 64-bit signatures).
+    "q27_docs_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.simhashPairs(d.unionByName(mutated), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // n-gram Jaccard similarity within same-source buckets.
+    "q28_docs_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"), col("text"))
+      d.as("a").join(d.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("a.text"), col("b.text"), 3))
+        .filter(col("jaccard") >= 0.15)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // similarity search: exact brute-force cosine top-k.
+    "q29_emb_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopK(queries, e, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // kNN majority-label classification.
+    "q30_emb_knn_label" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      Similarity.knnLabel(queries, e, k = 5)
+        .orderBy(col("query_id"))
+    }),
+
+    // approximate ANN via random-hyperplane LSH.
+    "q31_emb_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      Similarity.lshTopK(queries, e, k = 5, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // winnowing fingerprints.
+    "q32_docs_fingerprint" -> ((s, dir) => {
+      Dedup.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          size(col("fingerprints")).cast("long").as("n_fingerprints"),
+          array_min(col("fingerprints")).as("min_fp"),
+          array_max(col("fingerprints")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal plumbing: binary payload → stubbed decode → features.
+    "q33_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.fromText(s, t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("byte_len").cast("long").as("byte_len"),
+          col("content_hash"),
+          round(VectorFunctions.norm(col("embedding")), 4).as("feature_norm"))
+        .orderBy(col("media_id"))
+    }),
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles. Omitted for q25+ (heuristics/hash/approx ops not
+  // expressible in portable SQL) → driver records rows-only checks.
+  // ---------------------------------------------------------------
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity >= 48
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_derived_columns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+        |       CASE WHEN l_quantity < 10 THEN 'LOW'
+        |            WHEN l_quantity < 40 THEN 'MID'
+        |            ELSE 'HIGH' END AS qty_class,
+        |       l_discount > 0.05 AS high_discount
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q04_distinct_projected" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority
+        |FROM orders ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q05_dup_detect" ->
+      """SELECT r_regionkey, r_name, COUNT(*) AS count
+        |FROM (SELECT * FROM region UNION ALL SELECT * FROM region) t
+        |GROUP BY r_regionkey, r_name
+        |HAVING COUNT(*) > 1
+        |ORDER BY r_regionkey""".stripMargin,
+
+    "q06_join_3way_agg" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q07_join_left_fillna" ->
+      """SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_scd2_reference" -> (scdSqlInputs +
+      """, changes AS (
+        |  SELECT n.s_suppkey, n.s_name, n.acct
+        |  FROM newbatch n LEFT JOIN existing e ON n.s_suppkey = e.s_suppkey
+        |  WHERE (n.s_name <> e.s_name) OR (n.acct <> e.acct)
+        |), result AS (
+        |  SELECT e.s_suppkey, e.s_name, e.acct, e.start_date,
+        |         TIMESTAMP '2024-01-01 00:00:00' AS end_date, FALSE AS is_current
+        |  FROM existing e
+        |  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.s_suppkey = e.s_suppkey)
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, acct, TIMESTAMP '2024-01-01 00:00:00',
+        |         CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM changes
+        |)
+        |SELECT s_suppkey, s_name, acct,
+        |       strftime(start_date, '%Y-%m-%d') AS start_date,
+        |       strftime(end_date, '%Y-%m-%d') AS end_date,
+        |       is_current
+        |FROM result ORDER BY s_suppkey, is_current, start_date""".stripMargin),
+
+    "q11_scd2_corrected" -> (scdSqlInputs +
+      """, joined AS (
+        |  SELECT n.s_suppkey AS k, n.s_name AS nn, n.acct AS na,
+        |         e.s_suppkey AS ek, e.s_name AS en, e.acct AS ea
+        |  FROM newbatch n LEFT JOIN existing e
+        |    ON n.s_suppkey = e.s_suppkey AND e.is_current
+        |), newkeys AS (
+        |  SELECT k AS s_suppkey, nn AS s_name, na AS acct FROM joined WHERE ek IS NULL
+        |), changednew AS (
+        |  SELECT k AS s_suppkey, nn AS s_name, na AS acct FROM joined
+        |  WHERE ek IS NOT NULL
+        |    AND ((nn IS DISTINCT FROM en) OR (na IS DISTINCT FROM ea))
+        |), result AS (
+        |  SELECT e.s_suppkey, e.s_name, e.acct, e.start_date, e.end_date, e.is_current
+        |  FROM existing e
+        |  WHERE e.is_current
+        |    AND NOT EXISTS (SELECT 1 FROM changednew c WHERE c.s_suppkey = e.s_suppkey)
+        |  UNION ALL
+        |  SELECT e.s_suppkey, e.s_name, e.acct, e.start_date,
+        |         TIMESTAMP '2024-01-01 00:00:00', FALSE
+        |  FROM existing e
+        |  WHERE e.is_current
+        |    AND EXISTS (SELECT 1 FROM changednew c WHERE c.s_suppkey = e.s_suppkey)
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, acct, TIMESTAMP '2024-01-01 00:00:00',
+        |         CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM (SELECT * FROM changednew UNION ALL SELECT * FROM newkeys) u
+        |)
+        |SELECT s_suppkey, s_name, acct,
+        |       strftime(start_date, '%Y-%m-%d') AS start_date,
+        |       strftime(end_date, '%Y-%m-%d') AS end_date,
+        |       is_current
+        |FROM result ORDER BY s_suppkey, is_current, start_date""".stripMargin),
+
+    "q12_incremental_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders
+        |FROM (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |    UNION ALL
+        |    SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') u
+        |) m
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q13_window_topk" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q14_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q15_dim_date" ->
+      """SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS date_id,
+        |       year(o_orderdate) AS year, month(o_orderdate) AS month,
+        |       day(o_orderdate) AS day
+        |FROM orders ORDER BY date_id""".stripMargin,
+
+    "q16_sales_by_month" ->
+      """SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q17_qty_by_brand" ->
+      """SELECT p_brand,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity_sold
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE year(l_shipdate) = 1998
+        |GROUP BY p_brand
+        |ORDER BY total_quantity_sold DESC, p_brand""".stripMargin,
+
+    "q18_supplier_part_stats" ->
+      """SELECT s_name, p_brand,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_sold,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY s_name, p_brand ORDER BY s_name, p_brand""".stripMargin,
+
+    "q19_store_product_sums" ->
+      """SELECT s_name, p_brand,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY s_name, p_brand
+        |ORDER BY total_sales DESC, s_name, p_brand""".stripMargin,
+
+    "q20_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q21_events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   < INTERVAL 30 MINUTE
+        |              THEN 0 ELSE 1 END AS new_session
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q22_docs_token_count" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_docs_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) u
+        |GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q24_docs_quality" ->
+      """SELECT doc_id, length(text) AS len_chars,
+        |       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |         / GREATEST(length(text), 1) AS alpha_ratio,
+        |       CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |         / GREATEST(length(text), 1) AS space_ratio,
+        |       CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |         / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                         ELSE length(regexp_split_to_array(trim(text), '\s+')) END, 1)
+        |         AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

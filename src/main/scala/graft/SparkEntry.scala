@@ -1,13 +1,23 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * 3-way star join + aggregation (the reference's dashboard shape).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    QueryCatalog.queries("q06_join_3way_agg")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * LLM-pipeline extensions q25+).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = QueryCatalog.queries
+
+  /** DuckDB-runnable oracle SQL per query; omitted entries (q25+) are
+    * non-SQL-expressible ops → rows-only checks.
+    */
+  def oracleSql: Map[String, String] = QueryCatalog.oracleSql
 }

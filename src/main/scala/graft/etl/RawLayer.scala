@@ -1,0 +1,108 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-zone ingest with watermark-based incremental (CDC-by-timestamp)
+  * semantics (reference: src/raw/raw_layer.py).
+  *
+  * The source is abstracted as a function of an optional watermark so
+  * JDBC (predicate pushed into the database), CSV, JSON and parquet
+  * sources plug in identically; no Postgres is assumed in tests.
+  *
+  * Known reference semantics we keep (SURVEY.md §2.7): append-only CDC
+  * (source updates/deletes not captured); late rows with
+  * date ≤ watermark are skipped; merge is full-row dropDuplicates. The
+  * merge-the-world rewrite is the reference's; at 100 TB the steady
+  * state should be date-partitioned appends — `appendIncrement` below —
+  * so each batch touches only new partitions.
+  */
+object RawLayer {
+
+  val WatermarkFormat = "yyyy-MM-dd"
+
+  def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Read `{"last_processed": "yyyy-MM-dd"}` metadata if present
+    * (reference: raw_layer.py:80-91).
+    */
+  def readWatermark(spark: SparkSession, metadataPath: String): Option[String] = {
+    if (!fsExists(spark, metadataPath)) None
+    else spark.read.schema(Schemas.watermark).json(metadataPath)
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+  }
+
+  /** Persist the watermark (reference: raw_layer.py:70-77). */
+  def writeWatermark(spark: SparkSession, metadataPath: String, value: String): Unit = {
+    import spark.implicits._
+    Seq(value).toDF("last_processed")
+      .coalesce(1).write.mode(SaveMode.Overwrite).json(metadataPath)
+  }
+
+  /** One ingest cycle (reference: raw_layer.py:94-135 both branches).
+    *
+    * @param source watermark → increment; None means full extract. A
+    *               JDBC source embeds the predicate in its subquery so
+    *               filtering runs inside the database
+    *               (reference: raw_layer.py:118).
+    * @return rows ingested this cycle
+    */
+  def runOnce(
+      spark: SparkSession,
+      source: Option[String] => DataFrame,
+      rawPath: String,
+      metadataPath: String): Long = {
+    val watermark = readWatermark(spark, metadataPath)
+    val increment = source(watermark).cache()
+    try {
+      val n = increment.count()
+      if (n == 0) return 0L
+      val merged =
+        if (watermark.isDefined && fsExists(spark, rawPath)) {
+          val existing = spark.read.schema(increment.schema).parquet(rawPath)
+          existing.union(increment).dropDuplicates()
+        } else increment
+      // Overwrite into a staging dir then swap would be safer for
+      // concurrent readers; single-writer overwrite matches reference.
+      val tmp = rawPath + "_tmp"
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val fs = new Path(rawPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(rawPath), true)
+      fs.rename(new Path(tmp), new Path(rawPath))
+      val maxDate = increment.agg(max(col("date"))).head().getTimestamp(0)
+      writeWatermark(spark, metadataPath,
+        new java.text.SimpleDateFormat(WatermarkFormat).format(maxDate))
+      n
+    } finally increment.unpersist()
+  }
+
+  /** Scale-path variant: append the increment as date-partitioned
+    * parquet instead of rewriting history. Dedup happens within the
+    * increment only; cross-batch dedup is the staging layer's job.
+    */
+  def appendIncrement(
+      spark: SparkSession,
+      source: Option[String] => DataFrame,
+      rawPath: String,
+      metadataPath: String): Long = {
+    val watermark = readWatermark(spark, metadataPath)
+    val increment = source(watermark).dropDuplicates().cache()
+    try {
+      val n = increment.count()
+      if (n == 0) return 0L
+      increment
+        .withColumn("ingest_date", to_date(col("date")))
+        .write.mode(SaveMode.Append)
+        .partitionBy("ingest_date")
+        .parquet(rawPath)
+      val maxDate = increment.agg(max(col("date"))).head().getTimestamp(0)
+      writeWatermark(spark, metadataPath,
+        new java.text.SimpleDateFormat(WatermarkFormat).format(maxDate))
+      n
+    } finally increment.unpersist()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale document pipelines:
+  * tokenization, quality ratios, language ID, shingling,
+  * winnowing fingerprints. All pure `Column` expressions built from
+  * `org.apache.spark.sql.functions` — fully codegen'd, no UDFs, so they
+  * stay inside WholeStageCodegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text; empty text → 0 tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** A BPE-ish subword proxy: alternating letter/digit runs, counted.
+    * Splitting on transitions approximates subword boundaries without a
+    * vocab file.
+    */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+")))
+
+  // --- quality ratios (deterministic double arithmetic) ---
+
+  private def safeLen(text: Column): Column = greatest(length(text), lit(1))
+
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / safeLen(text)
+
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("double") / safeLen(text)
+
+  def spaceRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", ""))).cast("double") / safeLen(text)
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") / safeLen(text)
+
+  /** Mean token length — a strong gibberish / boilerplate signal. */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1))
+
+  /** Composite document-quality score in [0,1]; weights chosen so that
+    * natural prose scores high and markup/noise scores low.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = stopwordRatio(text, "en")
+    lit(0.4) * alpha + lit(0.3) * lenScore + lit(0.3) * least(stop * 5.0, lit(1.0))
+  }
+
+  // --- language identification (stopword-hit heuristic) ---
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+  )
+
+  /** Number of distinct `lang` stopwords present in the text. */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(array_intersect(
+      split(lower(trim(text)), "\\s+"),
+      array(stopwords(lang).map(lit): _*)))
+
+  /** Fraction of tokens that are `lang` stopwords (multiset count). */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = array(stopwords(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Heuristic language ID: CJK codepoints ⇒ zh, else argmax stopword
+    * hits with a fixed tiebreak order (en > fr > es > de), "und"
+    * (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val hasCjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    val hits = Seq("en", "fr", "es", "de").map(l => l -> stopwordHits(text, l))
+    val best = hits.map(_._2).reduce(greatest(_, _))
+    // First lang in declared order wins ties.
+    val ordered = hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(hasCjk, lit("zh")).otherwise(ordered)
+  }
+
+  // --- shingling / fingerprinting ---
+
+  /** Character k-gram shingles as an array of hashes. xxhash64 is
+    * Spark-native (codegen'd) and stable across runs/JVMs.
+    */
+  def charShingleHashes(text: Column, k: Int): Column = {
+    // sequence(a,b) is descending when a>b, so guard the empty case.
+    val n = length(text) - (k - 1)
+    when(n < 1, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), n), i => xxhash64(text.substr(i, lit(k)))))
+  }
+
+  /** Token n-gram shingles (space-joined) as a string array. */
+  def tokenShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val cnt = size(toks) - (n - 1)
+    when(cnt < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * `bruteForceTopK` is the exact baseline: queries × corpus. At scale
+  * the small query set is broadcast, so the corpus is scanned once with
+  * map-side scoring and only top-k per query survives the single
+  * shuffle (the window). `lshTopK` is the scale path: random-hyperplane
+  * LSH restricts scoring to same-bucket candidates, turning the
+  * quadratic scan into a bucket-local join — the standard
+  * accuracy/throughput trade.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Ties break on neighbor id — deterministic output.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cross = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cross
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** k-NN majority-label classification built on bruteForceTopK.
+    * Tie-break: larger vote count first, then smaller label.
+    */
+  def knnLabel(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val topk = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+    val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("nlabel"))
+    val votes = topk.join(labels, Seq("neighbor_id"))
+      .groupBy("query_id", "nlabel").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("nlabel").as("predicted_label"), col("votes"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: score only pairs
+    * sharing a bucket (with `nPlanes` sign bits). Recall improves with
+    * multiple tables; one table here, `nTables` via distinct plane
+    * seeds.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nPlanes: Int = 12, nTables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      VectorFunctions.randomPlanes(nPlanes, dim, seed = 42L + t)
+    }
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array(tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t).as("table"),
+            VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.table"), col("tb.bucket"))
+    val qb = bucketed(queries, "query_id", "qv")
+    val cb = bucketed(corpus, "neighbor_id", "cv")
+    val cands = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (TESTDATA.md). One parquet file per table under a scale-factor dir.
+  *
+  * At 100 TB these would be partitioned/bucketed table roots instead of
+  * single files; the API stays the same — `spark.read.parquet(path)`
+  * handles a directory of part-files identically.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(dir, name))
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
+    // long (spark.sql.legacy.parquet.nanosAsLong) — convert to a µs
+    // timestamp with integral division (double division would lose
+    // precision past 2^53 ns).
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+
+  /** Register every table as a temp view so `spark.sql` serves the same
+    * query texts the reference's dashboard sends to Postgres
+    * (reference: dashboard.py:29-122 — serving moves into Spark SQL).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

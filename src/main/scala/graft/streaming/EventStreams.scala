@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Event-stream processing: windowed aggregation and sessionization.
+  *
+  * Each transform is written once as DataFrame → DataFrame and works
+  * unchanged on a batch read or a `readStream` source — the
+  * Structured-Streaming counterpart of the reference's poll-loop ingest
+  * (reference: src/raw/raw_layer.py:138-159, which re-runs batch
+  * extracts every 5 s instead of using a streaming runtime).
+  *
+  * Scale: windowed aggregates shuffle on (window, key); watermarks
+  * bound state so a 1000-executor streaming job doesn't accumulate
+  * unbounded session state.
+  */
+object EventStreams {
+
+  /** Streaming source over a parquet directory (schema must be known
+    * up front for streams).
+    */
+  def streamFromParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Tumbling-window counts and value sums per event type. Decimal-sum
+    * keeps results order-independent (double sums are not associative).
+    */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+
+  /** Same aggregation with an event-time watermark — required for
+    * append-mode streaming output; late events beyond 2 h are dropped.
+    */
+  def hourlyStatsStreaming(events: DataFrame): DataFrame =
+    hourlyStats(events.withWatermark("ts", "2 hours"))
+
+  /** Sessionization: events from one user with gaps < `gap` merge into
+    * one session (session_window, batch and streaming).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"),
+        col("session_value").cast("double").as("session_value"))
+
+  def sessionizeStreaming(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessionize(events.withWatermark("ts", "2 hours"), gap)
+}

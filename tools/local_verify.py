@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/local_verify.py <sf_dir> <verify_out_dir>
+
+For each query dir under <verify_out_dir>: load the Spark parquet
+result; if oracle_sql.json has SQL for it, run that SQL in DuckDB over
+the <sf_dir> tables and compare (columns sorted by name, rows sorted,
+values compared exactly; floats compared bitwise via repr).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import glob
+    import os
+    ok = fail = rowsonly = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/q*")):
+        name = os.path.basename(qdir)
+        got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(grows) > 0 else "ROWS-ONLY-EMPTY!"
+            if len(grows) == 0:
+                fail += 1
+            else:
+                rowsonly += 1
+            print(f"{status:18} {name:28} rows={len(grows)}")
+            continue
+        exp = con.execute(oracle[name])
+        ecols = [d[0] for d in exp.description]
+        erows = exp.fetchall()
+        gc, gr = canon(grows, gcols)
+        ec, er = canon(erows, ecols)
+        if gc != ec:
+            print(f"FAIL-SCHEMA        {name:28} spark={gc} duck={ec}")
+            fail += 1
+        elif gr != er:
+            ndiff = sum(1 for a, b in zip(gr, er) if a != b) + abs(len(gr) - len(er))
+            print(f"FAIL-VALUES        {name:28} rows spark={len(gr)} duck={len(er)} diff~{ndiff}")
+            for a, b in list(zip(gr, er))[:200]:
+                if a != b:
+                    print(f"   spark: {a}\n   duck : {b}")
+                    break
+            fail += 1
+        else:
+            print(f"OK                 {name:28} rows={len(gr)}")
+            ok += 1
+    print(f"\n{ok} ok, {rowsonly} rows-only, {fail} fail")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
