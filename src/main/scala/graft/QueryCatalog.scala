@@ -368,15 +368,17 @@ object QueryCatalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // n-gram Jaccard similarity within same-source buckets.
+    // character n-gram Jaccard set-similarity join (anchor-blocked, so
+    // candidate generation never goes all-pairs). Near-dups forced by
+    // re-keyed copies with a token appended.
     "q28_docs_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("source"), col("doc_id"), col("text"))
-      d.as("a").join(d.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard", Dedup.jaccard(col("a.text"), col("b.text"), 3))
-        .filter(col("jaccard") >= 0.15)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(col("jaccard"), 4).as("jaccard"))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" appended tail")).as("text"))
+      Dedup.ngramJaccardPairs(d.unionByName(mutated), "doc_id", "text",
+          n = 6, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -8,12 +8,18 @@ import graft.functions.TextFunctions
 /** Document deduplication at training-pipeline scale: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard verification.
   *
-  * Scale design: every stage is DataFrame → DataFrame. Candidate
-  * generation is a self-equi-join on (band, bandHash) — i.e. a shuffle
-  * on the LSH bucket key, never an all-pairs cross join. At 100 TB the
-  * bucket join is the only quadratic-risk step and it is bounded by
-  * bucket size (tune bands/rows to keep buckets small); everything else
-  * is linear scans with map-side computation.
+  * Scale design:
+  *  - per-document work (shingling, hashing) is a single linear,
+  *    codegen'd pass; signatures (MinHash / SimHash) are computed with
+  *    explode + groupBy-min/sum so the heavy reduction runs as a
+  *    HashAggregate with map-side partial aggregation — NOT as
+  *    interpreted per-row higher-order functions;
+  *  - candidate generation is always a self-equi-join on a bounded
+  *    blocking key (LSH band hash / signature band / anchor hash),
+  *    shuffled on that key — never an all-pairs cross join;
+  *  - verification (exact Jaccard) runs only on candidate pairs and
+  *    compares precomputed hash sets, so text is never re-shingled per
+  *    pair.
   */
 object Dedup {
 
@@ -25,29 +31,44 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k independent hash functions simulated as
-    * xxhash64 over (i, shingle); signature_i = min over shingles.
-    * Computed per-row from the shingle array — no explode, no shuffle.
+  /** Per-document distinct token-shingle hash set:
+    * (doc_id, sh: array<long>). One linear pass, codegen'd.
     */
-  def minhashSignature(text: Column, k: Int, shingleSize: Int): Column = {
-    val shingles = TextFunctions.tokenShingles(text, shingleSize)
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+  def tokenShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(transform(
+        TextFunctions.tokenShingles(col(textCol), shingleSize),
+        s => xxhash64(s))).as("sh"))
+
+  /** Per-document distinct character n-gram hash set. */
+  def charShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextFunctions.charShingleHashes(col(textCol), n)).as("sh"))
+
+  /** MinHash signatures from precomputed shingle sets: k independent
+    * permutations simulated as xxhash64(i, shingleHash); signature_i =
+    * min over the set. Explode + k MIN aggregates → map-side combine,
+    * whole-stage codegen; the shuffle carries k longs per doc.
+    * Empty docs survive (explode_outer) with an all-null signature.
+    */
+  def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
+    val exploded = sets.select(col("doc_id"), explode_outer(col("sh")).as("h"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH banding: split the k-long signature into `bands` groups of
-    * k/bands and hash each; docs sharing any (band, hash) are
-    * candidates.
+  /** LSH banding over a MinHash signature column: the k-long signature
+    * splits into `bands` groups of k/bands, each hashed to a bucket key;
+    * docs sharing any (band, bucket) are candidate pairs.
     */
-  def lshCandidates(
-      docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+  def bandPairs(sigs: DataFrame, bands: Int, k: Int): DataFrame = {
     val r = k / bands
-    val withSig = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), k, shingleSize))
-    val banded = withSig.select(
+    val banded = sigs.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -61,8 +82,30 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash + LSH candidate pairs (no verification). */
+  def lshCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame =
+    bandPairs(minhashSignatures(
+      tokenShingleSets(docs, idCol, textCol, shingleSize), k), bands, k)
+
+  /** Exact Jaccard from two precomputed hash-set columns; the
+    * intersection is computed once (both sides reference `n_inter`).
+    */
+  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+      .withColumn("jaccard",
+        when(col("n_union") === 0, lit(1.0))
+          .otherwise(col("n_inter").cast("double") / col("n_union")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
   /** Exact Jaccard similarity between the token-shingle SETS of two
-    * text columns.
+    * text columns (ad-hoc pairwise use; the scalable pipelines verify
+    * on precomputed sets instead).
     */
   def jaccard(a: Column, b: Column, shingleSize: Int): Column = {
     val sa = array_distinct(TextFunctions.tokenShingles(a, shingleSize))
@@ -72,26 +115,66 @@ object Dedup {
     when(union === 0, lit(1.0)).otherwise(inter / union)
   }
 
-  /** Full near-dup pipeline: MinHash LSH candidates → exact n-gram
-    * Jaccard verification ≥ threshold. Returns (doc_a, doc_b, jaccard).
+  /** Full near-dup pipeline: MinHash LSH candidates → exact token
+    * n-gram Jaccard verification ≥ threshold on precomputed sets.
+    * Returns (doc_a, doc_b, jaccard).
     */
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4,
       shingleSize: Int = 3): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val cands = lshCandidates(docs, idCol, textCol, k, bands, shingleSize)
-    cands
-      .join(base.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), Seq("doc_a"))
-      .join(base.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("text_a"), col("text_b"), shingleSize))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    val sets = tokenShingleSets(docs, idCol, textCol, shingleSize)
+    val cands = bandPairs(minhashSignatures(sets, k), bands, k)
+    val pairs = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    verifyJaccard(pairs, threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit j of the result is the
-    * sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
-    * Pure per-row array math — no explode.
+  /** Set-similarity join on character n-grams: MinHash signatures over
+    * the char-shingle sets, LSH-banded candidates, exact Jaccard
+    * verification. Char n-grams make the similarity robust to
+    * tokenization differences (the token-level variant is
+    * `nearDupPairs`). Banding keys on signature fragments, so bucket
+    * collision probability tracks actual similarity (≈ 1-(1-j^r)^bands)
+    * rather than global shingle frequency — a naive "anchor on the
+    * smallest shingle hashes" scheme degenerates here because common
+    * n-grams ("the ") put most of the corpus in one bucket.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.5,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val sets = charShingleSets(docs, idCol, textCol, n)
+    val cands = bandPairs(minhashSignatures(sets, k), bands, k)
+    val pairs = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    verifyJaccard(pairs, threshold)
+  }
+
+  /** 64-bit SimHash signatures via explode + 64 SUM aggregates: bit j of
+    * the signature is the sign of Σ_tokens (±1 by bit j of
+    * xxhash64(token)). Map-side partial sums keep the shuffle at 64
+    * longs per doc regardless of document length.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode_outer(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val aggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    exploded.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("sh"))
+  }
+
+  /** Per-row SimHash as a Column (ad-hoc use on small inputs; the
+    * pipeline path is `simhashSignatures`).
     */
   def simhash(text: Column): Column = {
     val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
@@ -103,26 +186,24 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** SimHash near-dup candidates: docs whose simhash matches on any of
-    * 4 16-bit bands (necessary condition for Hamming distance ≤ 3).
+  /** SimHash near-dup candidates: docs whose signature matches on any of
+    * 4 16-bit bands (necessary condition for Hamming distance ≤ 3),
+    * filtered to Hamming ≤ maxHamming via bit_count.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
     val banded = sigs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 16).bitwiseAND(0xFFFF).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
-    val hamming = {
-      // popcount via bit_count (Spark 3.4+)
-      bit_count(col("l.sh").bitwiseXOR(col("r.sh")))
-    }
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        hamming.as("hamming"))
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
