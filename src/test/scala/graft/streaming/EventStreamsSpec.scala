@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events = Seq(
+    (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+    (1L, ts("2024-01-01 10:15:00"), "click", 2.0),
+    (1L, ts("2024-01-01 11:05:00"), "view", 3.0),
+    (2L, ts("2024-01-01 10:20:00"), "click", 4.0),
+    // user 2's second event is >30 min after the first → new session
+    (2L, ts("2024-01-01 11:10:00"), "click", 5.0),
+  ).toDF("user_id", "ts", "event_type", "value")
+
+  test("hourlyStats: tumbling 1h windows per event type") {
+    val out = EventStreams.hourlyStats(events)
+      .orderBy("window_start", "event_type").collect()
+    assert(out.length === 3)
+    val first = out.head
+    assert(first.getTimestamp(0) === ts("2024-01-01 10:00:00"))
+    assert(first.getString(1) === "click")
+    assert(first.getLong(2) === 3L) // 3 clicks in the 10:00 hour
+    assert(first.getDouble(3) === 7.0)
+  }
+
+  test("sessionize: 30-minute gap splits sessions") {
+    val out = EventStreams.sessionize(events, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    // user 1: 10:05+10:15 merge (10 min gap), 11:05 separate → 2 sessions
+    // user 2: 10:20 and 11:10 (50 min gap) → 2 sessions
+    assert(out.length === 4)
+    val u1 = out.filter(_.getAs[Long]("user_id") === 1L)
+    assert(u1.head.getAs[Long]("n_events") === 2L)
+    assert(u1.head.getAs[Double]("session_value") === 3.0)
+  }
+
+  test("streaming path: windowed aggregation with watermark over readStream") {
+    val dir = Files.createTempDirectory("events_stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.streamFromParquet(spark, dir, events.schema)
+    assert(stream.isStreaming)
+    val q = EventStreams.hourlyStatsStreaming(stream)
+      .writeStream
+      .format("memory")
+      .queryName("hourly_mem")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // append mode only emits windows closed by the watermark; with a
+    // single batch the watermark advances at the NEXT batch, so assert
+    // the stream ran and the state machinery accepted the plan.
+    assert(!q.isActive)
+    assert(q.exception.isEmpty)
+    spark.sql("DROP TABLE IF EXISTS hourly_mem")
+  }
+
+  test("streaming sessionization plan is accepted by the streaming engine") {
+    val dir = Files.createTempDirectory("events_sess").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.streamFromParquet(spark, dir, events.schema)
+    val q = EventStreams.sessionizeStreaming(stream, "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sess_mem")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty)
+    val got = spark.sql("SELECT * FROM sess_mem").count()
+    assert(got === 4L) // complete mode emits all 4 sessions
+    spark.sql("DROP TABLE IF EXISTS sess_mem")
+  }
+}
