@@ -1,0 +1,206 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot paths of the dedup /
+  * similarity operators. Spark's higher-order functions (`transform`,
+  * `aggregate`, `zip_with`) fall back to interpreted evaluation, which
+  * makes per-token work the bottleneck at scale; these expressions run
+  * one compiled kernel call per row (whole-stage codegen emits a direct
+  * static call into [[Kernels]]), so per-element cost is a primitive
+  * loop, not an expression-tree walk.
+  */
+/** MinHash signature of a text column: array<long> of length k. */
+case class MinHashSig(child: Expression, shingleSize: Int, k: Int, charLevel: Boolean)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Kernels.minhash(input.asInstanceOf[UTF8String], shingleSize, k, charLevel))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  graft.expressions.Kernels.minhash($c, $shingleSize, $k, $charLevel));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Sorted distinct shingle-hash set of a text column: array<long>. */
+case class ShingleSet(child: Expression, shingleSize: Int, charLevel: Boolean)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Kernels.shingleSet(input.asInstanceOf[UTF8String], shingleSize, charLevel))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  graft.expressions.Kernels.shingleSet($c, $shingleSize, $charLevel));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a text column. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard between two SORTED long-array columns (as produced by
+  * [[ShingleSet]]); both-empty → 1.0.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType] )
+        && Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs two array<bigint> inputs")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardSorted(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.Kernels.jaccardSorted($a.toLongArray(), $b.toLongArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two array<float> columns, double accumulation. */
+case class VecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType])
+        && Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == FloatType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs two array<float> inputs")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotF(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.Kernels.dotF($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity of two array<float> columns — one fused pass. */
+case class VecCosine(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType])
+        && Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == FloatType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs two array<float> inputs")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineF(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.Kernels.cosineF($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH bucket of an array<float> column: all plane
+  * dot products fused into one kernel call per row. Planes are a
+  * constant matrix (flattened row-major), shipped to generated code as
+  * a reference object.
+  */
+case class HyperplaneBucket(child: Expression, planes: IndexedSeq[Double], nPlanes: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType]
+        && child.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs an array<float> input")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.hyperplaneBucket(
+      input.asInstanceOf[ArrayData].toFloatArray(), planesArr, nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planesArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Kernels.hyperplaneBucket($c.toFloatArray(), $ref, $nPlanes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers for the custom expressions. */
+object GraftFunctions {
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+  private def col(x: Expression): Column = ColumnBridge.column(x)
+
+  def minhashSig(text: Column, shingleSize: Int, k: Int, charLevel: Boolean): Column =
+    col(MinHashSig(e(text), shingleSize, k, charLevel))
+  def shingleSet(text: Column, shingleSize: Int, charLevel: Boolean): Column =
+    col(ShingleSet(e(text), shingleSize, charLevel))
+  def simhash64(text: Column): Column = col(SimHash64(e(text)))
+  def jaccardSorted(a: Column, b: Column): Column = col(JaccardSorted(e(a), e(b)))
+  def vecDot(a: Column, b: Column): Column = col(VecDot(e(a), e(b)))
+  def vecCosine(a: Column, b: Column): Column = col(VecCosine(e(a), e(b)))
+  def hyperplaneBucket(v: Column, planes: IndexedSeq[Double], nPlanes: Int): Column =
+    col(HyperplaneBucket(e(v), planes, nPlanes))
+}

@@ -3,38 +3,40 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns, expressed
-  * with higher-order functions (`zip_with` / `aggregate`) — codegen'd,
-  * no UDF serialization, safe for 100 TB scans. All math in double for
-  * cross-engine determinism (left-to-right fold = sequential sum).
+import graft.expressions.GraftFunctions
+
+/** Dense-vector math over `array<float>` embedding columns, backed by
+  * the custom codegen expressions in [[graft.expressions]] — one fused
+  * compiled loop per row instead of interpreted `zip_with`/`aggregate`
+  * higher-order functions (which fall back to per-element expression
+  * evaluation and dominate brute-force similarity cost at scale).
+  * All math accumulates in double.
   */
 object VectorFunctions {
 
-  private def d(v: Column): Column = transform(v, x => x.cast("double"))
+  def dot(a: Column, b: Column): Column = GraftFunctions.vecDot(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def norm(v: Column): Column = sqrt(GraftFunctions.vecDot(v, v))
 
-  def norm(v: Column): Column = sqrt(dot(v, v))
+  /** Cosine similarity — dot and both norms in one pass; zero-norm
+    * input yields 0.0, not NaN.
+    */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.vecCosine(a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
-
-  /** Squared L2 distance (avoids the sqrt when only ranking matters). */
+  /** Squared L2 distance (avoids the sqrt when only ranking matters):
+    * |a|² + |b|² − 2a·b via the same fused kernels.
+    */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    GraftFunctions.vecDot(a, a) + GraftFunctions.vecDot(b, b) -
+      lit(2.0) * GraftFunctions.vecDot(a, b)
 
   /** Sign-bit bucket for random-hyperplane LSH: bit j = 1 iff
-    * dot(v, plane_j) > 0, packed into a long. Planes are passed as
-    * literal arrays so the whole expression is constant-folded against
-    * the scan.
+    * dot(v, plane_j) > 0, packed into a long — all planes in one
+    * kernel call ([[graft.expressions.HyperplaneBucket]]).
     */
   def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val plane = array(p.map(lit).toIndexedSeq: _*)
-      when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    GraftFunctions.hyperplaneBucket(
+      v, planes.flatten.toIndexedSeq, planes.length)
 
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {

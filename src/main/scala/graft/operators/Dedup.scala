@@ -3,17 +3,17 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftFunctions
 import graft.functions.TextFunctions
 
 /** Document deduplication at training-pipeline scale: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard verification.
   *
   * Scale design:
-  *  - per-document work (shingling, hashing) is a single linear,
-  *    codegen'd pass; signatures (MinHash / SimHash) are computed with
-  *    explode + groupBy-min/sum so the heavy reduction runs as a
-  *    HashAggregate with map-side partial aggregation — NOT as
-  *    interpreted per-row higher-order functions;
+  *  - per-document work (shingling, hashing, signatures) is ONE
+  *    compiled kernel call per row via the custom Catalyst expressions
+  *    in [[graft.expressions]] — no interpreted higher-order functions,
+  *    no explode, no signature shuffle;
   *  - candidate generation is always a self-equi-join on a bounded
   *    blocking key (LSH band hash / signature band / anchor hash),
   *    shuffled on that key — never an all-pairs cross join;
@@ -31,36 +31,34 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document distinct token-shingle hash set:
-    * (doc_id, sh: array<long>). One linear pass, codegen'd.
+  /** Per-document SORTED distinct shingle-hash set: (doc_id, sh:
+    * array<long>). One compiled kernel call per row
+    * ([[graft.expressions.ShingleSet]]); sorted so exact-Jaccard
+    * verification is a linear merge.
     */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, charLevel: Boolean): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel).as("sh"))
+
   def tokenShingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      array_distinct(transform(
-        TextFunctions.tokenShingles(col(textCol), shingleSize),
-        s => xxhash64(s))).as("sh"))
+    shingleSets(docs, idCol, textCol, shingleSize, charLevel = false)
 
   /** Per-document distinct character n-gram hash set. */
   def charShingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      array_distinct(TextFunctions.charShingleHashes(col(textCol), n)).as("sh"))
+    shingleSets(docs, idCol, textCol, n, charLevel = true)
 
-  /** MinHash signatures from precomputed shingle sets: k independent
-    * permutations simulated as xxhash64(i, shingleHash); signature_i =
-    * min over the set. Explode + k MIN aggregates → map-side combine,
-    * whole-stage codegen; the shuffle carries k longs per doc.
-    * Empty docs survive (explode_outer) with an all-null signature.
+  /** MinHash signatures straight from text: one compiled kernel call
+    * per row ([[graft.expressions.MinHashSig]]) — no explode, no
+    * shuffle, no intermediate arrays. k permutations are derived from
+    * one shingle hash (g_i(h) = mix64(h ^ seed_i)).
     */
-  def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
-    val exploded = sets.select(col("doc_id"), explode_outer(col("sh")).as("h"))
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    exploded.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, k: Int, charLevel: Boolean = false): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.minhashSig(col(textCol), shingleSize, k, charLevel).as("sig"))
 
   /** LSH banding over a MinHash signature column: the k-long signature
     * splits into `bands` groups of k/bands, each hashed to a bucket key;
@@ -86,20 +84,14 @@ object Dedup {
   def lshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame =
-    bandPairs(minhashSignatures(
-      tokenShingleSets(docs, idCol, textCol, shingleSize), k), bands, k)
+    bandPairs(minhashSignatures(docs, idCol, textCol, shingleSize, k), bands, k)
 
-  /** Exact Jaccard from two precomputed hash-set columns; the
-    * intersection is computed once (both sides reference `n_inter`).
+  /** Exact Jaccard ≥ threshold on precomputed sorted hash sets —
+    * a linear merge per pair ([[graft.expressions.JaccardSorted]]).
     */
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("n_union",
-        size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
-      .withColumn("jaccard",
-        when(col("n_union") === 0, lit(1.0))
-          .otherwise(col("n_inter").cast("double") / col("n_union")))
+      .withColumn("jaccard", GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
@@ -122,9 +114,10 @@ object Dedup {
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4,
-      shingleSize: Int = 3): DataFrame = {
-    val sets = tokenShingleSets(docs, idCol, textCol, shingleSize)
-    val cands = bandPairs(minhashSignatures(sets, k), bands, k)
+      shingleSize: Int = 3, charLevel: Boolean = false): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleSize, charLevel)
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, k, charLevel)
+    val cands = bandPairs(sigs, bands, k)
     val pairs = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -144,47 +137,18 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.5,
-      k: Int = 16, bands: Int = 4): DataFrame = {
-    val sets = charShingleSets(docs, idCol, textCol, n)
-    val cands = bandPairs(minhashSignatures(sets, k), bands, k)
-    val pairs = cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-    verifyJaccard(pairs, threshold)
-  }
+      k: Int = 16, bands: Int = 4): DataFrame =
+    nearDupPairs(docs, idCol, textCol, threshold, k, bands, n, charLevel = true)
 
-  /** 64-bit SimHash signatures via explode + 64 SUM aggregates: bit j of
-    * the signature is the sign of Σ_tokens (±1 by bit j of
-    * xxhash64(token)). Map-side partial sums keep the shuffle at 64
-    * longs per doc regardless of document length.
+  /** 64-bit SimHash signatures: bit j of the signature is the sign of
+    * Σ_tokens (±1 by bit j of hash(token)) — one compiled kernel call
+    * per row ([[graft.expressions.SimHash64]]), no explode, no shuffle.
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(col(idCol).as("doc_id"),
-      explode_outer(TextFunctions.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val aggs = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
-    }
-    exploded.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map { j =>
-          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as("sh"))
-  }
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
 
-  /** Per-row SimHash as a Column (ad-hoc use on small inputs; the
-    * pipeline path is `simhashSignatures`).
-    */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Per-row SimHash Column (same kernel as the pipeline). */
+  def simhash(text: Column): Column = GraftFunctions.simhash64(text)
 
   /** SimHash near-dup candidates: docs whose signature matches on any of
     * 4 16-bit bands (necessary condition for Hamming distance ≤ 3),

@@ -28,14 +28,27 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash signatures: identical texts → identical signatures") {
-    val sets = Dedup.tokenShingleSets(
-      docs(1L -> "the quick brown fox jumps", 2L -> "the quick brown fox jumps",
-        3L -> "completely different words here now"), "doc_id", "text", 3)
-    val sigs = Dedup.minhashSignatures(sets, 16).collect()
+    val d = docs(1L -> "the quick brown fox jumps", 2L -> "the quick brown fox jumps",
+      3L -> "completely different words here now")
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", 3, 16).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
     assert(sigs(1L).length === 16)
+  }
+
+  test("shingle sets are sorted distinct and jaccardSorted matches set math") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f extra")
+    val sets = Dedup.tokenShingleSets(d, "doc_id", "text", 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(sets(1L) === sets(1L).sorted)
+    assert(sets(1L).distinct === sets(1L))
+    assert(sets(1L).length === 5) // 6 tokens → 5 bigrams
+    // jaccard of 5-shared / 6-union = 0.8333…
+    val pairs = Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5, shingleSize = 2)
+      .collect()
+    assert(pairs.length === 1)
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 5.0 / 6.0) < 1e-12)
   }
 
   test("nearDupPairs finds a planted near-duplicate and skips dissimilar docs") {
