@@ -425,6 +425,38 @@ object QueryCatalog {
           round(VectorFunctions.norm(col("embedding")), 4).as("feature_norm"))
         .orderBy(col("media_id"))
     }),
+
+    // distinct aggregates (expand-based two-phase plan in Spark).
+    "q34_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // set operations: intersect / except (distinct semantics).
+    "q35_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val recent = o.filter(col("o_orderdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      val big = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      val both = recent.intersect(big).withColumn("bucket", lit("both"))
+      val onlyRecent = recent.except(big).withColumn("bucket", lit("recent_only"))
+      both.unionByName(onlyRecent)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("bucket"))
+    }),
+
+    // multi-level aggregation: ROLLUP over year/status with grouping id.
+    "q36_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).cast("long").as("year"), col("o_orderstatus"))
+        .agg(dsum2(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+        .orderBy(col("year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -669,5 +701,34 @@ object QueryCatalog {
         |                         ELSE length(regexp_split_to_array(trim(text), '\s+')) END, 1)
         |         AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q34_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q35_set_ops" ->
+      """WITH recent AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |), big AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |), labeled AS (
+        |  SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM recent INTERSECT SELECT * FROM big) t1
+        |  UNION ALL
+        |  SELECT o_custkey, 'recent_only' AS bucket FROM (SELECT * FROM recent EXCEPT SELECT * FROM big) t2
+        |)
+        |SELECT bucket, COUNT(*) AS n_customers
+        |FROM labeled GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q36_rollup" ->
+      """SELECT year(o_orderdate) AS year, o_orderstatus,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+        |ORDER BY year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -80,6 +80,33 @@ object RawLayer {
     } finally increment.unpersist()
   }
 
+  /** Structured-Streaming ingest: the streaming-native replacement for
+    * the reference's poll-forever loop (raw_layer.py:138-159 re-runs a
+    * batch extract every 5 s; a file stream with a processing-time
+    * trigger gives the same cadence with exactly-once sink semantics
+    * and no hand-rolled watermark file — the checkpoint holds progress).
+    * Pass `Trigger.AvailableNow()` for a drain-and-stop run (tests) or
+    * `Trigger.ProcessingTime("5 seconds")` for the reference cadence.
+    */
+  def streamingIngest(
+      spark: SparkSession,
+      sourcePath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rawPath: String,
+      checkpointPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourcePath)
+      .withColumn("ingest_date", to_date(col("date")))
+      .writeStream
+      .format("parquet")
+      .option("path", rawPath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("ingest_date")
+      .trigger(trigger)
+      .start()
+
   /** Scale-path variant: append the increment as date-partitioned
     * parquet instead of rewriting history. Dedup happens within the
     * increment only; cross-batch dedup is the staging layer's job.

@@ -88,6 +88,24 @@ class RawLayerSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("streamingIngest drains a file source into partitioned parquet exactly once") {
+    val base = tmpDir()
+    sourceRows("a" -> ts("2023-01-01"), "b" -> ts("2023-02-01"))
+      .write.parquet(s"$base/src")
+    val q = RawLayer.streamingIngest(
+      spark, s"$base/src", sourceRows().schema, s"$base/raw", s"$base/ckpt")
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty)
+    val out = spark.read.parquet(s"$base/raw")
+    assert(out.count() === 2)
+    assert(out.columns.contains("ingest_date"))
+    // second drain with no new files adds nothing (checkpoint progress)
+    val q2 = RawLayer.streamingIngest(
+      spark, s"$base/src", sourceRows().schema, s"$base/raw", s"$base/ckpt")
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$base/raw").count() === 2)
+  }
+
   test("appendIncrement writes date-partitioned files and skips old rows") {
     val base = tmpDir()
     val batch1 = sourceRows("a" -> ts("2023-01-01"), "b" -> ts("2023-02-01"))
