@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ScaleJoinsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("saltedInnerJoin returns exactly the plain join result on skewed data") {
+    // heavily skewed: 900 of 1000 rows share key 1
+    val large = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"row$i"))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (950L, "cold"), (999L, "cold")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"))
+    val salted = ScaleJoins.saltedInnerJoin(large, small, "k", 8, saltBy = "payload")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the salt actually spreads the hot key across buckets
+    val saltSpread = large
+      .withColumn("__salt",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"payload"),
+          org.apache.spark.sql.functions.lit(8)))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(saltSpread > 1)
+  }
+
+  test("bucketed join plans a shuffle-free sort-merge join") {
+    val a = (1 to 500).map(i => (i.toLong, i * 2)).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, i * 3)).toDF("k", "vb")
+    ScaleJoins.writeBucketed(a, "bk_a", "k", 4)
+    ScaleJoins.writeBucketed(b, "bk_b", "k", 4)
+    // force SMJ so the test demonstrates co-location, not broadcast
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleJoins.bucketedJoin(spark, "bk_a", "bk_b", "k")
+      assert(joined.count() === 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
+}
