@@ -457,6 +457,81 @@ object QueryCatalog {
         .agg(dsum2(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
         .orderBy(col("year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
+
+    // embedding-cosine near-dup dedup: hyperplane-LSH candidates,
+    // exact cosine ≥ 0.95 (dups forced by re-keyed copies).
+    "q37_emb_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dupes = e.filter(col("vec_id") % 40 === 0)
+        .withColumn("vec_id", col("vec_id") + 500000L)
+      Similarity.embeddingNearDupPairs(e.unionByName(dupes), threshold = 0.95, dim = 64)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // training-data curation pipeline: exact dedup → quality filter →
+    // per-source survivor stats. Every stage oracle-checked.
+    "q38_docs_curation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dupes = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val all = d.unionByName(dupes)
+      val keepIds = Dedup.exact(all, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      val kept = all.join(keepIds, Seq("doc_id"), "left_semi")
+      kept
+        .withColumn("alpha_ratio", TextFunctions.alphaRatio(col("text")))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+        .filter(length(col("text")) >= 100 &&
+          col("alpha_ratio") >= 0.55 && col("n_tokens") >= 10)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (dsum4(col("alpha_ratio")) / count(lit(1))).as("avg_alpha"))
+        .orderBy(col("source"))
+    }),
+
+    // sliding event-time windows (1h window, 30m slide — each event in
+    // two windows).
+    "q39_events_sliding" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum4(col("value")).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // full ETL pipeline end-to-end: synthesize the inventory table from
+    // lineitem, run staging clean → star schema → dashboard Q1 on Spark
+    // SQL views (reference: dashboard.py:30-41). Store attributes are
+    // functions of the key here so dims are 1-row-per-key and the
+    // whole pipeline is exactly SQL-expressible for the oracle.
+    "q40_pipeline_dashboard" -> ((s, dir) => {
+      val inv = t(s, dir, "lineitem").select(
+        concat(lit("TXN"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("transaction_id"),
+        col("l_shipdate").as("date"),
+        concat(lit("ST"), col("l_suppkey")).as("store_id"),
+        concat(lit("LOC"), pmod(col("l_suppkey"), lit(20))).as("store_location"),
+        concat(lit("P"), col("l_partkey")).as("product_id"),
+        concat(lit("CAT"), pmod(col("l_partkey"), lit(7))).as("product_category"),
+        floor(col("l_quantity")).cast("int").as("quantity_sold"),
+        round(col("l_extendedprice") / greatest(floor(col("l_quantity")), lit(1.0)), 2).as("unit_price"),
+        round(col("l_extendedprice"), 2).as("total_sales"),
+        pmod(col("l_suppkey") * 7, lit(100)).cast("int").as("stock_level"),
+        pmod(col("l_suppkey") * 3, lit(50)).cast("int").as("reorder_point"),
+        pmod(col("l_suppkey"), lit(14)).cast("int").as("lead_time_days"),
+        round(pmod(col("l_suppkey"), lit(10)) * 0.5, 2).as("carrying_cost"),
+        round(pmod(col("l_suppkey"), lit(5)) * 0.1, 2).as("stock_out_risk"),
+        lit(1.0).as("inventory_turnover"))
+      val out = graft.etl.Pipeline.runBatch(inv)
+      graft.etl.Pipeline.registerViews(s, out)
+      s.sql(graft.etl.DashboardQueries.q1)
+        .select(col("year").cast("long").as("year"), col("month").cast("long").as("month"),
+          col("store_location"), col("total_sales").cast("double").as("total_sales"))
+        .orderBy(col("year"), col("month"), col("store_location"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -730,5 +805,54 @@ object QueryCatalog {
         |FROM orders
         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
         |ORDER BY year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q38_docs_curation" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 10 = 0
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
+        |), kept AS (
+        |  SELECT a.* FROM all_docs a JOIN keep k ON a.doc_id = k.doc_id
+        |), scored AS (
+        |  SELECT source,
+        |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |           / GREATEST(length(text), 1) AS alpha_ratio,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |         length(text) AS len
+        |  FROM kept
+        |)
+        |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+        |       CAST(SUM(CAST(alpha_ratio AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_alpha
+        |FROM scored
+        |WHERE len >= 100 AND alpha_ratio >= 0.55 AND n_tokens >= 10
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q39_events_sliding" ->
+      """SELECT strftime(w, '%Y-%m-%d %H:%M') AS window_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT make_timestamp(CAST((floor(epoch(ts)/1800)*1800 - s.shift) * 1000000 AS BIGINT)) AS w,
+        |         ts, event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1800)) s(shift)
+        |) t
+        |WHERE ts < w + INTERVAL 1 HOUR
+        |GROUP BY w, event_type ORDER BY window_start, event_type""".stripMargin,
+
+    "q40_pipeline_dashboard" ->
+      """WITH inv AS (
+        |  SELECT l_shipdate AS date,
+        |         'LOC' || CAST(l_suppkey % 20 AS VARCHAR) AS store_location,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(15,2)) AS total_sales
+        |  FROM lineitem
+        |)
+        |SELECT year(date) AS year, month(date) AS month, store_location,
+        |       CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+        |FROM inv
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
   )
 }

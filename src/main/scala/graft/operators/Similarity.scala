@@ -54,6 +54,36 @@ object Similarity {
       .select(col("query_id"), col("nlabel").as("predicted_label"), col("votes"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets
+    * generate candidates (multiple tables for recall), exact cosine
+    * verifies ≥ threshold. The dedup-by-embedding flavor of
+    * [[graft.operators.Dedup]] — candidates are bucket-local, never
+    * all-pairs.
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, threshold: Double, dim: Int,
+      nPlanes: Int = 12, nTables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      VectorFunctions.randomPlanes(nPlanes, dim, seed = 42L + t)
+    }
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("table"),
+          VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.table"), col("tb.bucket"))
+    bucketed.as("l").join(bucketed.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Approximate top-k via random-hyperplane LSH: score only pairs
     * sharing a bucket (with `nPlanes` sign bits). Recall improves with
     * multiple tables; one table here, `nTables` via distinct plane
