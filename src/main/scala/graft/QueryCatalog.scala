@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -532,6 +532,28 @@ object QueryCatalog {
           col("store_location"), col("total_sales").cast("double").as("total_sales"))
         .orderBy(col("year"), col("month"), col("store_location"))
     }),
+
+    // as-of join: each event enriched with the user's most recent
+    // purchase value at that time (inclusive, SQL ASOF semantics) —
+    // union+LOCF window plan, one shuffle, no nested-loop range join.
+    "q41_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asofJoin(ev, purchases, "user_id", "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // JSON column extraction (F: semi-structured props field).
+    "q42_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("k"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -854,5 +876,18 @@ object QueryCatalog {
         |FROM inv
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q41_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.event_type, r.value AS asof_value
+        |FROM events l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |) r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q42_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
