@@ -18,7 +18,7 @@ object Bench {
     // still include each plan's own codegen.)
     val warmupDir = "/root/testdata/sf0.001"
     Seq("q01_pricing_summary", "q13_window_topk", "q26_docs_minhash_neardup",
-      "q29_emb_cosine_topk").foreach { q =>
+      "q29_emb_cosine_topk", "q40_pipeline_dashboard").foreach { q =>
       try SparkEntry.queries(q)(spark, warmupDir).count()
       catch { case _: Throwable => () }
     }

@@ -525,7 +525,7 @@ object QueryCatalog {
         round(pmod(col("l_suppkey"), lit(10)) * 0.5, 2).as("carrying_cost"),
         round(pmod(col("l_suppkey"), lit(5)) * 0.1, 2).as("stock_out_risk"),
         lit(1.0).as("inventory_turnover"))
-      val out = graft.etl.Pipeline.runBatch(inv)
+      val out = graft.etl.Pipeline.runBatch(inv, cacheStaging = false)
       graft.etl.Pipeline.registerViews(s, out)
       s.sql(graft.etl.DashboardQueries.q1)
         .select(col("year").cast("long").as("year"), col("month").cast("long").as("month"),
@@ -553,6 +553,20 @@ object QueryCatalog {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n_events"))
         .orderBy(col("k"))
+    }),
+
+    // multimodal frame sampling: video-typed payloads → every 2nd
+    // 64-byte pseudo-frame (real frame extraction swaps into the same
+    // operator position; see Multimodal scaladoc).
+    "q43_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.fromText(s, t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        .map(r => r.copy(media_type = "video"))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame_payload")).cast("long").as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_no"))
     }),
   )
 

@@ -22,14 +22,22 @@ object Pipeline {
       dimProduct: DataFrame,
       factSales: DataFrame)
 
-  /** Build all curated outputs from a raw DataFrame in one pass. */
+  /** Build all curated outputs from a raw DataFrame in one pass.
+    *
+    * @param cacheStaging cache the cleaned staging frame — right when
+    *   all four outputs are materialized (the reference re-scanned the
+    *   staging zone 8×); skip it when only one output is consumed, the
+    *   materialization then costs more than the recompute.
+    */
   def runBatch(
       raw: DataFrame,
       existingStore: Option[DataFrame] = None,
       existingProduct: Option[DataFrame] = None,
       asOf: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
-      referenceSemantics: Boolean = true): CuratedOutputs = {
-    val staging = StagingLayer.clean(raw).cache()
+      referenceSemantics: Boolean = true,
+      cacheStaging: Boolean = true): CuratedOutputs = {
+    val cleaned = StagingLayer.clean(raw)
+    val staging = if (cacheStaging) cleaned.cache() else cleaned
     CuratedOutputs(
       dimDate = CuratedLayer.dimDate(staging),
       dimStore = CuratedLayer.dimStore(staging, existingStore, asOf, referenceSemantics),
