@@ -555,6 +555,15 @@ object QueryCatalog {
         .orderBy(col("k"))
     }),
 
+    // IVF approximate nearest neighbor (coarse-quantizer lists,
+    // nProbe probing).
+    "q44_emb_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(queries, e, k = 5, nLists = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // multimodal frame sampling: video-typed payloads → every 2nd
     // 64-byte pseudo-frame (real frame extraction swaps into the same
     // operator position; see Multimodal scaladoc).
@@ -904,4 +913,6 @@ object QueryCatalog {
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+  // q25–q33, q37, q43, q44: hash/heuristic/ANN/multimodal ops without a
+  // portable SQL equivalent → rows-only driver checks.
 }

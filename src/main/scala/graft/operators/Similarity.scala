@@ -54,6 +54,47 @@ object Similarity {
       .select(col("query_id"), col("nlabel").as("predicted_label"), col("votes"))
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor: a coarse
+    * quantizer of `nLists` centroids (deterministic corpus sample)
+    * partitions the corpus; each query scores only the `nProbe` lists
+    * whose centroids are nearest. Classic FAISS-style recall/throughput
+    * trade expressed as DataFrames: centroids broadcast (they are tiny),
+    * corpus assignment is one broadcast-join scan, and the probe join
+    * shuffles on list id — corpus-size-independent per-query work.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // deterministic coarse centroids: the nLists corpus vectors with the
+    // smallest ids (a real deployment k-means-trains these; the index
+    // structure and query path are identical)
+    val centroids = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .orderBy(col("cid")).limit(nLists)
+    def assign(df: DataFrame, id: String, vec: String, n: Int) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("cid"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__sim", VectorFunctions.cosine(col(vec), col("cv")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .select(col(id), col(vec), col("cid").as("list_id"))
+    }
+    val corpusLists = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
+      "neighbor_id", "cv2", 1)
+    val queryLists = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    queryLists.join(corpusLists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets
     * generate candidates (multiple tables for recall), exact cosine
     * verifies ≥ threshold. The dedup-by-embedding flavor of

@@ -61,4 +61,14 @@ object EventStreams {
 
   def sessionizeStreaming(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     sessionize(events.withWatermark("ts", "2 hours"), gap)
+
+  /** Streaming exact dedup: drop events whose `keyCols` were already
+    * seen within the watermark horizon — state is bounded by the
+    * watermark (keys older than it are evicted), so a 1000-executor
+    * job doesn't accumulate unbounded seen-set state. The streaming
+    * counterpart of [[graft.operators.Dedup.exact]].
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String, keyCols: String*): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state sessionization via `flatMapGroupsWithState` — the
+  * arbitrary-state API for semantics `session_window` can't express
+  * (here: per-session event cap and a distinct-event-type count carried
+  * in state). State lives per key in the state store, evicted by
+  * event-time timeout tied to the watermark, so total state is bounded
+  * by (active users × session struct), not by stream length.
+  */
+object StatefulSessions {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class SessionState(
+      start: Long, lastTs: Long, nEvents: Long, value: Double, types: Set[String])
+
+  final case class SessionOut(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      session_value: Double,
+      n_event_types: Int,
+      capped: Boolean)
+
+  /** Sessions close when `gapMs` passes without an event (event-time
+    * timeout) or when `maxEvents` is hit (cap → emit early, reset).
+    */
+  def sessionize(
+      events: Dataset[Event], gapMs: Long, maxEvents: Int)
+    : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(out(userId, s, capped = false))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Iterator.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs && s.nEvents < maxEvents =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    value = s.value + e.value, types = s.types + e.event_type))
+                case Some(s) =>
+                  closed += out(userId, s, capped = s.nEvents >= maxEvents)
+                  cur = Some(SessionState(t, t, 1, e.value, Set(e.event_type)))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value, Set(e.event_type)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once the watermark passes lastTs+gap
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result()
+          }
+      }
+  }
+
+  private def out(userId: Long, s: SessionState, capped: Boolean): SessionOut =
+    SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastTs),
+      s.nEvents, s.value, s.types.size, capped)
+
+  /** Batch reference implementation of the same semantics, for tests. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long, maxEvents: Int): Seq[SessionOut] = {
+    import org.apache.spark.sql.functions._
+    events.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+      .groupBy(_.user_id).toSeq
+      .flatMap { case (uid, evs) =>
+        val sorted = evs.sortBy(_.ts.getTime)
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var cur: Option[SessionState] = None
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastTs <= gapMs && s.nEvents < maxEvents =>
+              cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                value = s.value + e.value, types = s.types + e.event_type))
+            case Some(s) =>
+              sessions += out(uid, s, capped = s.nEvents >= maxEvents)
+              cur = Some(SessionState(t, t, 1, e.value, Set(e.event_type)))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value, Set(e.event_type)))
+          }
+        }
+        cur.foreach(s => sessions += out(uid, s, capped = false))
+        sessions
+      }
+  }
+}

@@ -37,6 +37,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Long]("votes") === 2L)
   }
 
+  test("ivfTopK: probing both lists recovers the exact nearest neighbor") {
+    val q = corpus.filter($"vec_id" === 1L)
+    val out = Similarity.ivfTopK(q, corpus, k = 1, nLists = 2, nProbe = 2).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("neighbor_id") === 2L)
+  }
+
+  test("ivfTopK recall vs brute force on a larger clustered corpus") {
+    // two tight clusters of 50 vectors each around (1,0,0) and (0,1,0)
+    val vecs = (0 until 100).map { i =>
+      val base = if (i < 50) Array(10f, 0f, 0f) else Array(0f, 10f, 0f)
+      (i.toLong, Array(base(0) + (i % 7) * 0.01f, base(1) + (i % 5) * 0.01f, base(2)))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, vecs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, vecs, k = 5, nLists = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
   test("lshTopK: recovers the exact nearest neighbor for clustered vectors") {
     // vectors in the same half-space collide in hyperplane buckets with
     // high probability over 4 tables; v1/v2 are near-identical.
