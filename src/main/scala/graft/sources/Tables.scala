@@ -19,6 +19,11 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // TIMESTAMP(NANOS) parquet (events.ts) is unreadable without this
+    // legacy flag; set it defensively so queries work on any session
+    // the caller provides, not only our own mains'. Runtime-settable.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
     // long (spark.sql.legacy.parquet.nanosAsLong) — convert to a µs
