@@ -555,6 +555,56 @@ object QueryCatalog {
         .orderBy(col("k"))
     }),
 
+    // TPC-H Q3 shape: shipping priority — 3-way join, pre-join
+    // filters on both big tables, top-N by revenue.
+    "q45_tpch_q3" -> ((s, dir) => {
+      val cutoff = Timestamp.valueOf("1998-01-01 00:00:00")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < lit(cutoff)),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") >= lit(cutoff)),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"), round(col("revenue"), 2).as("revenue"))
+    }),
+
+    // TPC-H Q5 shape: local-supplier revenue by nation — 6-way join
+    // through both dimension chains with a region filter.
+    "q46_tpch_q5" -> ((s, dir) => {
+      t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+        .withColumn("revenue", round(col("revenue"), 2))
+    }),
+
+    // TPC-H Q10 shape: returned-item reporting — customers ranked by
+    // lost revenue from returned lineitems.
+    "q47_tpch_q10" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .withColumn("revenue", round(col("revenue"), 2))
+    }),
+
     // IVF approximate nearest neighbor (coarse-quantizer lists,
     // nProbe probing).
     "q44_emb_ann_ivf" -> ((s, dir) => {
@@ -912,6 +962,51 @@ object QueryCatalog {
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority, round(revenue, 2) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |  ORDER BY revenue DESC, l_orderkey LIMIT 20
+        |) t ORDER BY revenue DESC, l_orderkey""".stripMargin,
+
+    "q46_tpch_q5" ->
+      """SELECT n_name, round(revenue, 2) AS revenue
+        |FROM (
+        |  SELECT n_name,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM region
+        |  JOIN nation ON r_regionkey = n_regionkey
+        |  JOIN customer ON n_nationkey = c_nationkey
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY n_name
+        |) t ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q47_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, round(revenue, 2) AS revenue
+        |FROM (
+        |  SELECT c_custkey, c_name, n_name,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_name, n_name
+        |  ORDER BY revenue DESC, c_custkey LIMIT 20
+        |) t ORDER BY revenue DESC, c_custkey""".stripMargin,
   )
   // q25–q33, q37, q43, q44: hash/heuristic/ANN/multimodal ops without a
   // portable SQL equivalent → rows-only driver checks.
