@@ -32,6 +32,16 @@ object QueryCatalog {
   private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
+  /** UTC-anchored timestamp: `Timestamp.valueOf` parses in the JVM
+    * default timezone, which would shift instants (and the resulting
+    * date strings / filter boundaries) on non-UTC hosts while the
+    * DuckDB oracles stay naive-UTC. All catalog timestamps go through
+    * here.
+    */
+  private def utcTs(s: String): Timestamp =
+    Timestamp.from(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .atZone(java.time.ZoneOffset.UTC).toInstant)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -41,8 +51,8 @@ object QueryCatalog {
   // even keys re-arrive, keys %4==0 with a changed attribute, keys
   // %5==0 re-keyed +1_000_000 as brand-new.
   // ---------------------------------------------------------------
-  private val scdAsOf = Timestamp.valueOf("2024-01-01 00:00:00")
-  private val scdStart = Timestamp.valueOf("2023-01-01 00:00:00")
+  private val scdAsOf = utcTs("2024-01-01 00:00:00")
+  private val scdStart = utcTs("2023-01-01 00:00:00")
 
   private def scdInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sup = t(s, dir, "supplier")
@@ -104,7 +114,7 @@ object QueryCatalog {
     // P1/P2/P4: projection + pushed-down comparison filters.
     "q02_filter_project" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        .filter(col("l_shipdate") >= lit(utcTs("1998-01-01 00:00:00")) &&
           col("l_quantity") >= 48)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -197,8 +207,8 @@ object QueryCatalog {
     // merge semantics).
     "q12_incremental_merge" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val slice1 = o.filter(col("o_orderdate") < lit(Timestamp.valueOf("1999-01-01 00:00:00")))
-      val slice2 = o.filter(col("o_orderdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+      val slice1 = o.filter(col("o_orderdate") < lit(utcTs("1999-01-01 00:00:00")))
+      val slice2 = o.filter(col("o_orderdate") >= lit(utcTs("1997-01-01 00:00:00")))
       slice1.union(slice2).dropDuplicates()
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderstatus"))
@@ -440,7 +450,7 @@ object QueryCatalog {
     // set operations: intersect / except (distinct semantics).
     "q35_set_ops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val recent = o.filter(col("o_orderdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+      val recent = o.filter(col("o_orderdate") >= lit(utcTs("1997-01-01 00:00:00")))
         .select(col("o_custkey"))
       val big = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
       val both = recent.intersect(big).withColumn("bucket", lit("both"))
@@ -558,7 +568,7 @@ object QueryCatalog {
     // TPC-H Q3 shape: shipping priority — 3-way join, pre-join
     // filters on both big tables, top-N by revenue.
     "q45_tpch_q3" -> ((s, dir) => {
-      val cutoff = Timestamp.valueOf("1998-01-01 00:00:00")
+      val cutoff = utcTs("1998-01-01 00:00:00")
       t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         .join(t(s, dir, "orders").filter(col("o_orderdate") < lit(cutoff)),
           col("c_custkey") === col("o_custkey"))

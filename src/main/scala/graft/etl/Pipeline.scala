@@ -16,11 +16,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Pipeline {
 
+  /** `staging` is exposed so a long-lived orchestrator can
+    * `staging.unpersist()` once the four outputs are materialized —
+    * otherwise each runBatch call pins another cached RDD for the
+    * session's lifetime.
+    */
   final case class CuratedOutputs(
       dimDate: DataFrame,
       dimStore: DataFrame,
       dimProduct: DataFrame,
-      factSales: DataFrame)
+      factSales: DataFrame,
+      staging: DataFrame)
 
   /** Build all curated outputs from a raw DataFrame in one pass.
     *
@@ -33,7 +39,7 @@ object Pipeline {
       raw: DataFrame,
       existingStore: Option[DataFrame] = None,
       existingProduct: Option[DataFrame] = None,
-      asOf: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
+      asOf: Timestamp = Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")),
       referenceSemantics: Boolean = true,
       cacheStaging: Boolean = true): CuratedOutputs = {
     val cleaned = StagingLayer.clean(raw)
@@ -42,7 +48,8 @@ object Pipeline {
       dimDate = CuratedLayer.dimDate(staging),
       dimStore = CuratedLayer.dimStore(staging, existingStore, asOf, referenceSemantics),
       dimProduct = CuratedLayer.dimProduct(staging, existingProduct, asOf, referenceSemantics),
-      factSales = CuratedLayer.factSales(staging))
+      factSales = CuratedLayer.factSales(staging),
+      staging = staging)
   }
 
   /** Register the star schema for Spark-SQL serving (dashboard parity). */

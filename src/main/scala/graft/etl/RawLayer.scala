@@ -22,6 +22,14 @@ object RawLayer {
 
   val WatermarkFormat = "yyyy-MM-dd"
 
+  /** Format the watermark in UTC explicitly — SimpleDateFormat in the
+    * JVM default timezone would shift the persisted date by a day on
+    * non-UTC hosts, silently skipping (TZ ahead) or re-ingesting (TZ
+    * behind) rows near midnight.
+    */
+  private def formatWatermark(ts: java.sql.Timestamp): String =
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
   def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -74,8 +82,7 @@ object RawLayer {
       fs.delete(new Path(rawPath), true)
       fs.rename(new Path(tmp), new Path(rawPath))
       val maxDate = increment.agg(max(col("date"))).head().getTimestamp(0)
-      writeWatermark(spark, metadataPath,
-        new java.text.SimpleDateFormat(WatermarkFormat).format(maxDate))
+      writeWatermark(spark, metadataPath, formatWatermark(maxDate))
       n
     } finally increment.unpersist()
   }
@@ -127,8 +134,7 @@ object RawLayer {
         .partitionBy("ingest_date")
         .parquet(rawPath)
       val maxDate = increment.agg(max(col("date"))).head().getTimestamp(0)
-      writeWatermark(spark, metadataPath,
-        new java.text.SimpleDateFormat(WatermarkFormat).format(maxDate))
+      writeWatermark(spark, metadataPath, formatWatermark(maxDate))
       n
     } finally increment.unpersist()
   }

@@ -61,6 +61,36 @@ case class ShingleSet(child: Expression, shingleSize: Int, charLevel: Boolean)
     copy(child = newChild)
 }
 
+/** MinHash signature from a precomputed shingle-hash array (as
+  * produced by [[ShingleSet]]): lets one projection compute the set
+  * once and derive the signature from it — whole-stage codegen's
+  * subexpression elimination shares the ShingleSet child between the
+  * `sh` output column and this expression, so text is tokenized and
+  * hashed exactly once per row.
+  */
+case class MinHashFromSet(child: Expression, k: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType]
+        && child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs an array<bigint> input")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Kernels.minhashFromHashes(input.asInstanceOf[ArrayData].toLongArray(), k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  graft.expressions.Kernels.minhashFromHashes($c.toLongArray(), $k));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromSet =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a text column. */
 case class SimHash64(child: Expression)
   extends UnaryExpression {
@@ -195,6 +225,7 @@ object GraftFunctions {
 
   def minhashSig(text: Column, shingleSize: Int, k: Int, charLevel: Boolean): Column =
     col(MinHashSig(e(text), shingleSize, k, charLevel))
+  def minhashFromSet(sh: Column, k: Int): Column = col(MinHashFromSet(e(sh), k))
   def shingleSet(text: Column, shingleSize: Int, charLevel: Boolean): Column =
     col(ShingleSet(e(text), shingleSize, charLevel))
   def simhash64(text: Column): Column = col(SimHash64(e(text)))

@@ -29,7 +29,9 @@ object GraftExtensions {
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
     : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo("graft.expressions", name, usage),
+      // 3-arg ExpressionInfo is (className, db, name) — usage goes in
+      // the extended constructor we don't need; db stays default
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
       builder)
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -186,14 +186,19 @@ object Kernels {
     * flattened row-major. All plane dots in one kernel call.
     */
   def hyperplaneBucket(v: Array[Float], planes: Array[Double], nPlanes: Int): Long = {
-    val dim = v.length
+    // stride comes from the plane matrix, NOT the vector: if the
+    // vector is shorter than the configured dim the extra coefficients
+    // are ignored; if longer, the tail is ignored — but offsets never
+    // misalign across planes.
+    val dim = planes.length / nPlanes
+    val n = math.min(dim, v.length)
     var sig = 0L
     var j = 0
     while (j < nPlanes) {
       val off = j * dim
       var s = 0.0
       var i = 0
-      while (i < dim && off + i < planes.length) {
+      while (i < n) {
         s += v(i).toDouble * planes(off + i)
         i += 1
       }

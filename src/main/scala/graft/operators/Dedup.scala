@@ -115,9 +115,15 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4,
       shingleSize: Int = 3, charLevel: Boolean = false): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, shingleSize, charLevel)
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, k, charLevel)
-    val cands = bandPairs(sigs, bands, k)
+    // set + signature in ONE projection: the signature derives from the
+    // set column (MinHashFromSet), and codegen subexpression
+    // elimination computes the ShingleSet child once — each branch
+    // below tokenizes/hashes a document exactly once.
+    val shExpr = GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel)
+    val prepared = docs.select(col(idCol).as("doc_id"), shExpr.as("sh"),
+      GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
+    val cands = bandPairs(prepared.select(col("doc_id"), col("sig")), bands, k)
+    val sets = prepared.select(col("doc_id"), col("sh"))
     val pairs = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

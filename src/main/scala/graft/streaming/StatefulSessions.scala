@@ -63,8 +63,13 @@ object StatefulSessions {
             }
             cur.foreach { s =>
               state.update(s)
-              // close the session once the watermark passes lastTs+gap
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // close the session once the watermark passes lastTs+gap;
+              // clamp to watermark+1 — a timeout at or below the current
+              // watermark throws and kills the query (a straggler that
+              // passed the previous batch's late-filter can otherwise
+              // set lastTs+gap below a watermark that jumped this batch)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result()
           }

@@ -1,16 +1,11 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 /** Prints formatted physical plans for headline queries and greps for
   * the properties we require at scale: pushed filters, broadcast joins
   * for small dims, whole-stage codegen coverage, window group limits.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.defaultBuilder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = graft.SparkEntry.queries.keys.toSeq.sorted

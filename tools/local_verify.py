@@ -43,7 +43,17 @@ def main(sf_dir, out_dir):
     import glob
     import os
     ok = fail = rowsonly = 0
-    for qdir in sorted(glob.glob(f"{out_dir}/q*")):
+    result_dirs = sorted(d for d in glob.glob(f"{out_dir}/q*") if os.path.isdir(d))
+    # reconcile against the declared query list: a query whose Verify
+    # run threw writes no dir and must FAIL here, not vanish
+    qlist_path = f"{out_dir}/queries.json"
+    if os.path.exists(qlist_path):
+        declared = set(json.load(open(qlist_path)))
+        present = {os.path.basename(d) for d in result_dirs}
+        for missing in sorted(declared - present):
+            print(f"{'FAIL-MISSING':18} {missing:28} no result written")
+            fail += 1
+    for qdir in result_dirs:
         name = os.path.basename(qdir)
         got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
         gcols = [d[0] for d in got.description]
