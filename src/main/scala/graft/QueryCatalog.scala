@@ -615,6 +615,31 @@ object QueryCatalog {
         .withColumn("revenue", round(col("revenue"), 2))
     }),
 
+    // time-bounded (interval) join: each event paired with the same
+    // user's purchases in the preceding hour (stream-stream joinable —
+    // see EventStreams.intervalJoinStreaming).
+    "q48_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      EventStreams.intervalJoin(ev.filter(col("event_type") === "click"), purchases, "1 HOUR")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), dsum4(col("r_value")).as("purchase_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // custom TypedImperativeAggregate: per-source MinHash-union group
+    // signature (elementwise min across member signatures).
+    "q49_minhash_union_agg" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("source"),
+          graft.expressions.GraftFunctions.minhashSig(col("text"), 3, 16, charLevel = false).as("sig"))
+      sigs.groupBy(col("source"))
+        .agg(graft.expressions.GraftFunctions.minhashUnion(col("sig"), 16).as("group_sig"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"), xxhash64(col("group_sig")).as("sig_hash"), col("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // IVF approximate nearest neighbor (coarse-quantizer lists,
     // nProbe probing).
     "q44_emb_ann_ivf" -> ((s, dir) => {
@@ -972,6 +997,26 @@ object QueryCatalog {
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q48_interval_join" ->
+      """SELECT l.user_id, COUNT(*) AS n_pairs,
+        |       CAST(SUM(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+        |FROM events l
+        |JOIN events r ON l.user_id = r.user_id
+        |  AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+        |WHERE l.event_type = 'click'
+        |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin,
+
+    "q48_interval_join" ->
+      """SELECT l.user_id, COUNT(*) AS n_pairs,
+        |       CAST(SUM(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+        |FROM events l
+        |JOIN events r ON l.user_id = r.user_id
+        |  AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+        |WHERE l.event_type = 'click'
+        |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin,
 
     "q45_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

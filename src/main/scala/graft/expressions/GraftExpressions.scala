@@ -226,6 +226,8 @@ object GraftFunctions {
   def minhashSig(text: Column, shingleSize: Int, k: Int, charLevel: Boolean): Column =
     col(MinHashSig(e(text), shingleSize, k, charLevel))
   def minhashFromSet(sh: Column, k: Int): Column = col(MinHashFromSet(e(sh), k))
+  def minhashUnion(sig: Column, k: Int): Column =
+    col(MinHashUnion(e(sig), k).toAggregateExpression())
   def shingleSet(text: Column, shingleSize: Int, charLevel: Boolean): Column =
     col(ShingleSet(e(text), shingleSize, charLevel))
   def simhash64(text: Column): Column = col(SimHash64(e(text)))

@@ -53,6 +53,9 @@ object GraftExtensions {
     fn("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float vectors") {
       args => VecCosine(args(0), args(1))
     },
+    fn("minhash_union", "minhash_union(sig, k) - aggregate elementwise-min of MinHash signatures") {
+      args => MinHashUnion(args(0), intLit(args(1)))
+    },
   )
 
   /** Register on a live session (idempotent — re-registration replaces). */

@@ -62,6 +62,36 @@ object EventStreams {
   def sessionizeStreaming(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     sessionize(events.withWatermark("ts", "2 hours"), gap)
 
+  /** Interval (time-bounded) join: pair each left event with right
+    * events of the same user within `[left.ts - before, left.ts]`.
+    * Batch: SortMergeJoin on user_id with the range as a post-join
+    * condition. Streaming: both sides need watermarks and the range
+    * condition bounds the buffered state (stream-stream join).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, before: String): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+      col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_type").as("r_type"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("l_ts"))
+      .drop("r_user")
+  }
+
+  /** Streaming variant: watermark both sides so the join state is
+    * bounded by the interval + watermark delay.
+    */
+  def intervalJoinStreaming(
+      left: DataFrame, right: DataFrame, before: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    intervalJoin(
+      left.withWatermark("ts", watermarkDelay),
+      right.withWatermark("ts", watermarkDelay),
+      before)
+
   /** Streaming exact dedup: drop events whose `keyCols` were already
     * seen within the watermark horizon — state is bounded by the
     * watermark (keys older than it are evicted), so a 1000-executor

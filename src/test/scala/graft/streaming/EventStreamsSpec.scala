@@ -44,6 +44,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(u1.head.getAs[Double]("session_value") === 3.0)
   }
 
+  test("intervalJoin pairs events with same-user rights inside the window") {
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "click", 0.0),
+      (1L, ts("2024-01-01 12:00:00"), "click", 0.0),
+    ).toDF("user_id", "ts", "event_type", "value")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 5.0), // within 1h of 10:30 only
+      (1L, ts("2024-01-01 11:30:00"), "purchase", 7.0), // within 1h of 12:00 only
+      (2L, ts("2024-01-01 10:15:00"), "purchase", 9.0), // other user
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = EventStreams.intervalJoin(clicks, purchases, "1 HOUR")
+      .select("l_ts", "r_value").collect()
+      .map(r => r.getTimestamp(0) -> r.getDouble(1)).toSet
+    assert(out === Set(
+      ts("2024-01-01 10:30:00") -> 5.0,
+      ts("2024-01-01 12:00:00") -> 7.0))
+  }
+
+  test("streaming interval join runs as a stream-stream join") {
+    val dir = Files.createTempDirectory("ssjoin").toString
+    val clicks = Seq((1L, ts("2024-01-01 10:30:00"), "click", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val purchases = Seq((1L, ts("2024-01-01 10:00:00"), "purchase", 5.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    clicks.write.parquet(s"$dir/l")
+    purchases.write.parquet(s"$dir/r")
+    val q = EventStreams.intervalJoinStreaming(
+        spark.readStream.schema(clicks.schema).parquet(s"$dir/l"),
+        spark.readStream.schema(purchases.schema).parquet(s"$dir/r"),
+        "1 HOUR")
+      .writeStream.format("memory").queryName("ssjoin_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty)
+    assert(spark.sql("SELECT * FROM ssjoin_mem").count() === 1)
+    spark.sql("DROP TABLE IF EXISTS ssjoin_mem")
+  }
+
   test("streaming path: windowed aggregation with watermark over readStream") {
     val dir = Files.createTempDirectory("events_stream").toString
     events.write.mode("overwrite").parquet(dir)
