@@ -640,6 +640,27 @@ object QueryCatalog {
         .orderBy(col("source"))
     }),
 
+    // generator / lateral view: explode tokens → global word count
+    // (the canonical Generate-operator query).
+    "q50_word_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        .filter(length(col("word")) >= 3)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50)
+    }),
+
+    // pivot: per-user event counts spread across event-type columns.
+    "q51_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
     // IVF approximate nearest neighbor (coarse-quantizer lists,
     // nProbe probing).
     "q44_emb_ann_ivf" -> ((s, dir) => {
@@ -998,6 +1019,23 @@ object QueryCatalog {
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q50_word_count" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE length(trim(text)) > 0
+        |) t
+        |WHERE length(word) >= 3
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
+    "q51_pivot" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (event_type = 'click') AS click,
+        |       COUNT(*) FILTER (event_type = 'view') AS view,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q48_interval_join" ->
       """SELECT l.user_id, COUNT(*) AS n_pairs,
         |       CAST(SUM(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
@@ -1007,6 +1045,23 @@ object QueryCatalog {
         |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
         |WHERE l.event_type = 'click'
         |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin,
+
+    "q50_word_count" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE length(trim(text)) > 0
+        |) t
+        |WHERE length(word) >= 3
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
+    "q51_pivot" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (event_type = 'click') AS click,
+        |       COUNT(*) FILTER (event_type = 'view') AS view,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q48_interval_join" ->
       """SELECT l.user_id, COUNT(*) AS n_pairs,
