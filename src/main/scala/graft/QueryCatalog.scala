@@ -640,6 +640,47 @@ object QueryCatalog {
         .orderBy(col("source"))
     }),
 
+    // ordered-statistics aggregates: exact interpolated percentiles
+    // (Spark percentile ≡ DuckDB quantile_cont on integral input).
+    "q52_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // collection aggregate: per-group sorted array of keys
+    // (collect_list is unordered → sort_array for determinism).
+    "q53_array_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_orderstatus"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("big_orders"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          concat_ws(",", col("big_orders")).as("big_orders"), col("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // scalar string functions: case, substring, padding, replacement,
+    // edit distance.
+    "q54_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("upper_name"),
+          substring(col("c_name"), 1, 8).as("prefix8"),
+          length(translate(col("c_name"), "_", "-")).cast("long").as("len_translated"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+          levenshtein(col("c_name"), col("c_mktsegment")).cast("long").as("edit_dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // generator / lateral view: explode tokens → global word count
     // (the canonical Generate-operator query).
     "q50_word_count" -> ((s, dir) => {
@@ -700,13 +741,11 @@ object QueryCatalog {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity >= 48
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
     "q03_derived_columns" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
@@ -716,18 +755,15 @@ object QueryCatalog {
         |       l_discount > 0.05 AS high_discount
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
     "q04_distinct_projected" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority
         |FROM orders ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
-
     "q05_dup_detect" ->
       """SELECT r_regionkey, r_name, COUNT(*) AS count
         |FROM (SELECT * FROM region UNION ALL SELECT * FROM region) t
         |GROUP BY r_regionkey, r_name
         |HAVING COUNT(*) > 1
         |ORDER BY r_regionkey""".stripMargin,
-
     "q06_join_3way_agg" ->
       """SELECT n_name,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
@@ -736,28 +772,24 @@ object QueryCatalog {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
-
     "q07_join_left_fillna" ->
       """SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders
         |FROM customer
         |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
-
     "q08_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
-
     "q09_join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
-
     "q10_scd2_reference" -> (scdSqlInputs +
       """, changes AS (
         |  SELECT n.s_suppkey, n.s_name, n.acct
@@ -778,7 +810,6 @@ object QueryCatalog {
         |       strftime(end_date, '%Y-%m-%d') AS end_date,
         |       is_current
         |FROM result ORDER BY s_suppkey, is_current, start_date""".stripMargin),
-
     "q11_scd2_corrected" -> (scdSqlInputs +
       """, joined AS (
         |  SELECT n.s_suppkey AS k, n.s_name AS nn, n.acct AS na,
@@ -812,7 +843,6 @@ object QueryCatalog {
         |       strftime(end_date, '%Y-%m-%d') AS end_date,
         |       is_current
         |FROM result ORDER BY s_suppkey, is_current, start_date""".stripMargin),
-
     "q12_incremental_merge" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders
         |FROM (
@@ -822,7 +852,6 @@ object QueryCatalog {
         |    SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') u
         |) m
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-
     "q13_window_topk" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
@@ -830,7 +859,6 @@ object QueryCatalog {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
-
     "q14_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -838,18 +866,15 @@ object QueryCatalog {
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
-
     "q15_dim_date" ->
       """SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS date_id,
         |       year(o_orderdate) AS year, month(o_orderdate) AS month,
         |       day(o_orderdate) AS day
         |FROM orders ORDER BY date_id""".stripMargin,
-
     "q16_sales_by_month" ->
       """SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
     "q17_qty_by_brand" ->
       """SELECT p_brand,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity_sold
@@ -857,7 +882,6 @@ object QueryCatalog {
         |WHERE year(l_shipdate) = 1998
         |GROUP BY p_brand
         |ORDER BY total_quantity_sold DESC, p_brand""".stripMargin,
-
     "q18_supplier_part_stats" ->
       """SELECT s_name, p_brand,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_sold,
@@ -866,7 +890,6 @@ object QueryCatalog {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN part ON l_partkey = p_partkey
         |GROUP BY s_name, p_brand ORDER BY s_name, p_brand""".stripMargin,
-
     "q19_store_product_sums" ->
       """SELECT s_name, p_brand,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity,
@@ -876,13 +899,11 @@ object QueryCatalog {
         |JOIN part ON l_partkey = p_partkey
         |GROUP BY s_name, p_brand
         |ORDER BY total_sales DESC, s_name, p_brand""".stripMargin,
-
     "q20_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
     "q21_events_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
@@ -901,13 +922,11 @@ object QueryCatalog {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
-
     "q22_docs_token_count" ->
       """SELECT doc_id,
         |       CASE WHEN length(trim(text)) = 0 THEN 0
         |            ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
-
     "q23_docs_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM (
@@ -915,7 +934,6 @@ object QueryCatalog {
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) u
         |GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
-
     "q24_docs_quality" ->
       """SELECT doc_id, length(text) AS len_chars,
         |       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
@@ -927,14 +945,12 @@ object QueryCatalog {
         |                         ELSE length(regexp_split_to_array(trim(text), '\s+')) END, 1)
         |         AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
-
     "q34_distinct_agg" ->
       """SELECT l_returnflag,
         |       COUNT(DISTINCT l_suppkey) AS n_suppliers,
         |       COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
     "q35_set_ops" ->
       """WITH recent AS (
         |  SELECT o_custkey FROM orders
@@ -948,7 +964,6 @@ object QueryCatalog {
         |)
         |SELECT bucket, COUNT(*) AS n_customers
         |FROM labeled GROUP BY bucket ORDER BY bucket""".stripMargin,
-
     "q36_rollup" ->
       """SELECT year(o_orderdate) AS year, o_orderstatus,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -956,7 +971,6 @@ object QueryCatalog {
         |FROM orders
         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
         |ORDER BY year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
-
     "q38_docs_curation" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text, source FROM documents
@@ -980,7 +994,6 @@ object QueryCatalog {
         |FROM scored
         |WHERE len >= 100 AND alpha_ratio >= 0.55 AND n_tokens >= 10
         |GROUP BY source ORDER BY source""".stripMargin,
-
     "q39_events_sliding" ->
       """SELECT strftime(w, '%Y-%m-%d %H:%M') AS window_start, event_type,
         |       COUNT(*) AS n_events,
@@ -992,7 +1005,6 @@ object QueryCatalog {
         |) t
         |WHERE ts < w + INTERVAL 1 HOUR
         |GROUP BY w, event_type ORDER BY window_start, event_type""".stripMargin,
-
     "q40_pipeline_dashboard" ->
       """WITH inv AS (
         |  SELECT l_shipdate AS date,
@@ -1005,7 +1017,6 @@ object QueryCatalog {
         |FROM inv
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
-
     "q41_asof_join" ->
       """SELECT l.event_id, l.user_id, l.event_type, r.value AS asof_value
         |FROM events l
@@ -1013,12 +1024,30 @@ object QueryCatalog {
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
         |) r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
-
     "q42_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
+    "q52_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q53_array_agg" ->
+      """SELECT o_orderstatus,
+        |       list_aggregate(list_sort(list(o_orderkey)), 'string_agg', ',') AS big_orders,
+        |       COUNT(*) AS n
+        |FROM orders WHERE o_totalprice > 400000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q54_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS upper_name,
+        |       substring(c_name, 1, 8) AS prefix8,
+        |       length(replace(c_name, '_', '-')) AS len_translated,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |       levenshtein(c_name, c_mktsegment) AS edit_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q50_word_count" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
@@ -1026,7 +1055,6 @@ object QueryCatalog {
         |) t
         |WHERE length(word) >= 3
         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
-
     "q51_pivot" ->
       """SELECT user_id,
         |       COUNT(*) FILTER (event_type = 'click') AS click,
@@ -1035,7 +1063,6 @@ object QueryCatalog {
         |       COUNT(*) FILTER (event_type = 'signup') AS signup,
         |       COUNT(*) FILTER (event_type = 'error') AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
     "q48_interval_join" ->
       """SELECT l.user_id, COUNT(*) AS n_pairs,
         |       CAST(SUM(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
@@ -1045,34 +1072,6 @@ object QueryCatalog {
         |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
         |WHERE l.event_type = 'click'
         |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin,
-
-    "q50_word_count" ->
-      """SELECT word, COUNT(*) AS n FROM (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
-        |  FROM documents WHERE length(trim(text)) > 0
-        |) t
-        |WHERE length(word) >= 3
-        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
-
-    "q51_pivot" ->
-      """SELECT user_id,
-        |       COUNT(*) FILTER (event_type = 'click') AS click,
-        |       COUNT(*) FILTER (event_type = 'view') AS view,
-        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
-        |       COUNT(*) FILTER (event_type = 'error') AS error
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q48_interval_join" ->
-      """SELECT l.user_id, COUNT(*) AS n_pairs,
-        |       CAST(SUM(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
-        |FROM events l
-        |JOIN events r ON l.user_id = r.user_id
-        |  AND r.event_type = 'purchase'
-        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
-        |WHERE l.event_type = 'click'
-        |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin,
-
     "q45_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |       o_orderpriority, round(revenue, 2) AS revenue
@@ -1088,7 +1087,6 @@ object QueryCatalog {
         |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |  ORDER BY revenue DESC, l_orderkey LIMIT 20
         |) t ORDER BY revenue DESC, l_orderkey""".stripMargin,
-
     "q46_tpch_q5" ->
       """SELECT n_name, round(revenue, 2) AS revenue
         |FROM (
@@ -1103,7 +1101,6 @@ object QueryCatalog {
         |  WHERE r_name = 'ASIA'
         |  GROUP BY n_name
         |) t ORDER BY revenue DESC, n_name""".stripMargin,
-
     "q47_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name, round(revenue, 2) AS revenue
         |FROM (
