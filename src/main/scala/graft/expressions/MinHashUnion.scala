@@ -49,8 +49,12 @@ case class MinHashUnion(
       val n = math.min(k, arr.numElements())
       var i = 0
       while (i < n) {
-        val x = arr.getLong(i)
-        if (x < buffer(i)) buffer(i) = x
+        // skip null slots — getLong on one returns 0, which would win
+        // every min and corrupt the signature
+        if (!arr.isNullAt(i)) {
+          val x = arr.getLong(i)
+          if (x < buffer(i)) buffer(i) = x
+        }
         i += 1
       }
     }
