@@ -45,6 +45,41 @@ object QueryCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Inventory table synthesized from lineitem for the end-to-end
+    * pipeline queries (q40, q55–q57): store/date attributes are
+    * functions of their keys so dim_store/dim_date are 1-row-per-key,
+    * while unit_price intentionally is NOT a function of product_id —
+    * dim_product is legitimately multi-row per business key, matching
+    * the reference's sample-data shape (SURVEY.md §1.5), and the
+    * dashboard joins fan out accordingly on BOTH engines.
+    */
+  private def synthInventory(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      concat(lit("TXN"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("transaction_id"),
+      col("l_shipdate").as("date"),
+      concat(lit("ST"), col("l_suppkey")).as("store_id"),
+      concat(lit("LOC"), pmod(col("l_suppkey"), lit(20))).as("store_location"),
+      concat(lit("P"), col("l_partkey")).as("product_id"),
+      concat(lit("CAT"), pmod(col("l_partkey"), lit(7))).as("product_category"),
+      floor(col("l_quantity")).cast("int").as("quantity_sold"),
+      round(col("l_extendedprice") / greatest(floor(col("l_quantity")), lit(1.0)), 2).as("unit_price"),
+      round(col("l_extendedprice"), 2).as("total_sales"),
+      pmod(col("l_suppkey") * 7, lit(100)).cast("int").as("stock_level"),
+      pmod(col("l_suppkey") * 3, lit(50)).cast("int").as("reorder_point"),
+      pmod(col("l_suppkey"), lit(14)).cast("int").as("lead_time_days"),
+      round(pmod(col("l_suppkey"), lit(10)) * 0.5, 2).as("carrying_cost"),
+      round(pmod(col("l_suppkey"), lit(5)) * 0.1, 2).as("stock_out_risk"),
+      lit(1.0).as("inventory_turnover"))
+
+  /** Run the full pipeline on the synthesized inventory and serve one
+    * dashboard query over the registered star-schema views.
+    */
+  private def dashboardServe(s: SparkSession, dir: String, sqlText: String): DataFrame = {
+    val out = graft.etl.Pipeline.runBatch(synthInventory(s, dir), cacheStaging = true)
+    graft.etl.Pipeline.registerViews(s, out)
+    s.sql(sqlText)
+  }
+
   // ---------------------------------------------------------------
   // SCD2 synthetic current/new inputs derived deterministically from
   // `supplier` (the testdata has no versioned dim, so we build one):
@@ -106,7 +141,7 @@ object QueryCatalog {
         .agg(
           dsum2(col("l_quantity")).as("sum_qty"),
           dsum2(col("l_extendedprice")).as("sum_base_price"),
-          (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          round(dsum2(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -278,7 +313,7 @@ object QueryCatalog {
         .groupBy(col("s_name"), col("p_brand"))
         .agg(
           dsum2(col("l_quantity")).as("total_sold"),
-          (dsum2(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+          round(dsum2(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"))
         .orderBy(col("s_name"), col("p_brand"))
     }),
 
@@ -497,7 +532,7 @@ object QueryCatalog {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          (dsum4(col("alpha_ratio")) / count(lit(1))).as("avg_alpha"))
+          round(dsum4(col("alpha_ratio")) / count(lit(1)), 3).as("avg_alpha"))
         .orderBy(col("source"))
     }),
 
@@ -519,28 +554,38 @@ object QueryCatalog {
     // functions of the key here so dims are 1-row-per-key and the
     // whole pipeline is exactly SQL-expressible for the oracle.
     "q40_pipeline_dashboard" -> ((s, dir) => {
-      val inv = t(s, dir, "lineitem").select(
-        concat(lit("TXN"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("transaction_id"),
-        col("l_shipdate").as("date"),
-        concat(lit("ST"), col("l_suppkey")).as("store_id"),
-        concat(lit("LOC"), pmod(col("l_suppkey"), lit(20))).as("store_location"),
-        concat(lit("P"), col("l_partkey")).as("product_id"),
-        concat(lit("CAT"), pmod(col("l_partkey"), lit(7))).as("product_category"),
-        floor(col("l_quantity")).cast("int").as("quantity_sold"),
-        round(col("l_extendedprice") / greatest(floor(col("l_quantity")), lit(1.0)), 2).as("unit_price"),
-        round(col("l_extendedprice"), 2).as("total_sales"),
-        pmod(col("l_suppkey") * 7, lit(100)).cast("int").as("stock_level"),
-        pmod(col("l_suppkey") * 3, lit(50)).cast("int").as("reorder_point"),
-        pmod(col("l_suppkey"), lit(14)).cast("int").as("lead_time_days"),
-        round(pmod(col("l_suppkey"), lit(10)) * 0.5, 2).as("carrying_cost"),
-        round(pmod(col("l_suppkey"), lit(5)) * 0.1, 2).as("stock_out_risk"),
-        lit(1.0).as("inventory_turnover"))
-      val out = graft.etl.Pipeline.runBatch(inv, cacheStaging = false)
-      graft.etl.Pipeline.registerViews(s, out)
-      s.sql(graft.etl.DashboardQueries.q1)
+      dashboardServe(s, dir, graft.etl.DashboardQueries.q1)
         .select(col("year").cast("long").as("year"), col("month").cast("long").as("month"),
           col("store_location"), col("total_sales").cast("double").as("total_sales"))
         .orderBy(col("year"), col("month"), col("store_location"))
+    }),
+
+    // dashboard Q2 end-to-end (reference: dashboard.py:53-67) — the
+    // dim_product join fans out per (category, unit_price) variant;
+    // the oracle reproduces the same distinct-dim join.
+    "q55_pipeline_dash_q2" -> ((s, dir) => {
+      dashboardServe(s, dir, graft.etl.DashboardQueries.q2(1995))
+        .select(col("product_id"), col("product_category"),
+          col("total_quantity_sold").cast("long").as("total_quantity_sold"))
+        .orderBy(col("product_id"))
+    }),
+
+    // dashboard Q3 end-to-end (reference: dashboard.py:78-91).
+    "q56_pipeline_dash_q3" -> ((s, dir) => {
+      dashboardServe(s, dir, graft.etl.DashboardQueries.q3)
+        .select(col("store_location"), col("product_category"),
+          col("total_sold").cast("long").as("total_sold"),
+          round(col("avg_stock_level"), 4).as("avg_stock_level"))
+        .orderBy(col("store_location"), col("product_category"))
+    }),
+
+    // dashboard Q4 end-to-end (reference: dashboard.py:102-115).
+    "q57_pipeline_dash_q4" -> ((s, dir) => {
+      dashboardServe(s, dir, graft.etl.DashboardQueries.q4)
+        .select(col("store_location"), col("product_category"),
+          col("total_quantity").cast("long").as("total_quantity"),
+          col("total_sales").cast("double").as("total_sales"))
+        .orderBy(col("store_location"), col("product_category"))
     }),
 
     // as-of join: each event enriched with the user's most recent
@@ -707,7 +752,7 @@ object QueryCatalog {
     "q44_emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
-      Similarity.ivfTopK(queries, e, k = 5, nLists = 16, nProbe = 4)
+      Similarity.ivfTopK(queries, e, k = 5, nLists = 16, nProbe = 6)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -736,7 +781,7 @@ object QueryCatalog {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -885,7 +930,7 @@ object QueryCatalog {
     "q18_supplier_part_stats" ->
       """SELECT s_name, p_brand,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_sold,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN part ON l_partkey = p_partkey
@@ -945,6 +990,47 @@ object QueryCatalog {
         |                         ELSE length(regexp_split_to_array(trim(text), '\s+')) END, 1)
         |         AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // cosine ranks compare exactly: both sides accumulate dot/norms in
+    // double over the same float values (Kernels.cosineF vs DuckDB
+    // list_cosine_similarity on DOUBLE[]), and only the rank order —
+    // not the float itself — reaches the hash. Ties break on
+    // neighbor_id on both sides.
+    "q29_emb_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q30_emb_knn_label" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |), topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |    FROM q CROSS JOIN c WHERE query_id <> neighbor_id) t
+        |  WHERE rank <= 5
+        |), votes AS (
+        |  SELECT t.query_id, e.label AS nlabel, COUNT(*) AS votes
+        |  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, nlabel AS predicted_label, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS rn
+        |  FROM votes) v
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "q34_distinct_agg" ->
       """SELECT l_returnflag,
         |       COUNT(DISTINCT l_suppkey) AS n_suppliers,
@@ -990,7 +1076,7 @@ object QueryCatalog {
         |  FROM kept
         |)
         |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-        |       CAST(SUM(CAST(alpha_ratio AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_alpha
+        |       ROUND(CAST(SUM(CAST(alpha_ratio AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 3) AS avg_alpha
         |FROM scored
         |WHERE len >= 100 AND alpha_ratio >= 0.55 AND n_tokens >= 10
         |GROUP BY source ORDER BY source""".stripMargin,
@@ -1017,6 +1103,60 @@ object QueryCatalog {
         |FROM inv
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    // q55–q57: the dashboard queries join dim_product, which is distinct
+    // over (product_id, product_category, unit_price) — unit_price is
+    // NOT a function of product_id, so the join fans out per price
+    // variant; the oracle joins the same DISTINCT subquery.
+    "q55_pipeline_dash_q2" ->
+      """WITH inv AS (
+        |  SELECT 'P' || CAST(l_partkey AS VARCHAR) AS product_id,
+        |         'CAT' || CAST(l_partkey % 7 AS VARCHAR) AS product_category,
+        |         CAST(round(l_extendedprice / GREATEST(floor(l_quantity), 1.0), 2) AS DECIMAL(10,2)) AS unit_price,
+        |         CAST(floor(l_quantity) AS INTEGER) AS quantity_sold,
+        |         l_shipdate AS date
+        |  FROM lineitem
+        |), dim_product AS (
+        |  SELECT DISTINCT product_id, product_category, unit_price FROM inv
+        |)
+        |SELECT p.product_id, p.product_category,
+        |       SUM(f.quantity_sold) AS total_quantity_sold
+        |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
+        |WHERE year(f.date) = 1995
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q56_pipeline_dash_q3" ->
+      """WITH inv AS (
+        |  SELECT 'LOC' || CAST(l_suppkey % 20 AS VARCHAR) AS store_location,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS product_id,
+        |         'CAT' || CAST(l_partkey % 7 AS VARCHAR) AS product_category,
+        |         CAST(round(l_extendedprice / GREATEST(floor(l_quantity), 1.0), 2) AS DECIMAL(10,2)) AS unit_price,
+        |         CAST(floor(l_quantity) AS INTEGER) AS quantity_sold,
+        |         CAST((l_suppkey * 7) % 100 AS INTEGER) AS stock_level
+        |  FROM lineitem
+        |), dim_product AS (
+        |  SELECT DISTINCT product_id, product_category, unit_price FROM inv
+        |)
+        |SELECT f.store_location, p.product_category,
+        |       SUM(f.quantity_sold) AS total_sold,
+        |       ROUND(AVG(f.stock_level), 4) AS avg_stock_level
+        |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q57_pipeline_dash_q4" ->
+      """WITH inv AS (
+        |  SELECT 'LOC' || CAST(l_suppkey % 20 AS VARCHAR) AS store_location,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS product_id,
+        |         'CAT' || CAST(l_partkey % 7 AS VARCHAR) AS product_category,
+        |         CAST(round(l_extendedprice / GREATEST(floor(l_quantity), 1.0), 2) AS DECIMAL(10,2)) AS unit_price,
+        |         CAST(floor(l_quantity) AS INTEGER) AS quantity_sold,
+        |         CAST(round(l_extendedprice, 2) AS DECIMAL(15,2)) AS total_sales
+        |  FROM lineitem
+        |), dim_product AS (
+        |  SELECT DISTINCT product_id, product_category, unit_price FROM inv
+        |)
+        |SELECT f.store_location, p.product_category,
+        |       SUM(f.quantity_sold) AS total_quantity,
+        |       CAST(SUM(f.total_sales) AS DOUBLE) AS total_sales
+        |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q41_asof_join" ->
       """SELECT l.event_id, l.user_id, l.event_type, r.value AS asof_value
         |FROM events l
