@@ -588,6 +588,21 @@ object QueryCatalog {
         .orderBy(col("store_location"), col("product_category"))
     }),
 
+    // near-dup RESOLUTION: candidate pairs → connected components →
+    // min-id survivor per cluster (the fuzzy counterpart of q23's
+    // exact keep list). Banding runs with the per-bucket neighbor cap,
+    // so a mass-duplicated cluster costs O(m·cap) candidates.
+    "q58_docs_neardup_resolve" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1),
+            greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(1)))).as("text"))
+      Dedup.resolveNearDups(d.unionByName(mutated), "doc_id", "text", threshold = 0.5)
+        .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+        .orderBy(col("keep_id"))
+    }),
+
     // as-of join: each event enriched with the user's most recent
     // purchase value at that time (inclusive, SQL ASOF semantics) —
     // union+LOCF window plan, one shuffle, no nested-loop range join.

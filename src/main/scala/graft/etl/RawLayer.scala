@@ -69,18 +69,35 @@ object RawLayer {
     try {
       val n = increment.count()
       if (n == 0) return 0L
-      val merged =
-        if (watermark.isDefined && fsExists(spark, rawPath)) {
-          val existing = spark.read.schema(increment.schema).parquet(rawPath)
+      // Crash-recovery fallback: a crash mid-swap leaves the previous
+      // raw zone at _old (never deleted before the new one is in
+      // place), so history is never silently rebuilt from one increment.
+      val oldPath = rawPath + "_old"
+      val mergeSrc =
+        if (fsExists(spark, rawPath)) Some(rawPath)
+        else if (fsExists(spark, oldPath)) Some(oldPath)
+        else None
+      val merged = mergeSrc match {
+        case Some(src) if watermark.isDefined =>
+          val existing = spark.read.schema(increment.schema).parquet(src)
           existing.union(increment).dropDuplicates()
-        } else increment
-      // Overwrite into a staging dir then swap would be safer for
-      // concurrent readers; single-writer overwrite matches reference.
+        case _ => increment
+      }
       val tmp = rawPath + "_tmp"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       val fs = new Path(rawPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(rawPath), true)
-      fs.rename(new Path(tmp), new Path(rawPath))
+      val raw = new Path(rawPath)
+      val old = new Path(oldPath)
+      // HDFS rename reports failure by returning false, not throwing —
+      // check it, and keep the previous raw as _old until the swap lands.
+      if (fs.exists(raw)) {
+        fs.delete(old, true)
+        if (!fs.rename(raw, old))
+          throw new java.io.IOException(s"rename $raw -> $old failed")
+      }
+      if (!fs.rename(new Path(tmp), raw))
+        throw new java.io.IOException(s"rename $tmp -> $raw failed")
+      fs.delete(old, true)
       val maxDate = increment.agg(max(col("date"))).head().getTimestamp(0)
       writeWatermark(spark, metadataPath, formatWatermark(maxDate))
       n

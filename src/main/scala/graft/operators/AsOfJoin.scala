@@ -31,7 +31,9 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
-    val rvType = StructType(right.schema.filter(f => valueCols.contains(f.name)))
+    // field order must follow valueCols (not right.schema) so the null
+    // literal's struct type agrees with the real struct built below
+    val rvType = StructType(valueCols.map(c => right.schema(c)))
     val lvType = StructType(left.schema.fields)
     val r2 = right.select(
       col(key).as("__k"), col(rightTime).as("__t"),

@@ -61,30 +61,66 @@ object Dedup {
       GraftFunctions.minhashSig(col(textCol), shingleSize, k, charLevel).as("sig"))
 
   /** LSH banding over a MinHash signature column: the k-long signature
-    * splits into `bands` groups of k/bands, each hashed to a bucket key;
-    * docs sharing any (band, bucket) are candidate pairs.
+    * splits into `bands` groups of k/bands (the last band absorbs the
+    * k % bands remainder so no signature element is silently dropped),
+    * each hashed to a bucket key; docs sharing any (band, bucket) are
+    * candidate pairs.
+    *
+    * `neighborCap` bounds the per-bucket candidate blowup: a
+    * mass-duplicated boilerplate cluster of size m otherwise emits
+    * m(m-1)/2 pairs from its bucket. With a cap, docs in a bucket are
+    * ranked by id and each doc pairs only with its next `cap` neighbors
+    * in rank order — O(m·cap) pairs and O(m·cap) join work (the cap is
+    * applied via an equi-join on (band, bucket, rank), never by
+    * filtering an m² intermediate). Chains keep every cluster CONNECTED,
+    * so [[connectedComponents]] still recovers the full cluster; what's
+    * lost is only direct pairs between far-apart ranks — the
+    * resolution path is unaffected, pair-listing recall for clusters
+    * wider than `cap` is the documented trade (SCALING.md).
     */
-  def bandPairs(sigs: DataFrame, bands: Int, k: Int): DataFrame = {
+  def bandPairs(sigs: DataFrame, bands: Int, k: Int,
+      neighborCap: Option[Int] = None): DataFrame = {
+    require(bands >= 1 && bands <= k, s"need 1 <= bands <= k, got bands=$bands k=$k")
     val r = k / bands
     val banded = sigs.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
+        val len = if (b == bands - 1) k - b * r else r
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
+          xxhash64(slice(col("sig"), b * r + 1, len)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = neighborCap match {
+      case None =>
+        banded.as("l").join(banded.as("r"),
+            col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      case Some(cap) =>
+        require(cap >= 1, s"neighborCap must be >= 1, got $cap")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+        val ranked = banded.withColumn("rn", row_number().over(w))
+        // right side emits `cap` keys (rn - j); equi-join pairs each doc
+        // with its next <=cap in-bucket neighbors — no m² intermediate
+        val shifted = ranked.select(col("doc_id").as("doc_b"),
+            col("band"), col("bh"),
+            explode(sequence(col("rn") - cap, col("rn") - 1)).as("rn"))
+          .filter(col("rn") >= 1)
+        ranked.select(col("doc_id").as("doc_a"), col("band"), col("bh"), col("rn"))
+          .join(shifted, Seq("band", "bh", "rn"))
+          .select(col("doc_a"), col("doc_b"))
+    }
+    pairs.distinct()
   }
 
   /** MinHash + LSH candidate pairs (no verification). */
   def lshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame =
-    bandPairs(minhashSignatures(docs, idCol, textCol, shingleSize, k), bands, k)
+      k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+      neighborCap: Option[Int] = None): DataFrame =
+    bandPairs(minhashSignatures(docs, idCol, textCol, shingleSize, k), bands, k,
+      neighborCap)
 
   /** Exact Jaccard ≥ threshold on precomputed sorted hash sets —
     * a linear merge per pair ([[graft.expressions.JaccardSorted]]).
@@ -114,7 +150,8 @@ object Dedup {
   def nearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4,
-      shingleSize: Int = 3, charLevel: Boolean = false): DataFrame = {
+      shingleSize: Int = 3, charLevel: Boolean = false,
+      neighborCap: Option[Int] = None): DataFrame = {
     // set + signature in ONE projection: the signature derives from the
     // set column (MinHashFromSet), and codegen subexpression
     // elimination computes the ShingleSet child once — each branch
@@ -122,12 +159,81 @@ object Dedup {
     val shExpr = GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel)
     val prepared = docs.select(col(idCol).as("doc_id"), shExpr.as("sh"),
       GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
-    val cands = bandPairs(prepared.select(col("doc_id"), col("sig")), bands, k)
+    val cands = bandPairs(prepared.select(col("doc_id"), col("sig")), bands, k,
+      neighborCap)
     val sets = prepared.select(col("doc_id"), col("sh"))
     val pairs = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
     verifyJaccard(pairs, threshold)
+  }
+
+  /** Connected components over an undirected pair list by min-label
+    * propagation with path halving: each round every node takes the
+    * minimum of its own label, its neighbors' labels, and its label's
+    * label (the halving step — without it a chain of length m needs m
+    * rounds; with it convergence is O(log m)). Returns
+    * (doc_id, component) where component = the minimum doc_id reachable.
+    *
+    * Each round is two shuffles (neighbor-min groupBy + the halving
+    * self-join) over (id, label) pairs only — no text, no signatures.
+    * The driver-side loop runs one count() action per round to test
+    * convergence; labels are cached per round and localCheckpoint'ed to
+    * keep the plan from growing superlinearly (swap for reliable
+    * checkpointing on a real cluster).
+    */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // path halving: label := label(label)
+      val halved = propagated.as("p")
+        .join(propagated.select(col("doc_id").as("label"),
+          col("label").as("ll")).as("g"), Seq("label"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = halved.as("n")
+        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = halved
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("component"))
+  }
+
+  /** Near-duplicate RESOLUTION: pairs → connected components → one
+    * surviving `keep_id` (the minimum id) per cluster. Returns every
+    * document with its verdict — the fuzzy-dedup counterpart of
+    * [[exact]]'s keep list; filter `doc_id === keep_id` for survivors
+    * or `doc_id =!= keep_id` for the drop list.
+    */
+  def resolveNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 16, bands: Int = 4,
+      shingleSize: Int = 3, charLevel: Boolean = false,
+      neighborCap: Option[Int] = Some(8)): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, threshold, k, bands,
+      shingleSize, charLevel, neighborCap)
+    val comps = connectedComponents(pairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keep_id"))
   }
 
   /** Set-similarity join on character n-grams: MinHash signatures over

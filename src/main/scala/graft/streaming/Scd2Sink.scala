@@ -76,9 +76,14 @@ object Scd2Sink {
         val fs = tmp.getFileSystem(sparkB.sparkContext.hadoopConfiguration)
         val dim = new Path(dimPath)
         val prev = new Path(prevPath)
-        fs.delete(prev, true)
-        if (fs.exists(dim) && !fs.rename(dim, prev))
-          throw new java.io.IOException(s"rename $dim -> $prev failed")
+        // Clear _prev only when dim exists to take its place: when dim
+        // is ABSENT (crash recovery), _prev is the only durable copy of
+        // the history and must survive until the new dim is in place.
+        if (fs.exists(dim)) {
+          fs.delete(prev, true)
+          if (!fs.rename(dim, prev))
+            throw new java.io.IOException(s"rename $dim -> $prev failed")
+        }
         if (!fs.rename(tmp, dim))
           throw new java.io.IOException(s"rename $tmp -> $dim failed")
         fs.delete(prev, true)

@@ -53,4 +53,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("f_early") === None)
     assert(out("f_gone") === None)
   }
+
+  test("asofJoin accepts valueCols in a different order than the right schema") {
+    val left = Seq((1L, ts("2024-01-02 00:00:00"), "e")).toDF("k", "t", "name")
+    // right schema order: (k, t, a, b); carried as Seq(b, a) — reversed
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), "va", 7.5))
+      .toDF("k", "t", "a", "b")
+    val out = AsOfJoin.asofJoin(left, right, "k", "t", "t", Seq("b", "a")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("asof_b") === 7.5)
+    assert(out.head.getAs[String]("asof_a") === "va")
+  }
 }

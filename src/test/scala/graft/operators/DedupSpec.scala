@@ -108,4 +108,69 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(fps.head.getSeq[Long](1).isEmpty) // no 8-gram exists in 4 chars
   }
+
+  test("bandPairs: k not divisible by bands still uses the whole signature") {
+    // k=10, bands=4 → bands of 2/2/2/4; identical docs must still pair
+    val d = docs(1L -> "alpha beta gamma delta epsilon", 2L -> "alpha beta gamma delta epsilon")
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", 3, 10)
+    val pairs = Dedup.bandPairs(sigs, bands = 4, k = 10).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    intercept[IllegalArgumentException](Dedup.bandPairs(sigs, bands = 11, k = 10))
+  }
+
+  test("neighborCap bounds candidates from a 500-copy boilerplate cluster") {
+    val m = 500
+    val cap = 8
+    val cluster = (0 until m).map(i => (i.toLong, "identical boilerplate text repeated everywhere"))
+    val d = (cluster :+ (9999L -> "a genuinely different document about other things")).toDF("doc_id", "text")
+    val capped = Dedup.lshCandidates(d, "doc_id", "text", neighborCap = Some(cap)).count()
+    // chain pairs: ≤ m·cap per band, identical across bands after distinct
+    assert(capped <= m.toLong * cap, s"capped candidates $capped exceed m*cap")
+    assert(capped >= m - 1, "cap must keep the cluster connected (chain)")
+    val uncapped = Dedup.lshCandidates(d, "doc_id", "text").count()
+    assert(uncapped === m.toLong * (m - 1) / 2)
+  }
+
+  test("connectedComponents: chains and separate clusters resolve to min ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a long chain (path halving)") {
+    // chain 0-1-2-...-63: plain propagation needs 63 rounds; halving
+    // must finish within the default maxIter
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+    assert(comps.length === 64)
+    assert(comps.forall(_.getLong(1) === 0L))
+  }
+
+  test("resolveNearDups: capped cluster fully collapses to one keep_id") {
+    val m = 500
+    val cluster = (0 until m).map(i => (i.toLong + 100, "identical boilerplate text repeated everywhere"))
+    val extras = Seq(5000L -> "a genuinely different document about other things",
+      6000L -> "yet another unrelated piece of writing entirely")
+    val d = (cluster ++ extras).toDF("doc_id", "text")
+    val resolved = Dedup.resolveNearDups(d, "doc_id", "text", threshold = 0.9,
+        neighborCap = Some(4)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until m).forall(i => resolved(i.toLong + 100) === 100L),
+      "every cluster member must resolve to the min id despite the cap")
+    assert(resolved(5000L) === 5000L && resolved(6000L) === 6000L)
+    assert(resolved.size === m + 2)
+  }
+
+  test("resolveNearDups keeps singletons and splits distinct clusters") {
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base2 = "one two three four five six seven eight nine ten eleven twelve"
+    val d = docs(
+      1L -> base1, 2L -> (base1 + " lambda"), 3L -> (base1 + " mu"),
+      7L -> base2, 8L -> (base2 + " thirteen"),
+      9L -> "completely standalone text with no duplicate partner anywhere")
+    val resolved = Dedup.resolveNearDups(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
 }

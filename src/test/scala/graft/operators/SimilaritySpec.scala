@@ -67,4 +67,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length === 1)
     assert(out.head.getAs[Long]("neighbor_id") === 2L)
   }
+
+  test("trainCentroids is deterministic and returns nLists centroids") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array((i % 13).toFloat, (i % 7).toFloat, (i % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.trainCentroids(vecs, nLists = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1)
+    val a = run()
+    val b = run()
+    assert(a.length === 4)
+    assert(a === b, "hash-ordered sample + Lloyd iterations must be rerun-stable")
+  }
+
+  test("ivfTopK recall@5 >= 0.6 vs brute force on the real embeddings table") {
+    // the driver's correctness scale: 500 × 64-dim vectors; the gate
+    // pins the measured-quality configuration (nLists=16, nProbe=6)
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
+    val ivf = pairs(Similarity.ivfTopK(q, e, 5, nLists = 16, nProbe = 6))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"trained-IVF recall@5 $recall below the 0.6 gate")
+  }
 }
