@@ -9,6 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// DuckDB's JDBC driver (a public Maven artifact) value-verifies the
+// JDBC source/sink against a real embedded database, TEST-only. Picked
+// up unmanaged from the local cache when present — no resolution, no
+// egress; the JDBC specs cancel themselves when the jar is absent.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  if (cache.exists) (cache ** "duckdb_jdbc-*.jar").classpath else Nil
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
