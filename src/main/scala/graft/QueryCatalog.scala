@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -20,6 +20,14 @@ import graft.streaming.EventStreams
   * Determinism rules (the driver hash-compares results):
   *  - no raw double SUM/AVG — aggregate decimals (exact, associative)
   *    and cast the final value to double, identically on both sides;
+  *  - a double built from exact sums and ONE division is bit-identical
+  *    across engines — leave it raw. Do NOT round() it: Spark rounds
+  *    the shortest decimal repr (HALF_UP on BigDecimal) while DuckDB
+  *    rounds the scaled binary value, and they disagree exactly when
+  *    the quotient is a nice rational on a digit boundary (observed on
+  *    q18 at sf0.01). Where coarsening is genuinely needed (q38's
+  *    environment-sensitive regex/cast inputs), round explicitly via
+  *    floor(x * 10^d + 0.5) / 10^d — identical IEEE ops on both sides;
   *  - every query ends in a total ORDER BY;
   *  - timestamps leave as formatted strings;
   *  - ints standardized to BIGINT.
@@ -141,7 +149,7 @@ object QueryCatalog {
         .agg(
           dsum2(col("l_quantity")).as("sum_qty"),
           dsum2(col("l_extendedprice")).as("sum_base_price"),
-          round(dsum2(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -313,7 +321,7 @@ object QueryCatalog {
         .groupBy(col("s_name"), col("p_brand"))
         .agg(
           dsum2(col("l_quantity")).as("total_sold"),
-          round(dsum2(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"))
+          (dsum2(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
         .orderBy(col("s_name"), col("p_brand"))
     }),
 
@@ -532,7 +540,13 @@ object QueryCatalog {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          round(dsum4(col("alpha_ratio")) / count(lit(1)), 3).as("avg_alpha"))
+          // explicit floor-based rounding: identical IEEE double ops on
+          // both engines (built-in round() is repr-based in Spark but
+          // multiply-based in DuckDB — they disagree on exact-rational
+          // boundaries), and 3 digits absorbs small cross-version
+          // differences in the oracle's double→decimal input casts
+          (floor(dsum4(col("alpha_ratio")) / count(lit(1)) * 1000 + 0.5) / 1000)
+            .as("avg_alpha"))
         .orderBy(col("source"))
     }),
 
@@ -575,7 +589,10 @@ object QueryCatalog {
       dashboardServe(s, dir, graft.etl.DashboardQueries.q3)
         .select(col("store_location"), col("product_category"),
           col("total_sold").cast("long").as("total_sold"),
-          round(col("avg_stock_level"), 4).as("avg_stock_level"))
+          // raw double: exact int sum / count is one IEEE division,
+          // bit-identical on both engines — rounding would be LESS
+          // deterministic (see q38 note)
+          col("avg_stock_level").cast("double").as("avg_stock_level"))
         .orderBy(col("store_location"), col("product_category"))
     }),
 
@@ -601,6 +618,48 @@ object QueryCatalog {
       Dedup.resolveNearDups(d.unionByName(mutated), "doc_id", "text", threshold = 0.5)
         .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
         .orderBy(col("keep_id"))
+    }),
+
+    // winnowing-fingerprint overlap join: partial copies (a 200-char
+    // prefix re-keyed) share selected fingerprints with their source —
+    // the containment shape whole-document MinHash dilutes away.
+    "q59_docs_fingerprint_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val partial = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          substring(col("text"), 1, 200).as("text"))
+      Dedup.fingerprintPairs(d.unionByName(partial), "doc_id", "text",
+          k = 8, w = 4, minShared = 3, maxDocFreq = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // embedding near-dup resolution: LSH-bucketed candidate pairs →
+    // exact-cosine verify → connected components → keep list.
+    "q60_emb_neardup_resolve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val copies = e.filter(col("vec_id") % 25 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      Similarity.resolveEmbeddingNearDups(e.unionByName(copies),
+          threshold = 0.95, dim = 64)
+        .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // deterministic key-hash sampling: rerun- and partitioning-stable,
+    // exactly reproducible by the oracle (no RNG anywhere).
+    "q61_sample_deterministic" -> ((s, dir) => {
+      Sampling.deterministicSample(t(s, dir, "documents"), "doc_id", 0.2)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // stratified sampling: keep every purchase, 10% of clicks, 5% of
+    // the rest — per-class training-data balancing as one scan filter.
+    "q62_sample_stratified" -> ((s, dir) => {
+      Sampling.stratifiedSample(t(s, dir, "events"), "event_id", "event_type",
+          Map("purchase" -> 1.0, "click" -> 0.1), default = 0.05)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("event_type"))
     }),
 
     // as-of join: each event enriched with the user's most recent
@@ -796,7 +855,7 @@ object QueryCatalog {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -945,7 +1004,7 @@ object QueryCatalog {
     "q18_supplier_part_stats" ->
       """SELECT s_name, p_brand,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_sold,
-        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN part ON l_partkey = p_partkey
@@ -1091,7 +1150,7 @@ object QueryCatalog {
         |  FROM kept
         |)
         |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-        |       ROUND(CAST(SUM(CAST(alpha_ratio AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 3) AS avg_alpha
+        |       FLOOR(CAST(SUM(CAST(alpha_ratio AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1000 + 0.5) / 1000 AS avg_alpha
         |FROM scored
         |WHERE len >= 100 AND alpha_ratio >= 0.55 AND n_tokens >= 10
         |GROUP BY source ORDER BY source""".stripMargin,
@@ -1152,7 +1211,7 @@ object QueryCatalog {
         |)
         |SELECT f.store_location, p.product_category,
         |       SUM(f.quantity_sold) AS total_sold,
-        |       ROUND(AVG(f.stock_level), 4) AS avg_stock_level
+        |       AVG(f.stock_level) AS avg_stock_level
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q57_pipeline_dash_q4" ->
@@ -1172,6 +1231,21 @@ object QueryCatalog {
         |       CAST(SUM(f.total_sales) AS DOUBLE) AS total_sales
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q61/q62: the sampling decision is (key*2654435761) mod 10000 —
+    // pure integer arithmetic, identical on both engines (keys are
+    // non-negative so % and pmod agree).
+    "q61_sample_deterministic" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id * 2654435761) % 10000 < 2000
+        |ORDER BY doc_id""".stripMargin,
+    "q62_sample_stratified" ->
+      """SELECT event_type, COUNT(*) AS n_sampled
+        |FROM events
+        |WHERE (event_id * 2654435761) % 10000 <
+        |  CASE WHEN event_type = 'purchase' THEN 10000
+        |       WHEN event_type = 'click' THEN 1000
+        |       ELSE 500 END
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q41_asof_join" ->
       """SELECT l.event_id, l.user_id, l.event_type, r.value AS asof_value
         |FROM events l

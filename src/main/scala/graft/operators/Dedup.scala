@@ -298,4 +298,33 @@ object Dedup {
         i => array_min(slice(hashes, i, lit(w))))))
     docs.select(col(idCol).as("doc_id"), fps.as("fingerprints"))
   }
+
+  /** Winnowing-fingerprint overlap join (the plagiarism-detection /
+    * partial-copy shape): docs sharing at least `minShared` selected
+    * fingerprints are candidate pairs, with the shared count as the
+    * match strength. Catches contained or partially copied passages
+    * that whole-document MinHash dilutes away.
+    *
+    * Ubiquitous fingerprints — appearing in more than `maxDocFreq`
+    * docs, i.e. boilerplate — are dropped BEFORE the self-join: that
+    * both removes noise matches and bounds every fingerprint bucket to
+    * maxDocFreq² pairs, the same blocking-key discipline as LSH
+    * banding. The join shuffles (doc_id, fp) pairs only, never text.
+    */
+  def fingerprintPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val fps = fingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+      .select(col("fp"))
+    val filtered = fps.join(rare, Seq("fp"))
+    filtered.as("l").join(filtered.as("r"),
+        col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, rerun-stable sampling for training-data pipelines.
+  *
+  * `df.sample()` draws per-partition from a seeded RNG, so the selected
+  * rows change with partitioning, cluster size, and retry — poison for
+  * reproducible training sets and for incremental pipelines where the
+  * same document must keep the same verdict across runs. Here the
+  * decision is a pure function of the row KEY (Knuth multiplicative
+  * hash into `Buckets` buckets), so:
+  *  - reruns, retries, and any repartitioning select identical rows;
+  *  - train/test splits are disjoint by construction;
+  *  - the predicate is a scan-level filter (no shuffle, no RNG state),
+  *    and SQL-expressible — the driver oracle verifies it value-exactly.
+  *
+  * Keys are assumed non-negative (ids); the multiplicative constant is
+  * Knuth's 2654435761, product stays in long range for keys < ~3.4e9.
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Stable bucket in [0, Buckets) for a non-negative integer key. */
+  def bucket(key: Column): Column = pmod(key * lit(2654435761L), lit(Buckets))
+
+  private def thresholdOf(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    math.round(fraction * Buckets)
+  }
+
+  /** Keep ~`fraction` of rows, chosen deterministically by key. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(bucket(col(keyCol)) < lit(thresholdOf(fraction)))
+
+  /** Disjoint (train, test) split: test = the first `testFraction`
+    * buckets, train = the rest. union == input, intersection == empty,
+    * stable under reruns and repartitioning.
+    */
+  def trainTestSplit(df: DataFrame, keyCol: String, testFraction: Double): (DataFrame, DataFrame) = {
+    val t = lit(thresholdOf(testFraction))
+    (df.filter(bucket(col(keyCol)) >= t), df.filter(bucket(col(keyCol)) < t))
+  }
+
+  /** Per-stratum sampling rates (e.g. keep all rare positives, 5% of
+    * the majority class): rows in a stratum listed in `fractions` keep
+    * that rate, others keep `default`. One scan, no shuffle — the rate
+    * lookup compiles to a CASE chain over the stratum column.
+    */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdOf(default))) {
+      case (acc, (value, fraction)) =>
+        when(col(stratumCol) === lit(value), lit(thresholdOf(fraction))).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol)) < threshold)
+  }
+}

@@ -169,6 +169,25 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Embedding near-dup RESOLUTION: candidate pairs → connected
+    * components → one surviving `keep_id` (minimum id) per cluster —
+    * the embedding-space counterpart of
+    * [[graft.operators.Dedup.resolveNearDups]]. Every corpus vector
+    * appears in the output; singletons keep themselves.
+    */
+  def resolveEmbeddingNearDups(
+      corpus: DataFrame, threshold: Double, dim: Int,
+      nPlanes: Int = 12, nTables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = embeddingNearDupPairs(corpus, threshold, dim, nPlanes, nTables,
+      idCol, vecCol)
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("doc_id", "vec_id")
+    corpus.select(col(idCol).as("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("keep_id"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: score only pairs
     * sharing a bucket (`nPlanes` sign bits per table, `nTables`
     * independent tables). Tune `nPlanes` so bucket occupancy

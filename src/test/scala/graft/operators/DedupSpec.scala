@@ -162,6 +162,27 @@ class DedupSpec extends SparkSpec {
     assert(resolved.size === m + 2)
   }
 
+  test("fingerprintPairs: a partial copy shares fingerprints with its source") {
+    val long = (1 to 40).map(i => s"token$i word$i phrase$i").mkString(" ")
+    val d = docs(
+      1L -> long,
+      2L -> long.substring(0, 200), // contained prefix copy
+      3L -> "entirely different material with no shared passages at all here")
+    val pairs = Dedup.fingerprintPairs(d, "doc_id", "text",
+      k = 8, w = 4, minShared = 2, maxDocFreq = 10)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === Set((1L, 2L)))
+  }
+
+  test("fingerprintPairs drops boilerplate fingerprints above maxDocFreq") {
+    // the same text in 5 docs, maxDocFreq=4 → every fingerprint is
+    // ubiquitous → no candidate survives
+    val d = (1L to 5L).map(_ -> "shared boilerplate sentence repeated in every document")
+    val pairs = Dedup.fingerprintPairs(docs(d: _*), "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDocFreq = 4)
+    assert(pairs.count() === 0)
+  }
+
   test("resolveNearDups keeps singletons and splits distinct clusters") {
     val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val base2 = "one two three four five six seven eight nine ten eleven twelve"

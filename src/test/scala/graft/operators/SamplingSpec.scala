@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rows = (0L until 2000L).map(i => (i, if (i % 10 == 0) "rare" else "common"))
+    .toDF("id", "cls")
+
+  test("deterministicSample is rerun-stable and partitioning-independent") {
+    val a = Sampling.deterministicSample(rows, "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(rows.repartition(13), "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "same keys must be selected under any partitioning")
+    // multiplicative hashing spreads buckets ≈ uniformly
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"fraction off: ${a.size / 2000.0}")
+  }
+
+  test("trainTestSplit is disjoint and complete") {
+    val (train, test) = Sampling.trainTestSplit(rows, "id", 0.25)
+    val tr = train.select("id").collect().map(_.getLong(0)).toSet
+    val te = test.select("id").collect().map(_.getLong(0)).toSet
+    assert(tr.intersect(te).isEmpty)
+    assert(tr.union(te).size === 2000)
+    assert(math.abs(te.size / 2000.0 - 0.25) < 0.05)
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val sampled = Sampling.stratifiedSample(rows, "id", "cls",
+      Map("rare" -> 1.0), default = 0.1)
+    val byCls = sampled.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCls("rare") === 200L, "rate 1.0 keeps every rare row")
+    assert(math.abs(byCls("common") / 1800.0 - 0.1) < 0.05)
+  }
+
+  test("fraction bounds are validated") {
+    intercept[IllegalArgumentException](Sampling.deterministicSample(rows, "id", 1.5))
+  }
+}

@@ -68,6 +68,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Long]("neighbor_id") === 2L)
   }
 
+  test("resolveEmbeddingNearDups collapses duplicate vectors to min id") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),   // exact dup of 1
+      (3L, Array(0.99f, 0.01f, 0.0f)), // near dup of 1
+      (7L, Array(0.0f, 1.0f, 0.0f)),   // singleton
+    ).toDF("vec_id", "embedding")
+    val resolved = Similarity.resolveEmbeddingNearDups(vecs, threshold = 0.99, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved(1L) === 1L && resolved(2L) === 1L && resolved(3L) === 1L)
+    assert(resolved(7L) === 7L)
+  }
+
   test("trainCentroids is deterministic and returns nLists centroids") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, Array((i % 13).toFloat, (i % 7).toFloat, (i % 3).toFloat))
