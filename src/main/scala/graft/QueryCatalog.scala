@@ -662,6 +662,44 @@ object QueryCatalog {
         .orderBy(col("event_type"))
     }),
 
+    // duplicate-n-gram repetition scoring (Gopher/RefinedWeb-style
+    // quality signal): distinct grams via the compiled shingle-set
+    // kernel, total via length arithmetic — one codegen pass per doc.
+    "q63_docs_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.dupNgramRatio(col("text"), 10).as("dup10_ratio"),
+          TextFunctions.dupNgramRatio(col("text"), 5).as("dup5_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // trailing event-time RANGE window (per-user features over the
+    // last hour at every event) — the feature-engineering shape for
+    // sessionless behavioral features; one shuffle on user_id.
+    "q64_events_trailing" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_events_1h"),
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double").as("value_1h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // per-class embedding centroids, quantized at 1e-6 so the mean is
+    // exact-integer arithmetic on both engines (double sums of floats
+    // are order-dependent; floor-quantized sums are not).
+    "q65_emb_class_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("xq"))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("xq")).cast("double") / count(lit(1))).as("centroid_e6"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // as-of join: each event enriched with the user's most recent
     // purchase value at that time (inclusive, SQL ASOF semantics) —
     // union+LOCF window plan, one shuffle, no nested-loop range join.
@@ -1246,6 +1284,43 @@ object QueryCatalog {
         |       WHEN event_type = 'click' THEN 1000
         |       ELSE 500 END
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q63: distinct char n-grams per doc — the Spark side counts
+    // distinct 64-bit gram hashes (collision odds ~1e-14/doc), the
+    // oracle counts the grams themselves; all-ASCII corpus keeps byte
+    // and character grams identical.
+    "q63_docs_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 9)) AS i FROM documents
+        |), r10 AS (
+        |  SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT substr(text, CAST(i AS INTEGER), 10)) AS DOUBLE) / COUNT(*) AS r
+        |  FROM g GROUP BY doc_id
+        |), g5 AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i FROM documents
+        |), r5 AS (
+        |  SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT substr(text, CAST(i AS INTEGER), 5)) AS DOUBLE) / COUNT(*) AS r
+        |  FROM g5 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(r10.r, 0.0) AS dup10_ratio, COALESCE(r5.r, 0.0) AS dup5_ratio
+        |FROM documents d LEFT JOIN r10 ON d.doc_id = r10.doc_id LEFT JOIN r5 ON d.doc_id = r5.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q64: both engines order and range the window on floor-of-second
+    // epoch, so sub-second timestamps bucket identically.
+    "q64_events_trailing" ->
+      """SELECT event_id, user_id,
+        |       COUNT(*) OVER w AS n_events_1h,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q65_emb_class_centroids" ->
+      """WITH e AS (
+        |  SELECT label, i - 1 AS pos,
+        |         CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+        |  FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+        |)
+        |SELECT label, pos, CAST(SUM(xq) AS DOUBLE) / COUNT(*) AS centroid_e6
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q41_asof_join" ->
       """SELECT l.event_id, l.user_id, l.event_type, r.value AS asof_value
         |FROM events l

@@ -46,6 +46,22 @@ object TextFunctions {
     length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
       greatest(tokenCount(text), lit(1))
 
+  /** Fraction of character n-grams that are repeats of an earlier
+    * n-gram in the same document (0 = no repetition, → 1 = heavy
+    * boilerplate) — the duplicate-n-gram class of quality filter used
+    * by large-scale corpus curation (Gopher/RefinedWeb style). The
+    * distinct count comes from the compiled [[graft.expressions]]
+    * shingle-set kernel (one pass per row, no higher-order functions);
+    * the total is plain length arithmetic, so the whole signal stays
+    * inside codegen.
+    */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val total = length(text) - (n - 1)
+    val distinct = size(graft.expressions.GraftFunctions.shingleSet(text, n, charLevel = true))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - distinct.cast("double") / total.cast("double"))
+  }
+
   /** Composite document-quality score in [0,1]; weights chosen so that
     * natural prose scores high and markup/noise scores low.
     */

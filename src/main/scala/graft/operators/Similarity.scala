@@ -169,6 +169,22 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Per-class mean embedding (class centroids / prototypes): the
+    * element-wise mean of every vector sharing a label — nearest-
+    * centroid classification, class-balance diagnostics, and coreset
+    * seeding all start here. posexplode → groupBy(label, pos) keeps the
+    * shuffle rows (label, pos, x) — never whole vectors — and the
+    * re-assembly aggregates nLabels·dim tiny rows.
+    */
+  def classCentroids(
+      corpus: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+
   /** Embedding near-dup RESOLUTION: candidate pairs → connected
     * components → one surviving `keep_id` (minimum id) per cluster —
     * the embedding-space counterpart of

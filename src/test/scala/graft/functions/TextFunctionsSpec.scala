@@ -76,4 +76,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.subwordCount(col("t")), "abc123def").getInt(0) === 3)
     assert(one(TextFunctions.subwordCount(col("t")), "abc def").getInt(0) === 2)
   }
+
+  test("dupNgramRatio: 0 for all-distinct grams, rises with repetition") {
+    // "abcdef": four distinct 3-grams → ratio 0
+    assert(one(TextFunctions.dupNgramRatio(col("t"), 3), "abcdef").getDouble(0) === 0.0)
+    // "aaaaaa": one distinct 3-gram of 4 total → 0.75
+    assert(one(TextFunctions.dupNgramRatio(col("t"), 3), "aaaaaa").getDouble(0) === 0.75)
+    // shorter than n → defined as 0
+    assert(one(TextFunctions.dupNgramRatio(col("t"), 3), "ab").getDouble(0) === 0.0)
+    val boiler = "spam spam spam spam spam spam spam spam"
+    val prose = "each word here is deliberately unique within sentence"
+    assert(one(TextFunctions.dupNgramRatio(col("t"), 5), boiler).getDouble(0) >
+      one(TextFunctions.dupNgramRatio(col("t"), 5), prose).getDouble(0))
+  }
 }

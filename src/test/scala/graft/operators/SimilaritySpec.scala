@@ -68,6 +68,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Long]("neighbor_id") === 2L)
   }
 
+  test("classCentroids: element-wise mean per label, dims in order") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(3.0f, 2.0f), "a"),
+      (3L, Array(10.0f, 20.0f), "b"),
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.classCentroids(vecs).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(cents("a") === Seq(2.0, 1.0))
+    assert(cents("b") === Seq(10.0, 20.0))
+  }
+
   test("resolveEmbeddingNearDups collapses duplicate vectors to min id") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
