@@ -884,8 +884,10 @@ object QueryCatalog {
   )
 
   // ---------------------------------------------------------------
-  // DuckDB oracles. Omitted for q25+ (heuristics/hash/approx ops not
-  // expressible in portable SQL) → driver records rows-only checks.
+  // DuckDB oracles. Omitted only where the op is not expressible in
+  // portable SQL (MinHash/SimHash/LSH/ANN/multimodal) → driver records
+  // rows-only checks; the list is at the end of this map. Exact
+  // cosine ranking IS expressible (q29/q30 via list_cosine_similarity).
   // ---------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
@@ -1419,6 +1421,9 @@ object QueryCatalog {
         |  ORDER BY revenue DESC, c_custkey LIMIT 20
         |) t ORDER BY revenue DESC, c_custkey""".stripMargin,
   )
-  // q25–q33, q37, q43, q44: hash/heuristic/ANN/multimodal ops without a
-  // portable SQL equivalent → rows-only driver checks.
+  // Rows-only (no portable SQL equivalent): q25 lang-id heuristic,
+  // q26–q28 MinHash/SimHash/n-gram banding, q31 LSH ANN, q32
+  // fingerprints, q33/q43 multimodal, q37 embedding near-dup pairs,
+  // q44 IVF ANN, q49 MinHash-union agg, q58–q60 near-dup resolution &
+  // fingerprint overlap (hash-dependent candidates).
 }

@@ -88,10 +88,13 @@ object RawLayer {
       val fs = new Path(rawPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val raw = new Path(rawPath)
       val old = new Path(oldPath)
-      // HDFS rename reports failure by returning false, not throwing —
-      // check it, and keep the previous raw as _old until the swap lands.
+      // HDFS rename/delete report failure by returning false, not
+      // throwing — check both (a false delete would make the rename
+      // nest raw INSIDE the stale _old), and keep the previous raw as
+      // _old until the swap lands.
       if (fs.exists(raw)) {
-        fs.delete(old, true)
+        if (fs.exists(old) && !fs.delete(old, true))
+          throw new java.io.IOException(s"delete stale $old failed")
         if (!fs.rename(raw, old))
           throw new java.io.IOException(s"rename $raw -> $old failed")
       }

@@ -91,6 +91,33 @@ case class MinHashFromSet(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints of a text column: array<long>. One compiled
+  * pass per row — the higher-order-function formulation (transform +
+  * array_min over slices) is interpreted AND gets re-evaluated per
+  * exploded output row in generate/join plans, which turned a 0.2 s
+  * pass into minutes at sf0.1.
+  */
+case class Winnow(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string input")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Kernels.winnow(input.asInstanceOf[UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  graft.expressions.Kernels.winnow($c, $k, $w));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a text column. */
 case class SimHash64(child: Expression)
   extends UnaryExpression {
@@ -231,6 +258,7 @@ object GraftFunctions {
   def shingleSet(text: Column, shingleSize: Int, charLevel: Boolean): Column =
     col(ShingleSet(e(text), shingleSize, charLevel))
   def simhash64(text: Column): Column = col(SimHash64(e(text)))
+  def winnow(text: Column, k: Int, w: Int): Column = col(Winnow(e(text), k, w))
   def jaccardSorted(a: Column, b: Column): Column = col(JaccardSorted(e(a), e(b)))
   def vecDot(a: Column, b: Column): Column = col(VecDot(e(a), e(b)))
   def vecCosine(a: Column, b: Column): Column = col(VecCosine(e(a), e(b)))

@@ -160,6 +160,37 @@ object Kernels {
     sig
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03):
+    * min of each sliding window of `w` over the k-gram hashes, distinct
+    * in first-occurrence order. Fewer grams than one window → the
+    * single global min; no grams → empty.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val h = charShingleHashes(s, k)
+    if (h.length == 0) return Array.emptyLongArray
+    val nWin = h.length - (w - 1)
+    if (nWin < 1) {
+      var m = h(0)
+      var i = 1
+      while (i < h.length) { if (h(i) < m) m = h(i); i += 1 }
+      return Array(m)
+    }
+    val sel = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < nWin) {
+      var m = h(i)
+      var j = i + 1
+      while (j < i + w) { if (h(j) < m) m = h(j); j += 1 }
+      sel.add(m)
+      i += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    out
+  }
+
   /** Intersection size of two SORTED long arrays — linear merge. */
   def sortedIntersectSize(a: Array[Long], b: Array[Long]): Int = {
     var i = 0

@@ -56,7 +56,10 @@ object TextFunctions {
     * inside codegen.
     */
   def dupNgramRatio(text: Column, n: Int): Column = {
-    val total = length(text) - (n - 1)
+    // the shingle kernel operates on UTF-8 BYTES, so the total must be
+    // the byte count too — length() counts characters and would push
+    // the ratio outside [0,1] on multibyte text
+    val total = length(text.cast("binary")) - (n - 1)
     val distinct = size(graft.expressions.GraftFunctions.shingleSet(text, n, charLevel = true))
     when(total <= 0, lit(0.0))
       .otherwise(lit(1.0) - distinct.cast("double") / total.cast("double"))

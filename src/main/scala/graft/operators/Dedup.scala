@@ -289,15 +289,9 @@ object Dedup {
     * hashes. Returns (id, fingerprints: array<long>) — per-row compute.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4): DataFrame = {
-    val hashes = TextFunctions.charShingleHashes(col(textCol), k)
-    val nWin = size(hashes) - (w - 1)
-    val fps = when(nWin < 1,
-        when(size(hashes) > 0, array(array_min(hashes))).otherwise(array().cast("array<bigint>")))
-      .otherwise(array_distinct(transform(sequence(lit(1), nWin),
-        i => array_min(slice(hashes, i, lit(w))))))
-    docs.select(col(idCol).as("doc_id"), fps.as("fingerprints"))
-  }
+      k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.winnow(col(textCol), k, w).as("fingerprints"))
 
   /** Winnowing-fingerprint overlap join (the plagiarism-detection /
     * partial-copy shape): docs sharing at least `minShared` selected
@@ -314,8 +308,13 @@ object Dedup {
   def fingerprintPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 2,
       maxDocFreq: Int = 1000): DataFrame = {
+    // materialize the exploded (doc_id, fp) pairs once: the plan below
+    // references them four times (doc-frequency filter + both join
+    // sides), and without a boundary each reference re-winnows every
+    // document (swap for reliable checkpoint/cache on a real cluster)
     val fps = fingerprints(docs, idCol, textCol, k, w)
       .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      .localCheckpoint()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)

@@ -83,9 +83,15 @@ object Similarity {
         .withColumn("__rk", row_number().over(wa))
         .filter(col("__rk") === 1)
         .select(col("cid"), col("sv"))
+      // floor-quantized mean: double sums of floats are summation-
+      // order-dependent across shuffle fetches, which would break the
+      // documented rerun-determinism; exact integer sums are not, and
+      // 1e-6 quantization is far below centroid resolution
       val dims = assigned
         .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(floor(col("x").cast("double") * 1000000).cast("long")).cast("double") /
+          count(lit(1)) / 1000000.0).as("m"))
       val updated = dims.groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),

@@ -80,7 +80,10 @@ object Scd2Sink {
         // is ABSENT (crash recovery), _prev is the only durable copy of
         // the history and must survive until the new dim is in place.
         if (fs.exists(dim)) {
-          fs.delete(prev, true)
+          // a false delete would make the next rename nest dim INSIDE
+          // the stale _prev — check it like the renames
+          if (fs.exists(prev) && !fs.delete(prev, true))
+            throw new java.io.IOException(s"delete stale $prev failed")
           if (!fs.rename(dim, prev))
             throw new java.io.IOException(s"rename $dim -> $prev failed")
         }
