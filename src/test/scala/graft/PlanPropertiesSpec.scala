@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Guards the scale-critical PLAN SHAPES, not just results: a regression
+  * that keeps a query correct but drops its filter pushdown / broadcast
+  * / partial top-k would only surface as a 100× slowdown on a real
+  * cluster — these assertions fail it in CI instead. (The full plan
+  * dump lives in `graft.tools.PlanAudit`.)
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: comparison filters are pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    assert(p.contains("GreaterThanOrEqual(l_quantity"),
+      "l_quantity filter not pushed to the scan")
+  }
+
+  test("q02: scan reads only the projected+filtered columns, not the full table") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"),
+      s"column pruning lost — scan reads unused columns: $readSchema")
+  }
+
+  test("q29: brute-force top-k plans a partial WindowGroupLimit before the shuffle") {
+    val p = plan("q29_emb_cosine_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k not pushed down — full cross product would cross the shuffle")
+  }
+
+  test("q45: TPC-H Q3 broadcasts the filtered customer side") {
+    val p = plan("q45_tpch_q3")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      "dimension join is not broadcast — lineitem would shuffle for the join")
+  }
+
+  test("q40: dashboard query broadcasts both dims against the fact") {
+    val p = plan("q40_pipeline_dashboard")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      "star joins lost their broadcast")
+  }
+
+  test("q61: sampling predicate evaluates directly on the scan") {
+    // the only Exchange allowed is the final presentation sort; the
+    // sampling filter itself must sit on the scan, before any shuffle
+    val p = plan("q61_sample_deterministic")
+    assert("Filter \\(\\d+\\)\\s*\\n\\s*\\+- Scan parquet".r.findFirstIn(p).isDefined,
+      s"sampling filter is not directly on the scan:\n$p")
+  }
+
+  test("q03: scalar pipeline stays inside whole-stage codegen") {
+    // AQE hides codegen ids until the plan is finalized — execute THIS
+    // QueryExecution (count() would build a separate one)
+    val df = SparkEntry.queries("q03_derived_columns")(spark, dir)
+    df.collect()
+    val p = planOf(df)
+    assert(p.contains("codegen id"), s"scalar pipeline fell out of codegen:\n$p")
+  }
+
+  test("dedup kernels: shingle/minhash projection is codegen'd, not interpreted") {
+    val d = sources.Tables.load(spark, dir, "documents")
+    val prepared = operators.Dedup.minhashSignatures(d, "doc_id", "text", 3, 16)
+    val p = planOf(prepared)
+    assert("Project.*codegen id".r.findFirstIn(p.replace("\n", " ")).isDefined ||
+      p.contains("codegen id"),
+      s"custom expressions must run inside whole-stage codegen:\n$p")
+  }
+}
