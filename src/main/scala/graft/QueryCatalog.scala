@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{AsOfJoin, Chunking, Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -687,6 +687,26 @@ object QueryCatalog {
         .orderBy(col("event_id"))
     }),
 
+    // context-window chunking: 500-char windows, 50-char overlap —
+    // pure column arithmetic + one explode, fully SQL-expressible.
+    "q66_docs_chunks" -> ((s, dir) => {
+      Chunking.chunkByChars(t(s, dir, "documents"), "doc_id", "text",
+          maxLen = 500, overlap = 50)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // benchmark decontamination: flag corpus docs containing any
+    // 13-token-gram of a (synthesized) benchmark set — docs %40==0
+    // stand in as the eval set, so their sources must be flagged.
+    "q67_docs_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 40 === 0).select(col("text"))
+      Chunking.flagContaminated(d, bench, "doc_id", "text", n = 13)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-class embedding centroids, quantized at 1e-6 so the mean is
     // exact-integer arithmetic on both engines (double sums of floats
     // are order-dependent; floor-quantized sums are not).
@@ -1315,6 +1335,16 @@ object QueryCatalog {
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q66_docs_chunks" ->
+      """SELECT doc_id, i AS chunk_id,
+        |       substr(text, CAST(i * 450 + 1 AS INTEGER), 500) AS chunk_text
+        |FROM (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0,
+        |           CAST(floor((length(text) - 1) / 450.0) AS INTEGER))) AS i
+        |  FROM documents WHERE length(text) > 0
+        |)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q65_emb_class_centroids" ->
       """WITH e AS (
         |  SELECT label, i - 1 AS pos,

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expressions.GraftFunctions
+
+/** Document segmentation and benchmark decontamination — the two
+  * pre-training steps between curation and tokenization.
+  *
+  * Chunking splits long documents into bounded, optionally overlapping
+  * windows (context-length packing, embedding-model input limits).
+  * Pure column arithmetic + one explode: no shuffle, no UDF, and the
+  * chunk count per document is `ceil(len / stride)` so output size is
+  * linear in corpus size.
+  *
+  * Decontamination flags corpus documents that CONTAIN any n-gram of a
+  * benchmark/eval set (the standard 13-gram contamination rule). The
+  * benchmark side is tiny relative to the corpus, so its distinct
+  * n-gram hashes build once and the corpus side is one semi-join on
+  * the exploded hash — shuffle carries (doc_id, hash) longs, never
+  * text; with a small benchmark Catalyst broadcasts the hash set and
+  * the whole check is map-side.
+  */
+object Chunking {
+
+  /** Character-window chunks: windows of `maxLen` chars starting every
+    * `maxLen - overlap` chars. Returns (doc_id, chunk_id, chunk_text)
+    * with chunk_id 0-based in document order; empty docs yield no
+    * chunks. The last window may be shorter than `maxLen`; a final
+    * fragment that would be entirely overlap (start ≥ len) is not
+    * emitted.
+    */
+  def chunkByChars(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, overlap: Int = 0): DataFrame = {
+    require(maxLen > 0 && overlap >= 0 && overlap < maxLen,
+      s"need 0 <= overlap < maxLen, got maxLen=$maxLen overlap=$overlap")
+    val stride = maxLen - overlap
+    val len = length(col(textCol))
+    val nChunks = when(len <= 0, lit(0))
+      .otherwise(floor((len - 1).cast("double") / stride).cast("int") + 1)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"), nChunks.as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0), col("__n") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("__t").substr(col("chunk_id") * stride + 1, lit(maxLen)).as("chunk_text"))
+  }
+
+  /** Token-window chunks (whitespace tokens, `maxTokens` per chunk,
+    * `overlap` tokens shared between neighbors): the shape tokenizer-
+    * bounded models need. Same linear explode; chunk text is the
+    * space-rejoin of the token slice.
+    */
+  def chunkByTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nTok = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    val nChunks = when(nTok <= 0, lit(0))
+      .otherwise(floor((nTok - 1).cast("double") / stride).cast("int") + 1)
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"), nChunks.as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), col("__n") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)))
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("chunk_id") * stride, lit(maxTokens))
+          .as("n_tokens"))
+  }
+
+  /** Benchmark decontamination: corpus docs containing ANY token
+    * n-gram of the benchmark set, with the count of distinct matching
+    * n-grams. Hashing runs through the compiled shingle-set kernel
+    * (one pass per document); only (id, hash) longs reach the join.
+    */
+  def flagContaminated(
+      corpus: DataFrame, benchmarks: DataFrame,
+      idCol: String, textCol: String,
+      benchTextCol: String = "text", n: Int = 13): DataFrame = {
+    val benchGrams = benchmarks
+      .select(explode(GraftFunctions.shingleSet(col(benchTextCol), n, charLevel = false)).as("gh"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"),
+      explode(GraftFunctions.shingleSet(col(textCol), n, charLevel = false)).as("gh"))
+    corpusGrams.join(benchGrams, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_matching_ngrams"))
+  }
+}

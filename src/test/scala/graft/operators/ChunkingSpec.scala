@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ChunkingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("chunkByChars: zero-overlap chunks reassemble to the original text") {
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.chunkByChars(d, "doc_id", "text", maxLen = 100)
+      .orderBy("chunk_id").collect()
+    assert(chunks.length === 3)
+    assert(chunks.map(_.getString(2)).mkString === text)
+    assert(chunks.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+  }
+
+  test("chunkByChars: overlapping windows share the overlap region") {
+    val text = "0123456789" * 5 // 50 chars
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.chunkByChars(d, "doc_id", "text", maxLen = 20, overlap = 5)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    // stride 15: starts at 0, 15, 30, 45
+    assert(chunks.length === 4)
+    assert(chunks(0).takeRight(5) === chunks(1).take(5))
+    assert(chunks(3) === text.substring(45)) // final short chunk
+    // empty docs emit nothing
+    assert(Chunking.chunkByChars(Seq((2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", 20).count() === 0)
+  }
+
+  test("chunkByTokens: bounded token windows with overlap") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.chunkByTokens(d, "doc_id", "text", maxTokens = 10, overlap = 2)
+      .orderBy("chunk_id").collect()
+    // stride 8: starts at tokens 0, 8, 16, 24
+    assert(chunks.length === 4)
+    assert(chunks.map(_.getAs[Int]("n_tokens")).toSeq === Seq(10, 10, 9, 1))
+    assert(chunks(0).getString(2).split(" ").last === "w10")
+    assert(chunks(1).getString(2).split(" ").head === "w9") // 2-token overlap
+  }
+
+  test("flagContaminated: docs containing a benchmark 13-gram are flagged") {
+    val bench = Seq(
+      (100L, (1 to 20).map(i => s"q$i").mkString(" "))) // benchmark question
+      .toDF("bid", "text")
+    val corpus = Seq(
+      (1L, "prefix words " + (1 to 20).map(i => s"q$i").mkString(" ") + " trailing"),
+      (2L, (1 to 12).map(i => s"q$i").mkString(" ")), // only 12 tokens — below n
+      (3L, "completely unrelated document with plenty of its own tokens here"),
+    ).toDF("doc_id", "text")
+    val flagged = Chunking.flagContaminated(corpus, bench, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L) && flagged(1L) === 8L) // 20-13+1 matching grams
+    assert(!flagged.contains(2L))
+    assert(!flagged.contains(3L))
+  }
+}
