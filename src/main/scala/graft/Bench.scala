@@ -10,8 +10,12 @@ object Bench {
     // (A long-running cluster is always warm; per-query timings below
     // still include each plan's own codegen.)
     val warmupDir = "/root/testdata/sf0.001"
+    // one representative per plan family (agg, window, banding join,
+    // cosine/topk, pipeline, generate/explode, range window, CC loop)
+    // so no timed query pays first-plan JIT for its whole shape.
     Seq("q01_pricing_summary", "q13_window_topk", "q26_docs_minhash_neardup",
-      "q29_emb_cosine_topk", "q40_pipeline_dashboard").foreach { q =>
+      "q29_emb_cosine_topk", "q40_pipeline_dashboard", "q50_word_count",
+      "q58_docs_neardup_resolve", "q64_events_trailing").foreach { q =>
       try SparkEntry.queries(q)(spark, warmupDir).count()
       catch { case _: Throwable => () }
     }

@@ -687,6 +687,26 @@ object QueryCatalog {
         .orderBy(col("event_id"))
     }),
 
+    // incremental dedup: a new batch (exact copies, near-dup
+    // mutations, genuinely-new reversed docs) dedups against the kept
+    // history's compact artifacts — only the genuinely new survive.
+    "q68_docs_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val history = Dedup.artifacts(d, "doc_id", "text")
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            concat(col("text"), lit(" appended near dup token")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+      Dedup.dedupeIncrement(Dedup.artifacts(batch, "doc_id", "text"),
+          history, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // context-window chunking: 500-char windows, 50-char overlap —
     // pure column arithmetic + one explode, fully SQL-expressible.
     "q66_docs_chunks" -> ((s, dir) => {

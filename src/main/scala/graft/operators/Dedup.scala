@@ -293,6 +293,83 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       GraftFunctions.winnow(col(textCol), k, w).as("fingerprints"))
 
+  /** Compact per-document dedup artifacts — what a pipeline PERSISTS
+    * for every kept document so later batches dedup against history
+    * without touching its text: exact content hash, MinHash signature
+    * (k longs), sorted shingle-hash set. One projection, one compiled
+    * kernel pass per row (codegen subexpression elimination shares the
+    * shingle set between the `sh` column and the signature).
+    */
+  def artifacts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleSize: Int = 3, charLevel: Boolean = false): DataFrame = {
+    val shExpr = GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel)
+    docs.select(col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("text_hash"),
+      shExpr.as("sh"),
+      GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
+  }
+
+  /** Incremental dedup — the 100 TB curation shape: each new batch
+    * dedups against the KEPT HISTORY's compact artifacts instead of
+    * re-deduplicating the world. Steps, all bounded by batch size ×
+    * blocking-key collisions:
+    *  1. drop batch docs whose exact hash exists in history
+    *     (left_anti on text_hash);
+    *  2. drop batch docs near-duplicating history: LSH bands of the
+    *     batch join LSH bands of history, candidates verified by exact
+    *     Jaccard on the precomputed sets;
+    *  3. resolve WITHIN-batch exact + near duplicates to min-id
+    *     survivors (connected components, capped banding).
+    *
+    * Returns the surviving artifact rows — `union` them into the
+    * history for the next batch. At scale, persist the history side
+    * already exploded by (band, bucket) so step 2 is a shuffle of the
+    * batch only. Re-running the same batch yields zero survivors
+    * (idempotent ingest).
+    */
+  def dedupeIncrement(
+      batchArt: DataFrame, historyArt: DataFrame,
+      threshold: Double, k: Int = 16, bands: Int = 4,
+      neighborCap: Option[Int] = Some(8)): DataFrame = {
+    val r = k / bands
+    def banded(art: DataFrame) = art.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        val len = if (b == bands - 1) k - b * r else r
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * r + 1, len)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    // 1. exact-vs-history
+    val noExact = batchArt.join(
+      historyArt.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
+    // 2. near-vs-history: banded equi-join, Jaccard verify on sets
+    val cands = banded(noExact).as("b")
+      .join(banded(historyArt).as("h"), Seq("band", "bh"))
+      .select(col("b.doc_id").as("batch_id"), col("h.doc_id").as("hist_id"))
+      .distinct()
+    val contaminated = cands
+      .join(noExact.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")), Seq("batch_id"))
+      .join(historyArt.select(col("doc_id").as("hist_id"), col("sh").as("sh_h")), Seq("hist_id"))
+      .filter(GraftFunctions.jaccardSorted(col("sh_b"), col("sh_h")) >= threshold)
+      .select(col("batch_id").as("doc_id")).distinct()
+    val fresh = noExact.join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. within-batch: exact (min id per hash) then near (components)
+    val exactKeep = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val freshExact = fresh.join(exactKeep, Seq("doc_id"), "left_semi")
+    val innerPairs = bandPairs(freshExact.select(col("doc_id"), col("sig")),
+        bands, k, neighborCap)
+      .join(freshExact.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(freshExact.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val comps = connectedComponents(innerPairs)
+    freshExact.join(comps, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .drop("component")
+  }
+
   /** Winnowing-fingerprint overlap join (the plagiarism-detection /
     * partial-copy shape): docs sharing at least `minShared` selected
     * fingerprints are candidate pairs, with the shared count as the

@@ -183,6 +183,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() === 0)
   }
 
+  test("dedupeIncrement: batch survivors exclude exact, near, and in-batch dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val history = Dedup.artifacts(
+      docs(1L -> base, 2L -> other), "doc_id", "text")
+    val batch = Dedup.artifacts(docs(
+      10L -> base,                 // exact dup of history → dropped
+      11L -> (base + " lambda"),   // near dup of history → dropped
+      12L -> "a genuinely new document about completely fresh material",
+      13L -> "a genuinely new document about completely fresh material", // exact in-batch dup
+      14L -> "another new piece of text with its own unique words entirely",
+      15L -> "another new piece of text with its own unique words entirely extra", // near in-batch dup
+    ), "doc_id", "text")
+    val survivors = Dedup.dedupeIncrement(batch, history, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(12L, 14L))
+    // idempotence: re-running the surviving batch against the grown
+    // history yields nothing new
+    val grown = history.unionByName(
+      Dedup.dedupeIncrement(batch, history, threshold = 0.5))
+    assert(Dedup.dedupeIncrement(batch, grown, threshold = 0.5).count() === 0)
+  }
+
   test("resolveNearDups keeps singletons and splits distinct clusters") {
     val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val base2 = "one two three four five six seven eight nine ten eleven twelve"
