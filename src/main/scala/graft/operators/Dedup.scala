@@ -340,9 +340,14 @@ object Dedup {
           xxhash64(slice(col("sig"), b * r + 1, len)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    // 1. exact-vs-history
+    // 1. exact-vs-history. The surviving-batch frames are materialized
+    // (they are batch-bounded): the plan below references them many
+    // times — banding, candidate joins, set lookups, and one
+    // re-evaluation per connected-components round — and without a
+    // boundary every reference re-derives the artifacts from text.
     val noExact = batchArt.join(
       historyArt.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
+      .localCheckpoint()
     // 2. near-vs-history: banded equi-join, Jaccard verify on sets
     val cands = banded(noExact).as("b")
       .join(banded(historyArt).as("h"), Seq("band", "bh"))
@@ -358,6 +363,7 @@ object Dedup {
     val exactKeep = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val freshExact = fresh.join(exactKeep, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val innerPairs = bandPairs(freshExact.select(col("doc_id"), col("sig")),
         bands, k, neighborCap)
       .join(freshExact.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
