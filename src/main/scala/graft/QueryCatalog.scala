@@ -692,7 +692,9 @@ object QueryCatalog {
     // history's compact artifacts — only the genuinely new survive.
     "q68_docs_incremental_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val history = Dedup.artifacts(d, "doc_id", "text")
+      // materialized: dedupeIncrement references the history 3× and a
+      // real pipeline passes a persisted artifact table here
+      val history = Dedup.artifacts(d, "doc_id", "text").localCheckpoint()
       val batch = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
         .unionByName(d.filter(col("doc_id") % 7 === 0)
@@ -1355,13 +1357,15 @@ object QueryCatalog {
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // chunk count = ceil(max(len - overlap, 1) / stride): a tail that
+    // is entirely overlap of the previous window is not emitted.
     "q66_docs_chunks" ->
       """SELECT doc_id, i AS chunk_id,
         |       substr(text, CAST(i * 450 + 1 AS INTEGER), 500) AS chunk_text
         |FROM (
         |  SELECT doc_id, text,
         |         unnest(generate_series(0,
-        |           CAST(floor((length(text) - 1) / 450.0) AS INTEGER))) AS i
+        |           CAST(floor((GREATEST(length(text) - 50, 1) - 1) / 450.0) AS INTEGER))) AS i
         |  FROM documents WHERE length(text) > 0
         |)
         |ORDER BY doc_id, chunk_id""".stripMargin,

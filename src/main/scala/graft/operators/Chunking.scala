@@ -27,9 +27,13 @@ object Chunking {
   /** Character-window chunks: windows of `maxLen` chars starting every
     * `maxLen - overlap` chars. Returns (doc_id, chunk_id, chunk_text)
     * with chunk_id 0-based in document order; empty docs yield no
-    * chunks. The last window may be shorter than `maxLen`; a final
-    * fragment that would be entirely overlap (start ≥ len) is not
-    * emitted.
+    * chunks. The last window may be shorter than `maxLen`. A chunk is
+    * emitted only while it contributes text beyond the previous
+    * chunk's overlap (start < len − overlap): a tail ≤ `overlap` chars
+    * is already fully inside the previous window, and emitting it
+    * would duplicate training content. Coverage stays complete — the
+    * last emitted start is ≥ len − maxLen, so every character appears
+    * in some chunk.
     */
   def chunkByChars(
       docs: DataFrame, idCol: String, textCol: String,
@@ -38,8 +42,9 @@ object Chunking {
       s"need 0 <= overlap < maxLen, got maxLen=$maxLen overlap=$overlap")
     val stride = maxLen - overlap
     val len = length(col(textCol))
+    val newContent = greatest(len - overlap, lit(1))
     val nChunks = when(len <= 0, lit(0))
-      .otherwise(floor((len - 1).cast("double") / stride).cast("int") + 1)
+      .otherwise(floor((newContent - 1).cast("double") / stride).cast("int") + 1)
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"), nChunks.as("__n"))
       .filter(col("__n") > 0)
       .select(col("doc_id"), col("__t"),
@@ -61,8 +66,10 @@ object Chunking {
     val stride = maxTokens - overlap
     val toks = split(trim(col(textCol)), "\\s+")
     val nTok = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    // same emit rule as chunkByChars: no purely-overlap tail chunks
+    val newContent = greatest(nTok - overlap, lit(1))
     val nChunks = when(nTok <= 0, lit(0))
-      .otherwise(floor((nTok - 1).cast("double") / stride).cast("int") + 1)
+      .otherwise(floor((newContent - 1).cast("double") / stride).cast("int") + 1)
     docs.select(col(idCol).as("doc_id"), toks.as("__toks"), nChunks.as("__n"))
       .filter(col("__n") > 0)
       .select(col("doc_id"), col("__toks"),

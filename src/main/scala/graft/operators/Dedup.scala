@@ -78,11 +78,15 @@ object Dedup {
     * resolution path is unaffected, pair-listing recall for clusters
     * wider than `cap` is the documented trade (SCALING.md).
     */
-  def bandPairs(sigs: DataFrame, bands: Int, k: Int,
-      neighborCap: Option[Int] = None): DataFrame = {
+  /** Explode a (doc_id, sig) frame into (doc_id, band, bh) banding
+    * keys — shared by [[bandPairs]] and [[dedupeIncrement]] so the
+    * bands/k guard can't be bypassed (bands > k would make r = 0 and
+    * hash empty slices identically — a silent cross join).
+    */
+  private def bandedSignatures(sigs: DataFrame, bands: Int, k: Int): DataFrame = {
     require(bands >= 1 && bands <= k, s"need 1 <= bands <= k, got bands=$bands k=$k")
     val r = k / bands
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         val len = if (b == bands - 1) k - b * r else r
@@ -90,6 +94,11 @@ object Dedup {
           xxhash64(slice(col("sig"), b * r + 1, len)).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+  }
+
+  def bandPairs(sigs: DataFrame, bands: Int, k: Int,
+      neighborCap: Option[Int] = None): DataFrame = {
+    val banded = bandedSignatures(sigs, bands, k)
     val pairs = neighborCap match {
       case None =>
         banded.as("l").join(banded.as("r"),
@@ -322,24 +331,20 @@ object Dedup {
     *     survivors (connected components, capped banding).
     *
     * Returns the surviving artifact rows — `union` them into the
-    * history for the next batch. At scale, persist the history side
-    * already exploded by (band, bucket) so step 2 is a shuffle of the
-    * batch only. Re-running the same batch yields zero survivors
-    * (idempotent ingest).
+    * history for the next batch. `historyArt` is referenced THREE
+    * times (hash anti-join, banding, set lookup): pass a PERSISTED
+    * artifact table (its role in a real pipeline), not a frame that
+    * re-derives artifacts from text on every reference. At scale,
+    * persist the history side already exploded by (band, bucket) so
+    * step 2 is a shuffle of the batch only. Re-running the same batch
+    * yields zero survivors (idempotent ingest).
     */
   def dedupeIncrement(
       batchArt: DataFrame, historyArt: DataFrame,
       threshold: Double, k: Int = 16, bands: Int = 4,
       neighborCap: Option[Int] = Some(8)): DataFrame = {
-    val r = k / bands
-    def banded(art: DataFrame) = art.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        val len = if (b == bands - 1) k - b * r else r
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * r + 1, len)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    def banded(art: DataFrame) =
+      bandedSignatures(art.select(col("doc_id"), col("sig")), bands, k)
     // 1. exact-vs-history. The surviving-batch frames are materialized
     // (they are batch-bounded): the plan below references them many
     // times — banding, candidate joins, set lookups, and one

@@ -21,13 +21,22 @@ class ChunkingSpec extends SparkSpec {
     val d = Seq((1L, text)).toDF("doc_id", "text")
     val chunks = Chunking.chunkByChars(d, "doc_id", "text", maxLen = 20, overlap = 5)
       .orderBy("chunk_id").collect().map(_.getString(2))
-    // stride 15: starts at 0, 15, 30, 45
-    assert(chunks.length === 4)
+    // stride 15: starts at 0, 15, 30 — a 4th chunk at 45 would be
+    // pure overlap of chunk 2 (chars 46-50 ⊂ 31-50) and is not emitted
+    assert(chunks.length === 3)
     assert(chunks(0).takeRight(5) === chunks(1).take(5))
-    assert(chunks(3) === text.substring(45)) // final short chunk
+    assert(chunks(2) === text.substring(30)) // still covers to the end
     // empty docs emit nothing
     assert(Chunking.chunkByChars(Seq((2L, "")).toDF("doc_id", "text"),
       "doc_id", "text", 20).count() === 0)
+  }
+
+  test("chunkByChars: a doc exactly maxLen long is one chunk, not two") {
+    val text = "x" * 500
+    val chunks = Chunking.chunkByChars(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", maxLen = 500, overlap = 50).collect()
+    assert(chunks.length === 1)
+    assert(chunks.head.getString(2) === text)
   }
 
   test("chunkByTokens: bounded token windows with overlap") {
@@ -35,11 +44,13 @@ class ChunkingSpec extends SparkSpec {
     val d = Seq((1L, text)).toDF("doc_id", "text")
     val chunks = Chunking.chunkByTokens(d, "doc_id", "text", maxTokens = 10, overlap = 2)
       .orderBy("chunk_id").collect()
-    // stride 8: starts at tokens 0, 8, 16, 24
-    assert(chunks.length === 4)
-    assert(chunks.map(_.getAs[Int]("n_tokens")).toSeq === Seq(10, 10, 9, 1))
+    // stride 8: starts at tokens 0, 8, 16 — a 4th at 24 would add no
+    // tokens beyond chunk 2's tail overlap
+    assert(chunks.length === 3)
+    assert(chunks.map(_.getAs[Int]("n_tokens")).toSeq === Seq(10, 10, 9))
     assert(chunks(0).getString(2).split(" ").last === "w10")
     assert(chunks(1).getString(2).split(" ").head === "w9") // 2-token overlap
+    assert(chunks(2).getString(2).split(" ").last === "w25") // full coverage
   }
 
   test("flagContaminated: docs containing a benchmark 13-gram are flagged") {
