@@ -56,6 +56,9 @@ object GraftExtensions {
     fn("minhash_union", "minhash_union(sig, k) - aggregate elementwise-min of MinHash signatures") {
       args => MinHashUnion(args(0), intLit(args(1)))
     },
+    fn("winnow", "winnow(text, k, w) - winnowing fingerprint hashes (k-gram, window w)") {
+      args => Winnow(args(0), intLit(args(1)), intLit(args(2)))
+    },
   )
 
   /** Register on a live session (idempotent — re-registration replaces). */

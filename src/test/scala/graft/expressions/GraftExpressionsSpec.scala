@@ -81,11 +81,13 @@ class GraftExpressionsSpec extends SparkSpec {
       """SELECT simhash64(text) AS sh,
         |       size(minhash_sig(text, 2, 8, false)) AS k,
         |       jaccard_sorted(shingle_set(text, 2, false),
-        |                      shingle_set(text, 2, false)) AS j
+        |                      shingle_set(text, 2, false)) AS j,
+        |       size(winnow(text, 4, 2)) AS nfp
         |FROM ge_docs""".stripMargin).head
     assert(r.getLong(0) !== 0L)
     assert(r.getInt(1) === 8)
     assert(r.getDouble(2) === 1.0)
+    assert(r.getInt(3) > 0)
     spark.catalog.dropTempView("ge_docs")
   }
 
