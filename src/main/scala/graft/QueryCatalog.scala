@@ -729,6 +729,23 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // lag/lead offset windows: per-user deltas between consecutive
+    // events (previous-value diff, next event type, seconds since
+    // previous) — both engines order on floor-of-second epoch with an
+    // event_id tiebreak so neighbors agree exactly.
+    "q69_events_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"), col("event_id"))
+      val dval = col("value").cast(DecimalType(18, 4))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        (dval - lag(dval, 1).over(w)).cast("double").as("value_delta"),
+        lead(col("event_type"), 1).over(w).as("next_event_type"),
+        (col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w))
+          .as("secs_since_prev"))
+        .orderBy(col("event_id"))
+    }),
+
     // per-class embedding centroids, quantized at 1e-6 so the mean is
     // exact-integer arithmetic on both engines (double sums of floats
     // are order-dependent; floor-quantized sums are not).
@@ -1369,6 +1386,17 @@ object QueryCatalog {
         |  FROM documents WHERE length(text) > 0
         |)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q69_events_lag_lead" ->
+      """SELECT event_id, user_id,
+        |       CAST(CAST(value AS DECIMAL(18,4))
+        |            - lag(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_delta,
+        |       lead(event_type) OVER w AS next_event_type,
+        |       CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |         - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w AS secs_since_prev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id)
+        |ORDER BY event_id""".stripMargin,
     "q65_emb_class_centroids" ->
       """WITH e AS (
         |  SELECT label, i - 1 AS pos,

@@ -12,12 +12,13 @@ object SparkEntry {
     QueryCatalog.queries("q06_join_3way_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ the
-    * LLM-pipeline extensions q25+).
+    * LLM-pipeline extensions).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = QueryCatalog.queries
 
-  /** DuckDB-runnable oracle SQL per query; omitted entries (q25+) are
-    * non-SQL-expressible ops → rows-only checks.
+  /** DuckDB-runnable oracle SQL per query; omitted entries are
+    * non-SQL-expressible ops → rows-only checks (list at the end of
+    * [[QueryCatalog.oracleSql]]).
     */
   def oracleSql: Map[String, String] = QueryCatalog.oracleSql
 }
