@@ -90,6 +90,40 @@ class JdbcSpec extends SparkSpec {
     }
   }
 
+  test("main.py seed flow: CSV -> JDBC table -> pipeline ingest") {
+    // the reference's deployment shape end-to-end: seed the source
+    // database from the CSV (main.py), then ingest from it over JDBC
+    // with the watermark source and run the staging clean
+    withDb { (url, conn) =>
+      val dir = Files.createTempDirectory("graft_seed")
+      val csv = dir.resolve("inv.csv")
+      java.nio.file.Files.write(csv,
+        ("transaction_id,date,store_id,store_location,product_id,product_category," +
+          "quantity_sold,unit_price,total_sales,stock_level,reorder_point," +
+          "lead_time_days,carrying_cost,stock_out_risk,inventory_turnover\n" +
+          "TXN1,2024-01-01 00:00:00,ST1,LOC1,P1,CAT1,2,5.0,10.0,50,20,3,1.0,0.1,1.0\n" +
+          "TXN2,2024-01-02 00:00:00,ST1,LOC1,P2,CAT2,1,3.0,3.0,40,15,2,0.5,0.2,1.0\n")
+          .getBytes("UTF-8"))
+      val fromCsv = Sources.read(spark,
+        Sources.CsvSource(csv.toString, Schemas.inventory))
+      conn.createStatement().execute(
+        """CREATE TABLE inventory (
+          |  transaction_id VARCHAR, date TIMESTAMP, store_id VARCHAR,
+          |  store_location VARCHAR, product_id VARCHAR, product_category VARCHAR,
+          |  quantity_sold INTEGER, unit_price DOUBLE, total_sales DOUBLE,
+          |  stock_level INTEGER, reorder_point INTEGER, lead_time_days INTEGER,
+          |  carrying_cost DOUBLE, stock_out_risk DOUBLE, inventory_turnover DOUBLE)""".stripMargin)
+      Sources.write(fromCsv.repartition(1), Sources.JdbcSink(url, "inventory", props))
+      val source = Sources.incremental(spark,
+        Sources.JdbcSource(url, "SELECT * FROM inventory", props), "date")
+      val rawPath = s"$dir/raw"
+      assert(RawLayer.runOnce(spark, source, rawPath, s"$dir/meta") === 2L)
+      val staged = StagingLayer.clean(spark.read.parquet(rawPath))
+      assert(staged.count() === 2L)
+      assert(staged.columns.contains("profit_margin"))
+    }
+  }
+
   test("I2/I3: full-then-incremental ingest cycle against the database") {
     withDb { (url, conn) =>
       val st = conn.createStatement()
