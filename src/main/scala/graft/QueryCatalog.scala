@@ -729,6 +729,33 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT all-pairs token-3-gram Jaccard join on a bounded subset —
+    // the value-verified baseline for the banded (rows-only) similarity
+    // joins q26/q28, the way q29's exact cosine grounds the ANN
+    // entries. Shingle-hash sets stand in for the gram sets (64-bit
+    // collision odds are negligible at this cardinality), so set sizes,
+    // intersections, and the int/int-division Jaccard agree with the
+    // oracle's literal gram sets exactly.
+    "q70_docs_jaccard_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val mutated = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" tail token")).as("text"))
+      val sets = d.unionByName(mutated)
+        .select(col("doc_id"),
+          graft.expressions.GraftFunctions.shingleSet(col("text"), 3, charLevel = false).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("jaccard",
+          graft.expressions.GraftFunctions.jaccardSorted(col("sha"), col("shb")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // lag/lead offset windows: per-user deltas between consecutive
     // events (previous-value diff, next event type, seconds since
     // previous) — both engines order on floor-of-second epoch with an
@@ -1386,6 +1413,33 @@ object QueryCatalog {
         |  FROM documents WHERE length(text) > 0
         |)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q70_docs_jaccard_exact" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' tail token' FROM documents
+        |  WHERE doc_id < 100 AND doc_id % 7 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM docs WHERE length(trim(text)) > 0
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+        |), sets AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b,
+        |       CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
+        |FROM inter i
+        |JOIN sets sa ON i.doc_a = sa.doc_id
+        |JOIN sets sb ON i.doc_b = sb.doc_id
+        |WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q69_events_lag_lead" ->
       """SELECT event_id, user_id,
         |       CAST(CAST(value AS DECIMAL(18,4))
