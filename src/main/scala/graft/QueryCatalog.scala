@@ -729,6 +729,22 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // null-aware gap-fill (LOCF forward-fill): carry each user's last
+    // observed non-click value forward to every event — the
+    // feature-engineering shape for sparse signals; null until the
+    // first observation. Same deterministic ordering key as q64/q69.
+    "q71_events_gap_fill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sparse = when(col("event_type") =!= "click",
+        col("value").cast(DecimalType(18, 4)))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        last(sparse, ignoreNulls = true).over(w).cast("double").as("filled_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // EXACT all-pairs token-3-gram Jaccard join on a bounded subset —
     // the value-verified baseline for the banded (rows-only) similarity
     // joins q26/q28, the way q29's exact cosine grounds the ANN
@@ -1413,6 +1429,14 @@ object QueryCatalog {
         |  FROM documents WHERE length(text) > 0
         |)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q71_events_gap_fill" ->
+      """SELECT event_id, user_id,
+        |       CAST(last_value(CASE WHEN event_type <> 'click'
+        |                            THEN CAST(value AS DECIMAL(18,4)) END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id
+        |               ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q70_docs_jaccard_exact" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
