@@ -1585,5 +1585,7 @@ object QueryCatalog {
   // q26–q28 MinHash/SimHash/n-gram banding, q31 LSH ANN, q32
   // fingerprints, q33/q43 multimodal, q37 embedding near-dup pairs,
   // q44 IVF ANN, q49 MinHash-union agg, q58–q60 near-dup resolution &
-  // fingerprint overlap (hash-dependent candidates).
+  // fingerprint overlap, q67 decontamination, q68 incremental dedup
+  // (all hash-/banding-dependent candidates; their exact baselines are
+  // oracle-verified — q29 cosine, q70 token-Jaccard, q23 exact hash).
 }
