@@ -729,6 +729,19 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // IVF serving path: build the PERSISTED index (inverted lists
+    // partitioned by list_id + trained centroids), then query it —
+    // probed lists reach the scan as partition filters, so per-query
+    // I/O is nProbe/nLists of the corpus at any scale.
+    "q72_emb_ann_ivf_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.buildIvfIndex(e, path, nLists = 16)
+      Similarity.queryIvfIndex(s, path, queries, k = 5, nProbe = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // null-aware gap-fill (LOCF forward-fill): carry each user's last
     // observed non-click value forward to every event — the
     // feature-engineering shape for sparse signals; null until the

@@ -191,6 +191,60 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label"), transform(col("pm"), p => p.getField("m")).as("centroid"))
 
+  /** Persist an IVF index: corpus vectors written as parquet
+    * PARTITIONED BY their coarse-quantizer list id (plus the trained
+    * centroids as a side table). At query time only the `nProbe`
+    * probed lists' partition directories are read — the scan prunes
+    * at the FILE level, so per-query I/O is nProbe/nLists of the
+    * corpus regardless of corpus size. This is the serving-path
+    * counterpart of [[ivfTopK]] (which indexes in-flight each call).
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, path: String, nLists: Int = 16, trainIters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = trainCentroids(corpus, nLists, trainIters,
+      idCol = idCol, vecCol = vecCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", VectorFunctions.cosine(col(vecCol), col("cv")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a persisted IVF index: rank centroids per query, then scan
+    * ONLY the probed list partitions (`list_id IN (...)` reaches the
+    * scan as a partition filter — directories outside the probe set
+    * are never opened). Same ranking/tie-break semantics as
+    * [[ivfTopK]].
+    */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cid"))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("__rk", row_number().over(wProbe))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("list_id"))
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"), col("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probed.join(lists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Embedding near-dup RESOLUTION: candidate pairs → connected
     * components → one surviving `keep_id` (minimum id) per cluster —
     * the embedding-space counterpart of

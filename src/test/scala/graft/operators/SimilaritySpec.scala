@@ -105,6 +105,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b, "hash-ordered sample + Lloyd iterations must be rerun-stable")
   }
 
+  test("persisted IVF index: query path matches in-flight ivfTopK exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    Similarity.buildIvfIndex(e, dir, nLists = 8)
+    val fromIndex = Similarity.queryIvfIndex(spark, dir, q, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // same deterministic training → same centroids → same assignments
+    val inFlight = Similarity.ivfTopK(q, e, k = 5, nLists = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex === inFlight)
+    // the probe join drives partition pruning on the list_id directories
+    val plan = Similarity.queryIvfIndex(spark, dir, q, k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
+      s"probed-list scan should carry a partition filter:\n$plan")
+  }
+
   test("ivfTopK recall@5 >= 0.6 vs brute force on the real embeddings table") {
     // the driver's correctness scale: 500 × 64-dim vectors; the gate
     // pins the measured-quality configuration (nLists=16, nProbe=6)
