@@ -1,0 +1,15 @@
+package graft.tools
+/** Driver-contract smoke: entry() and an events-table query must work
+  * on a BARE session (none of GraftSession's configs). */
+object BareSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = graft.SparkEntry.entry(spark).count()
+    val m = graft.SparkEntry.queries("q39_events_sliding")(spark, "/root/testdata/sf0.001").count()
+    val d = graft.SparkEntry.queries("q55_pipeline_dash_q2")(spark, "/root/testdata/sf0.001").count()
+    println(s"SMOKE entry=$n events=$m dash=$d")
+    spark.stop()
+  }
+}

@@ -16,10 +16,11 @@ object RecallAudit {
       val lsh = pairs(Similarity.lshTopK(q, e, 5, dim = 64, nPlanes = pl, nTables = tb))
       println(f"RECALL planes=$pl tables=$tb lsh=${lsh.intersect(exact).size.toDouble / exact.size}%.3f t=${(System.nanoTime()-t0)/1e9}%.2f s")
     }
-    for ((nl, np) <- Seq((16, 4), (16, 6), (8, 3))) {
+    for ((nl, np, it) <- Seq((16, 4, 8), (16, 6, 8), (8, 3, 8), (32, 12, 8),
+        (64, 24, 8), (16, 6, 20), (32, 12, 20), (24, 9, 12))) {
       val t0 = System.nanoTime()
-      val ivf = pairs(Similarity.ivfTopK(q, e, 5, nLists = nl, nProbe = np))
-      println(f"RECALL ivf lists=$nl probe=$np r=${ivf.intersect(exact).size.toDouble / exact.size}%.3f t=${(System.nanoTime()-t0)/1e9}%.2f s")
+      val ivf = pairs(Similarity.ivfTopK(q, e, 5, nLists = nl, nProbe = np, trainIters = it))
+      println(f"RECALL ivf lists=$nl probe=$np iters=$it r=${ivf.intersect(exact).size.toDouble / exact.size}%.3f t=${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()
   }

@@ -123,17 +123,18 @@ class SimilaritySpec extends SparkSpec {
       s"probed-list scan should carry a partition filter:\n$plan")
   }
 
-  test("ivfTopK recall@5 >= 0.6 vs brute force on the real embeddings table") {
+  test("ivfTopK recall@5 >= 0.7 vs brute force on the real embeddings table") {
     // the driver's correctness scale: 500 × 64-dim vectors; the gate
-    // pins the measured-quality configuration (nLists=16, nProbe=6)
+    // pins the measured-quality configuration (nLists=32, nProbe=12 —
+    // the same 37.5% scan budget as 6/16 with finer partitioning)
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val q = e.filter($"vec_id" % 50 === 0)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
-    val ivf = pairs(Similarity.ivfTopK(q, e, 5, nLists = 16, nProbe = 6))
+    val ivf = pairs(Similarity.ivfTopK(q, e, 5, nLists = 32, nProbe = 12))
     val recall = ivf.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.6, s"trained-IVF recall@5 $recall below the 0.6 gate")
+    assert(recall >= 0.7, s"trained-IVF recall@5 $recall below the 0.7 gate")
   }
 }
