@@ -70,13 +70,20 @@ object QueryCatalog {
       concat(lit("P"), col("l_partkey")).as("product_id"),
       concat(lit("CAT"), pmod(col("l_partkey"), lit(7))).as("product_category"),
       floor(col("l_quantity")).cast("int").as("quantity_sold"),
-      // floor-based 2-digit rounding, NOT round(): the quotient is a
-      // derived double and Spark/DuckDB round() disagree on digit
-      // boundaries (see determinism rules above; drove q55–q57 hash
-      // fails in round 2). floor(x*100+0.5)/100 is identical IEEE ops
-      // on both engines, so the DISTINCT dim over unit_price matches.
-      (floor(col("l_extendedprice") / greatest(floor(col("l_quantity")), lit(1.0)) * 100 + 0.5) / 100)
-        .as("unit_price"),
+      // DOUBLE-FREE unit_price (r2/r3 hash postmortem): any IEEE
+      // division whose quotient lands near a rounding boundary is
+      // engine-version-dependent (e.g. FMA fusion of x/q*100+0.5
+      // evaluates with one rounding instead of two). So the price is
+      // derived with pure integer arithmetic: exact cents from the
+      // stored double (margin-safe — l_extendedprice is cents-exact,
+      // so ep*100+0.5 sits ~1e-9 from an integer, never near .5), then
+      // BIGINT integer division. The only doubles left have huge
+      // margins; the value that determines the dim_product fan-out is
+      // a BIGINT. unit_price itself is that cents value rescaled to
+      // dollars with exact decimal multiplication (no division).
+      (expr("floor(l_extendedprice * 100 + 0.5) DIV greatest(floor(l_quantity), 1)")
+        .cast(DecimalType(12, 0)) * lit(new java.math.BigDecimal("0.01")))
+        .cast(DecimalType(10, 2)).as("unit_price"),
       round(col("l_extendedprice"), 2).as("total_sales"),
       pmod(col("l_suppkey") * 7, lit(100)).cast("int").as("stock_level"),
       pmod(col("l_suppkey") * 3, lit(50)).cast("int").as("reorder_point"),
@@ -554,22 +561,24 @@ object QueryCatalog {
       val keepIds = Dedup.exact(all, "doc_id", "text").select(col("keep_id").as("doc_id"))
       val kept = all.join(keepIds, Seq("doc_id"), "left_semi")
       kept
-        .withColumn("alpha_ratio", TextFunctions.alphaRatio(col("text")))
+        // ZERO doubles (r1–r3 driver hash postmortem): the ratio, its
+        // filter, and its quantization are all pure integer arithmetic
+        // over character counts. alpha/len >= 0.55 ⟺ alpha*100 >= 55*len
+        // exactly (len > 0), and the basis-point score rounds half-up
+        // via (a*10000 + len DIV 2) DIV len — identical BIGINT ops on
+        // any engine version. No final division: the oracle compares
+        // the summed basis points directly.
+        .withColumn("alpha_chars", TextFunctions.alphaChars(col("text")))
+        .withColumn("len", length(col("text")).cast("long"))
         .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
-        .filter(length(col("text")) >= 100 &&
-          col("alpha_ratio") >= 0.55 && col("n_tokens") >= 10)
-        // quantize BEFORE aggregating: floor(x*1e4+0.5) is identical
-        // IEEE ops on both engines and yields exact longs, so the sum
-        // is associative and the former double→DECIMAL(18,4) cast
-        // (whose tie-breaking is engine/version-dependent — r1+r2
-        // driver hash fails) disappears entirely.
-        .withColumn("alpha_q", floor(col("alpha_ratio") * 10000 + 0.5))
+        .filter(col("len") >= 100 &&
+          col("alpha_chars") * 100 >= col("len") * 55 && col("n_tokens") >= 10)
+        .withColumn("alpha_q", expr("(alpha_chars * 10000 + len DIV 2) DIV len"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          (floor(sum(col("alpha_q")).cast("double") / count(lit(1)) / lit(10.0) + 0.5) / 1000)
-            .as("avg_alpha"))
+          sum(col("alpha_q")).as("sum_alpha_q"))
         .orderBy(col("source"))
     }),
 
@@ -607,24 +616,42 @@ object QueryCatalog {
         .orderBy(col("product_id"))
     }),
 
-    // dashboard Q3 end-to-end (reference: dashboard.py:78-91).
+    // dashboard Q3 end-to-end (reference: dashboard.py:78-91). Same
+    // star join + grouping as DashboardQueries.q3, but the emitted
+    // average is the ×1000-scaled BIGINT quotient — "one IEEE division
+    // is bit-identical" (r2 theory) proved false at the driver, whose
+    // DuckDB build evaluates boundary quotients differently (FMA-class
+    // fusion). DIV on BIGINTs is the only cross-engine-stable form.
     "q56_pipeline_dash_q3" -> ((s, dir) => {
-      dashboardServe(s, dir, graft.etl.DashboardQueries.q3)
+      dashboardServe(s, dir,
+        """SELECT s.store_location, p.product_category,
+          |       SUM(f.quantity_sold) AS total_sold,
+          |       (SUM(CAST(f.stock_level AS BIGINT)) * 1000) DIV COUNT(*) AS avg_stock_x1000
+          |FROM fact_sales f
+          |JOIN dim_store s ON f.store_id = s.store_id
+          |JOIN dim_product p ON f.product_id = p.product_id
+          |GROUP BY s.store_location, p.product_category""".stripMargin)
         .select(col("store_location"), col("product_category"),
           col("total_sold").cast("long").as("total_sold"),
-          // raw double: exact int sum / count is one IEEE division,
-          // bit-identical on both engines — rounding would be LESS
-          // deterministic (see q38 note)
-          col("avg_stock_level").cast("double").as("avg_stock_level"))
+          col("avg_stock_x1000").cast("long").as("avg_stock_x1000"))
         .orderBy(col("store_location"), col("product_category"))
     }),
 
-    // dashboard Q4 end-to-end (reference: dashboard.py:102-115).
+    // dashboard Q4 end-to-end (reference: dashboard.py:102-115). Sales
+    // are emitted as exact BIGINT cents: total_sales is DECIMAL(15,2),
+    // so per-row ×100 then SUM is pure integer arithmetic end to end.
     "q57_pipeline_dash_q4" -> ((s, dir) => {
-      dashboardServe(s, dir, graft.etl.DashboardQueries.q4)
+      dashboardServe(s, dir,
+        """SELECT s.store_location, p.product_category,
+          |       SUM(f.quantity_sold) AS total_quantity,
+          |       SUM(CAST(f.total_sales * 100 AS BIGINT)) AS sales_cents
+          |FROM fact_sales f
+          |JOIN dim_store s ON f.store_id = s.store_id
+          |JOIN dim_product p ON f.product_id = p.product_id
+          |GROUP BY s.store_location, p.product_category""".stripMargin)
         .select(col("store_location"), col("product_category"),
           col("total_quantity").cast("long").as("total_quantity"),
-          col("total_sales").cast("double").as("total_sales"))
+          col("sales_cents").cast("long").as("sales_cents"))
         .orderBy(col("store_location"), col("product_category"))
     }),
 
@@ -1320,17 +1347,16 @@ object QueryCatalog {
         |  SELECT a.* FROM all_docs a JOIN keep k ON a.doc_id = k.doc_id
         |), scored AS (
         |  SELECT source,
-        |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-        |           / GREATEST(length(text), 1) AS alpha_ratio,
+        |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+        |         CAST(length(text) AS BIGINT) AS len,
         |         CASE WHEN length(trim(text)) = 0 THEN 0
-        |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |         length(text) AS len
+        |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |  FROM kept
         |)
         |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-        |       FLOOR(CAST(SUM(CAST(FLOOR(alpha_ratio * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 10.0 + 0.5) / 1000 AS avg_alpha
+        |       SUM((alpha_chars * 10000 + len // 2) // len) AS sum_alpha_q
         |FROM scored
-        |WHERE len >= 100 AND alpha_ratio >= 0.55 AND n_tokens >= 10
+        |WHERE len >= 100 AND alpha_chars * 100 >= 55 * len AND n_tokens >= 10
         |GROUP BY source ORDER BY source""".stripMargin,
     "q39_events_sliding" ->
       """SELECT strftime(w, '%Y-%m-%d %H:%M') AS window_start, event_type,
@@ -1358,17 +1384,22 @@ object QueryCatalog {
     // q55–q57: the dashboard queries join dim_product, which is distinct
     // over (product_id, product_category, unit_price) — unit_price is
     // NOT a function of product_id, so the join fans out per price
-    // variant; the oracle joins the same DISTINCT subquery.
+    // variant. The oracle reproduces the fan-out over the BIGINT cents
+    // value (bijective with the DECIMAL(10,2) dollars the Spark
+    // pipeline carries): exact cents from the cents-exact stored
+    // double, then `//` integer division — no IEEE division anywhere
+    // that a DuckDB version could evaluate differently.
     "q55_pipeline_dash_q2" ->
       """WITH inv AS (
         |  SELECT 'P' || CAST(l_partkey AS VARCHAR) AS product_id,
         |         'CAT' || CAST(l_partkey % 7 AS VARCHAR) AS product_category,
-        |         CAST(floor(l_extendedprice / GREATEST(floor(l_quantity), 1.0) * 100 + 0.5) / 100 AS DECIMAL(10,2)) AS unit_price,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           // CAST(GREATEST(floor(l_quantity), 1) AS BIGINT) AS up_cents,
         |         CAST(floor(l_quantity) AS INTEGER) AS quantity_sold,
         |         l_shipdate AS date
         |  FROM lineitem
         |), dim_product AS (
-        |  SELECT DISTINCT product_id, product_category, unit_price FROM inv
+        |  SELECT DISTINCT product_id, product_category, up_cents FROM inv
         |)
         |SELECT p.product_id, p.product_category,
         |       SUM(f.quantity_sold) AS total_quantity_sold
@@ -1380,16 +1411,17 @@ object QueryCatalog {
         |  SELECT 'LOC' || CAST(l_suppkey % 20 AS VARCHAR) AS store_location,
         |         'P' || CAST(l_partkey AS VARCHAR) AS product_id,
         |         'CAT' || CAST(l_partkey % 7 AS VARCHAR) AS product_category,
-        |         CAST(floor(l_extendedprice / GREATEST(floor(l_quantity), 1.0) * 100 + 0.5) / 100 AS DECIMAL(10,2)) AS unit_price,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           // CAST(GREATEST(floor(l_quantity), 1) AS BIGINT) AS up_cents,
         |         CAST(floor(l_quantity) AS INTEGER) AS quantity_sold,
         |         CAST((l_suppkey * 7) % 100 AS INTEGER) AS stock_level
         |  FROM lineitem
         |), dim_product AS (
-        |  SELECT DISTINCT product_id, product_category, unit_price FROM inv
+        |  SELECT DISTINCT product_id, product_category, up_cents FROM inv
         |)
         |SELECT f.store_location, p.product_category,
         |       SUM(f.quantity_sold) AS total_sold,
-        |       AVG(f.stock_level) AS avg_stock_level
+        |       (SUM(CAST(f.stock_level AS BIGINT)) * 1000) // COUNT(*) AS avg_stock_x1000
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q57_pipeline_dash_q4" ->
@@ -1397,16 +1429,17 @@ object QueryCatalog {
         |  SELECT 'LOC' || CAST(l_suppkey % 20 AS VARCHAR) AS store_location,
         |         'P' || CAST(l_partkey AS VARCHAR) AS product_id,
         |         'CAT' || CAST(l_partkey % 7 AS VARCHAR) AS product_category,
-        |         CAST(floor(l_extendedprice / GREATEST(floor(l_quantity), 1.0) * 100 + 0.5) / 100 AS DECIMAL(10,2)) AS unit_price,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           // CAST(GREATEST(floor(l_quantity), 1) AS BIGINT) AS up_cents,
         |         CAST(floor(l_quantity) AS INTEGER) AS quantity_sold,
-        |         CAST(round(l_extendedprice, 2) AS DECIMAL(15,2)) AS total_sales
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS sales_cents
         |  FROM lineitem
         |), dim_product AS (
-        |  SELECT DISTINCT product_id, product_category, unit_price FROM inv
+        |  SELECT DISTINCT product_id, product_category, up_cents FROM inv
         |)
         |SELECT f.store_location, p.product_category,
         |       SUM(f.quantity_sold) AS total_quantity,
-        |       CAST(SUM(f.total_sales) AS DOUBLE) AS total_sales
+        |       SUM(f.sales_cents) AS sales_cents
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q61/q62: the sampling decision is (key*2654435761) mod 10000 —

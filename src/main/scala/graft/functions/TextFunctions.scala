@@ -29,8 +29,17 @@ object TextFunctions {
 
   private def safeLen(text: Column): Column = greatest(length(text), lit(1))
 
+  /** Count of A–Z/a–z characters, as BIGINT — the integer numerator
+    * behind [[alphaRatio]]. Exposed separately so oracle-checked
+    * queries can compare ratios with pure integer arithmetic
+    * (alpha/len ≥ t ⟺ alpha*scale ≥ t*scale*len) instead of
+    * engine-version-dependent IEEE division.
+    */
+  def alphaChars(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / safeLen(text)
+    alphaChars(text).cast("double") / safeLen(text)
 
   def digitRatio(text: Column): Column =
     length(regexp_replace(text, "[^0-9]", "")).cast("double") / safeLen(text)
