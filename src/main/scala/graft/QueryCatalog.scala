@@ -480,11 +480,15 @@ object QueryCatalog {
         .orderBy(col("query_id"))
     }),
 
-    // approximate ANN via random-hyperplane LSH.
+    // approximate ANN via sign-bit LSH (8 tables × 4 axis planes) —
+    // the oracle-portable variant: bucket membership is pure sign
+    // tests on stored floats, so the DuckDB oracle reproduces the
+    // exact candidate sets and the full ranked result is value-checked
+    // (the random-plane lshTopK stays as the spec-gated quality path).
     "q31_emb_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
-      Similarity.lshTopK(queries, e, k = 5, dim = 64)
+      Similarity.signLshTopK(queries, e, k = 5, nTables = 8, planesPerTable = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -780,15 +784,18 @@ object QueryCatalog {
     }),
 
     // IVF serving path: build the PERSISTED index (inverted lists
-    // partitioned by list_id + trained centroids), then query it —
-    // probed lists reach the scan as partition filters, so per-query
-    // I/O is nProbe/nLists of the corpus at any scale.
+    // partitioned by list_id), then query it — probed lists reach the
+    // scan as partition filters, so per-query I/O is nProbe/nLists of
+    // the corpus at any scale. Sign-quantizer variant at the same
+    // params as q44, so index-serving ≡ in-flight is itself
+    // value-checked by the shared oracle (the k-means index path
+    // keeps its own spec).
     "q72_emb_ann_ivf_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
-      Similarity.buildIvfIndex(e, path, nLists = 32)
-      Similarity.queryIvfIndex(s, path, queries, k = 5, nProbe = 12)
+      Similarity.buildSignIvfIndex(e, path, dim = 64, bits = 5)
+      Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64, bits = 5, nProbe = 12)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1024,12 +1031,15 @@ object QueryCatalog {
         .orderBy(col("user_id"))
     }),
 
-    // IVF approximate nearest neighbor (coarse-quantizer lists,
-    // nProbe probing).
+    // IVF approximate nearest neighbor, sign-pattern coarse quantizer
+    // (32 lists, 12 probed multi-probe style with integer flip costs) —
+    // candidate selection is all sign tests + BIGINT arithmetic, so the
+    // oracle value-checks the full approximate result (the k-means
+    // ivfTopK stays as the spec-gated quality path).
     "q44_emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
-      Similarity.ivfTopK(queries, e, k = 5, nLists = 32, nProbe = 12)
+      Similarity.signIvfTopK(queries, e, k = 5, dim = 64, bits = 5, nProbe = 12)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1055,7 +1065,61 @@ object QueryCatalog {
   // cosine ranking IS expressible (q29/q30 via list_cosine_similarity).
   // ---------------------------------------------------------------
 
+  /** Shared by q44 (in-flight) and q72 (persisted index): identical
+    * parameters ⇒ identical results, so one oracle value-checks both —
+    * the index ≡ in-flight equivalence becomes part of the driver gate.
+    * Quantizer dims 1,13,25,37,49 = Similarity.quantDims(64, 5),
+    * 1-indexed; probe ranking = multi-probe integer flip costs.
+    */
+  private val signIvfOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+      |), cl AS (
+      |  SELECT neighbor_id, cv,
+      |         (CASE WHEN cv[1]  > 0 THEN 1  ELSE 0 END)
+      |       + (CASE WHEN cv[13] > 0 THEN 2  ELSE 0 END)
+      |       + (CASE WHEN cv[25] > 0 THEN 4  ELSE 0 END)
+      |       + (CASE WHEN cv[37] > 0 THEN 8  ELSE 0 END)
+      |       + (CASE WHEN cv[49] > 0 THEN 16 ELSE 0 END) AS list_id
+      |  FROM c
+      |), ql AS (
+      |  SELECT query_id, qv,
+      |         (CASE WHEN qv[1]  > 0 THEN 1  ELSE 0 END)
+      |       + (CASE WHEN qv[13] > 0 THEN 2  ELSE 0 END)
+      |       + (CASE WHEN qv[25] > 0 THEN 4  ELSE 0 END)
+      |       + (CASE WHEN qv[37] > 0 THEN 8  ELSE 0 END)
+      |       + (CASE WHEN qv[49] > 0 THEN 16 ELSE 0 END) AS qlist,
+      |         CAST(floor(abs(qv[1])  * 1000000) AS BIGINT) AS c0,
+      |         CAST(floor(abs(qv[13]) * 1000000) AS BIGINT) AS c1,
+      |         CAST(floor(abs(qv[25]) * 1000000) AS BIGINT) AS c2,
+      |         CAST(floor(abs(qv[37]) * 1000000) AS BIGINT) AS c3,
+      |         CAST(floor(abs(qv[49]) * 1000000) AS BIGINT) AS c4
+      |  FROM q
+      |), probe AS (
+      |  SELECT query_id, qv, p AS list_id,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY
+      |             (CASE WHEN (xor(p, qlist) >> 0) & 1 = 1 THEN c0 ELSE 0 END)
+      |           + (CASE WHEN (xor(p, qlist) >> 1) & 1 = 1 THEN c1 ELSE 0 END)
+      |           + (CASE WHEN (xor(p, qlist) >> 2) & 1 = 1 THEN c2 ELSE 0 END)
+      |           + (CASE WHEN (xor(p, qlist) >> 3) & 1 = 1 THEN c3 ELSE 0 END)
+      |           + (CASE WHEN (xor(p, qlist) >> 4) & 1 = 1 THEN c4 ELSE 0 END), p) AS prn
+      |  FROM ql CROSS JOIN generate_series(0, 31) AS ps(p)
+      |), ranked AS (
+      |  SELECT probe.query_id, cl.neighbor_id,
+      |         row_number() OVER (PARTITION BY probe.query_id
+      |           ORDER BY list_cosine_similarity(probe.qv, cl.cv) DESC, cl.neighbor_id) AS rank
+      |  FROM probe JOIN cl USING (list_id)
+      |  WHERE prn <= 12 AND probe.query_id <> cl.neighbor_id
+      |)
+      |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q44_emb_ann_ivf" -> signIvfOracle,
+    "q72_emb_ann_ivf_index" -> signIvfOracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1310,6 +1374,44 @@ object QueryCatalog {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS rn
         |  FROM votes) v
         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // q31/q44/q72: the approximate result IS value-checked — candidate
+    // generation is pure sign tests + BIGINT arithmetic (see
+    // Similarity.signLshTopK / signIvfTopK), so the oracle reproduces
+    // the identical candidate sets and the exact-cosine ranking is the
+    // same q29-proven list_cosine_similarity comparison.
+    "q31_emb_ann_lsh" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |), qb AS (
+        |  SELECT query_id, t AS tbl,
+        |         (CASE WHEN qv[t*4+1] > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN qv[t*4+2] > 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN qv[t*4+3] > 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN qv[t*4+4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM q CROSS JOIN generate_series(0, 7) AS ts(t)
+        |), cb AS (
+        |  SELECT neighbor_id, t AS tbl,
+        |         (CASE WHEN cv[t*4+1] > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN cv[t*4+2] > 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN cv[t*4+3] > 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN cv[t*4+4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM c CROSS JOIN generate_series(0, 7) AS ts(t)
+        |), cand AS (
+        |  SELECT DISTINCT query_id, neighbor_id
+        |  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+        |  WHERE query_id <> neighbor_id
+        |), ranked AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, cand.neighbor_id) AS rank
+        |  FROM cand JOIN q ON q.query_id = cand.query_id
+        |            JOIN c ON c.neighbor_id = cand.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q34_distinct_agg" ->
       """SELECT l_returnflag,
         |       COUNT(DISTINCT l_suppkey) AS n_suppliers,

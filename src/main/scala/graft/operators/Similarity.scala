@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -288,6 +288,151 @@ object Similarity {
     corpus.select(col(idCol).as("vec_id"))
       .join(comps, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("keep_id"))
+  }
+
+  // -----------------------------------------------------------------
+  // Oracle-portable ANN variants. The random-plane LSH and k-means IVF
+  // below are the quality paths (recall spec-gated), but their
+  // candidate generation (JVM-seeded Gaussian planes, Lloyd
+  // iterations) is not reproducible in a SQL oracle. The sign-bit
+  // variants here make candidate selection PURE sign tests and integer
+  // arithmetic on the stored floats — bit-reproducible in any engine —
+  // so the driver's DuckDB gate can value-check the full approximate
+  // result, not just count rows. Same bucketed join shapes, same
+  // 100 TB posture; only the quantizer differs.
+  // -----------------------------------------------------------------
+
+  /** Bucket id from the sign bits of the selected (1-indexed) vector
+    * components: bit j = 1 iff vec[dims(j)] > 0. Bit-sampling LSH for
+    * cosine — a deterministic, engine-portable special case of
+    * hyperplane hashing (the planes are coordinate axes).
+    */
+  def signBucket(vec: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, j) =>
+      when(element_at(vec, d) > lit(0.0f), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Evenly spread quantizer dims: bits components at stride dim/bits,
+    * 1-indexed (matches SQL array indexing).
+    */
+  def quantDims(dim: Int, bits: Int): Seq[Int] =
+    (0 until bits).map(i => 1 + i * (dim / bits))
+
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Sign-bit LSH top-k: table t buckets on the sign pattern of
+    * components [t·planesPerTable+1, …] — candidates share a bucket in
+    * ≥1 table, then exact cosine ranks them. Deterministic end to end;
+    * the DuckDB oracle reproduces the same buckets with CASE on array
+    * elements (q31).
+    */
+  def signLshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nTables: Int = 8, planesPerTable: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("table"),
+            signBucket(col(vecCol),
+              (1 to planesPerTable).map(j => t * planesPerTable + j)).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.table"), col("tb.bucket"))
+    val qb = bucketed(queries, "query_id", "qv")
+    val cb = bucketed(corpus, "neighbor_id", "cv")
+    val cands = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    rankTopK(cands, k)
+  }
+
+  /** Probe-list selection for the sign-quantizer IVF: multi-probe LSH
+    * (Lv et al., VLDB'07) with integer flip costs. The query's home
+    * list is its sign pattern; every other list is ranked by the cost
+    * of flipping the disagreeing bits, where flipping bit i costs
+    * ⌊|q[dims(i)]|·10⁶⌋ — components near the axis are cheap to flip
+    * (the sign is uncertain), far ones expensive. All-BIGINT ordering,
+    * so probe sets are identical on any engine.
+    */
+  private def signProbe(
+      queries: DataFrame, dims: Seq[Int], bits: Int, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val costs = dims.zipWithIndex.map { case (d, i) =>
+      floor(abs(element_at(col(vecCol), d).cast("double")) * 1e6).as(s"__c$i")
+    }
+    val q = queries.select(col(idCol).as("query_id") +: col(vecCol).as("qv") +:
+      signBucket(col(vecCol), dims).as("__qlist") +: costs: _*)
+    val xorBits = col("p").bitwiseXOR(col("__qlist"))
+    val cost = (0 until bits).map { i =>
+      when(shiftright(xorBits, i).bitwiseAND(lit(1L)) === lit(1L), col(s"__c$i"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cost"), col("p"))
+    q.withColumn("p", explode(sequence(lit(0L), lit(((1L << bits) - 1)))))
+      .withColumn("__cost", cost)
+      .withColumn("__prn", row_number().over(w))
+      .filter(col("__prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("p").as("list_id"))
+  }
+
+  /** IVF with a sign-pattern coarse quantizer: 2^bits lists keyed by
+    * the signs of `bits` evenly spread components, probed multi-probe
+    * style ([[signProbe]]). The FAISS IVF shape (list assignment is one
+    * map-side projection, the probe join shuffles on list id) with a
+    * quantizer any SQL engine can reproduce — the oracle-checked
+    * counterpart of the k-means [[ivfTopK]].
+    */
+  def signIvfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      bits: Int = 5, nProbe: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dims = quantDims(dim, bits)
+    val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
+      signBucket(col(vecCol), dims).as("list_id"))
+    val cands = signProbe(queries, dims, bits, nProbe, idCol, vecCol)
+      .join(lists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
+    rankTopK(cands, k)
+  }
+
+  /** Persist the sign-quantizer IVF index: corpus parquet PARTITIONED
+    * BY list id, like [[buildIvfIndex]] but with no centroid side
+    * table — the quantizer is structural (sign bits), so the index is
+    * self-describing and any engine can recompute assignments.
+    */
+  def buildSignIvfIndex(
+      corpus: DataFrame, path: String, dim: Int, bits: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+
+  /** Serve from a persisted sign-IVF index: probe lists via
+    * [[signProbe]], scan only the probed partitions (list_id reaches
+    * the scan as a partition filter), exact-cosine rank. Result is
+    * identical to [[signIvfTopK]] at equal parameters — the spec and
+    * the q44/q72 oracle pair assert exactly that.
+    */
+  def querySignIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, dim: Int, bits: Int = 5, nProbe: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"), col("list_id"))
+    val cands = signProbe(queries, quantDims(dim, bits), bits, nProbe, idCol, vecCol)
+      .join(lists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
+    rankTopK(cands, k)
   }
 
   /** Approximate top-k via random-hyperplane LSH: score only pairs

@@ -137,4 +137,31 @@ class SimilaritySpec extends SparkSpec {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.7, s"trained-IVF recall@5 $recall below the 0.7 gate")
   }
+
+  test("sign-bit ANN variants: useful recall, and index ≡ in-flight") {
+    // the oracle-portable candidates (q31/q44/q72): weaker quantizers
+    // than the random-plane/k-means quality paths by design, but they
+    // must stay genuinely approximate-USEFUL, not just deterministic.
+    // Measured r4: signLsh 0.74 @ sf0.01 / 0.73 @ sf0.1, signIvf 0.66 /
+    // 0.61 at the same 12/32 probe budget as the k-means path.
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
+    val lsh = pairs(Similarity.signLshTopK(q, e, 5, nTables = 8, planesPerTable = 4))
+    assert(lsh.intersect(exact).size.toDouble / exact.size >= 0.6,
+      "sign-LSH recall@5 below the 0.6 gate")
+    val ivf = Similarity.signIvfTopK(q, e, 5, dim = 64, bits = 5, nProbe = 12)
+    assert(pairs(ivf).intersect(exact).size.toDouble / exact.size >= 0.55,
+      "sign-IVF recall@5 below the 0.55 gate")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sign_ivf").toString
+    Similarity.buildSignIvfIndex(e, dir, dim = 64, bits = 5)
+    val served = Similarity.querySignIvfIndex(spark, dir, q, k = 5, dim = 64,
+      bits = 5, nProbe = 12)
+    assert(served.orderBy("query_id", "rank").collect().toSeq ===
+      ivf.orderBy("query_id", "rank").collect().toSeq,
+      "persisted sign-IVF index must serve the exact in-flight result")
+  }
 }
