@@ -420,10 +420,15 @@ object QueryCatalog {
     // --- extension operators (no exact SQL oracle → rows-only) ---
 
     // language ID heuristic.
+    // lang-id emits the argmax label plus INTEGER evidence counts
+    // (stopword-token multiset count, token count) instead of a double
+    // ratio — fully oracle-checkable: the label's argmax/tiebreak and
+    // both counts are exact on any engine.
     "q25_docs_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("detected_lang"),
-          TextFunctions.stopwordRatio(col("text"), "en").as("en_stopword_ratio"))
+          TextFunctions.stopwordTokenCount(col("text"), "en").as("en_stop_tokens"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1120,6 +1125,50 @@ object QueryCatalog {
   val oracleSql: Map[String, String] = Map(
     "q44_emb_ann_ivf" -> signIvfOracle,
     "q72_emb_ann_ivf_index" -> signIvfOracle,
+    // lang-id: same stopword tables, same argmax/tiebreak order
+    // (en > fr > es > de, 'und' when nothing hits, CJK ⇒ zh); hits are
+    // DISTINCT stopwords present (Spark array_intersect semantics),
+    // en_stop_tokens is the multiset count.
+    "q25_docs_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, text, toks,
+        |    len(list_filter(['the','a','and','of','to','in','is','that','it','for'], s -> list_contains(toks, s))) AS he,
+        |    len(list_filter(['le','la','les','de','et','un','une','est','que','pour'], s -> list_contains(toks, s))) AS hf,
+        |    len(list_filter(['el','la','los','de','y','un','una','es','que','para'], s -> list_contains(toks, s))) AS hs,
+        |    len(list_filter(['der','die','das','und','ein','eine','ist','zu','den','von'], s -> list_contains(toks, s))) AS hd
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+        |       WHEN he >= hf AND he >= hs AND he >= hd AND he > 0 THEN 'en'
+        |       WHEN hf >= he AND hf >= hs AND hf >= hd AND hf > 0 THEN 'fr'
+        |       WHEN hs >= he AND hs >= hf AND hs >= hd AND hs > 0 THEN 'es'
+        |       WHEN hd >= he AND hd >= hf AND hd >= hs AND hd > 0 THEN 'de'
+        |       ELSE 'und' END AS detected_lang,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS BIGINT) AS en_stop_tokens,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // decontamination: join on literal 13-token grams — equivalent to
+    // the Spark side's join on 64-bit gram hashes (collision odds
+    // negligible; the same argument value-grounds q70).
+    "q67_docs_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(t[CAST(i AS INTEGER):CAST(i + 12 AS INTEGER)], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 12)) AS i FROM toks)
+        |), bench AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 40 = 0
+        |)
+        |SELECT gr.doc_id, COUNT(*) AS n_matching_ngrams
+        |FROM grams gr JOIN bench b ON gr.g = b.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -99,13 +99,21 @@ object TextFunctions {
       split(lower(trim(text)), "\\s+"),
       array(stopwords(lang).map(lit): _*)))
 
-  /** Fraction of tokens that are `lang` stopwords (multiset count). */
-  def stopwordRatio(text: Column, lang: String): Column = {
+  /** Multiset count of tokens that are `lang` stopwords, as BIGINT —
+    * the integer numerator behind [[stopwordRatio]], exposed for
+    * oracle-checked queries (counts compare exactly across engines;
+    * ratios re-introduce IEEE division).
+    */
+  def stopwordTokenCount(text: Column, lang: String): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val stops = array(stopwords(lang).map(lit): _*)
-    size(filter(toks, t => array_contains(stops, t))).cast("double") /
-      greatest(size(toks), lit(1))
+    size(filter(toks, t => array_contains(stops, t))).cast("long")
   }
+
+  /** Fraction of tokens that are `lang` stopwords (multiset count). */
+  def stopwordRatio(text: Column, lang: String): Column =
+    stopwordTokenCount(text, lang).cast("double") /
+      greatest(size(split(lower(trim(text)), "\\s+")), lit(1))
 
   /** Heuristic language ID: CJK codepoints ⇒ zh, else argmax stopword
     * hits with a fixed tiebreak order (en > fr > es > de), "und"
