@@ -90,6 +90,21 @@ class JdbcSpec extends SparkSpec {
     }
   }
 
+  test("S1: partitioned JDBC read splits the extract across N range queries") {
+    withDb { (url, conn) =>
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE big (id BIGINT, v VARCHAR)")
+      st.execute("INSERT INTO big SELECT range, 'v' || range FROM range(0, 1000)")
+      val df = Sources.read(spark, Sources.JdbcSource(url, "SELECT * FROM big", props,
+        partitioning = Some(Sources.JdbcPartitioning("id", 0L, 1000L, 4))))
+      // the contract at scale: N concurrent range extracts, and the
+      // stride predicates neither drop nor duplicate boundary rows
+      assert(df.rdd.getNumPartitions === 4)
+      assert(df.count() === 1000L)
+      assert(df.select(sum(col("id").cast("long"))).head.getLong(0) === 499500L)
+    }
+  }
+
   test("main.py seed flow: CSV -> JDBC table -> pipeline ingest") {
     // the reference's deployment shape end-to-end: seed the source
     // database from the CSV (main.py), then ingest from it over JDBC
