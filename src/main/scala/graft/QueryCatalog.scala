@@ -507,13 +507,18 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
-    // multimodal plumbing: binary payload → stubbed decode → features.
+    // multimodal with a REAL codec: text bytes → valid 24-bpp BMP
+    // (BmpCodec.encode) → actual header parse + bottom-up row decode →
+    // exact per-channel pixel sums. All-integer output; the oracle
+    // recomputes the same sums from the source bytes (BMP channel j =
+    // byte position mod 3; zero padding adds nothing).
     "q33_multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.fromText(s, t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("byte_len").cast("long").as("byte_len"),
-          col("content_hash"),
-          round(VectorFunctions.norm(col("embedding")), 4).as("feature_norm"))
+      val media = Multimodal.bmpFromText(s, t(s, dir, "documents"), "doc_id", "text",
+        width = 16)
+      Multimodal.imageStats(media).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r"))
         .orderBy(col("media_id"))
     }),
 
@@ -1152,6 +1157,42 @@ object QueryCatalog {
         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS BIGINT) AS en_stop_tokens,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens
         |FROM h ORDER BY doc_id""".stripMargin,
+    // q33: the documents text is ASCII (verified across all SFs), so
+    // ord(substr(text, i, 1)) IS the payload byte; the BMP encoder
+    // places byte i (0-based) in channel i mod 3 (B,G,R) and pads the
+    // last row with zeros, which add nothing to the sums.
+    "q33_multimodal_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |), bytes AS (
+        |  SELECT doc_id, i, ord(substr(text, CAST(i AS INTEGER), 1)) AS v
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len)) AS i FROM d)
+        |), sums AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN (i - 1) % 3 = 0 THEN v ELSE 0 END) AS sum_b,
+        |         SUM(CASE WHEN (i - 1) % 3 = 1 THEN v ELSE 0 END) AS sum_g,
+        |         SUM(CASE WHEN (i - 1) % 3 = 2 THEN v ELSE 0 END) AS sum_r
+        |  FROM bytes GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id,
+        |       CAST(16 AS BIGINT) AS width,
+        |       CAST(GREATEST((d.len + 47) // 48, 1) AS BIGINT) AS height,
+        |       CAST(16 * GREATEST((d.len + 47) // 48, 1) AS BIGINT) AS n_pixels,
+        |       CAST(COALESCE(s.sum_b, 0) AS BIGINT) AS sum_b,
+        |       CAST(COALESCE(s.sum_g, 0) AS BIGINT) AS sum_g,
+        |       CAST(COALESCE(s.sum_r, 0) AS BIGINT) AS sum_r
+        |FROM d LEFT JOIN sums s USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+    // q43: frame sampling is pure integer arithmetic over the payload
+    // byte length — every 2nd complete 64-byte chunk.
+    "q43_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS blen FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_no,
+        |       CAST(64 AS BIGINT) AS frame_bytes
+        |FROM (SELECT doc_id, unnest(generate_series(0, blen // 64 - 1, 2)) AS f FROM d)
+        |ORDER BY media_id, frame_no""".stripMargin,
     // decontamination: join on literal 13-token grams — equivalent to
     // the Spark side's join on 64-bit gram hashes (collision odds
     // negligible; the same argument value-grounds q70).

@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
-  * Media is carried as an opaque `binary` payload plus typed metadata —
-  * the Spark-side schema, partitioning and batch shape are real; the
-  * actual codec is behind [[MediaDecoder]] because no image/audio
-  * libraries ship in this environment. [[StubDecoder]] is a
-  * deterministic fake (hash-derived features) so the pipeline is fully
-  * testable; swapping in a real decoder changes no plumbing.
+  * Media is carried as an opaque `binary` payload plus typed metadata.
+  * The image path decodes REAL bytes: [[BmpCodec]] parses the public
+  * 24-bpp BMP format header-for-header (no image library needed), so
+  * [[imageStats]]/[[BmpDecoder]] feature-extract from actual decoded
+  * pixels. [[StubDecoder]] remains only as the pluggable-codec test
+  * fake for formats this environment cannot parse (JPEG/PNG/audio).
   *
   * Scale notes: decode runs in `mapPartitions` so a real decoder can
   * amortize per-partition init (model load, codec contexts) exactly
@@ -41,9 +41,31 @@ object Multimodal {
     def decode(payload: Array[Byte]): Array[Float]
   }
 
+  /** REAL image decode: parse the BMP payload with [[BmpCodec]] and
+    * bucket mean pixel intensities into a `dim`-float embedding — every
+    * feature value derives from actual decoded pixel bytes.
+    */
+  final class BmpDecoder(val dim: Int = 16) extends MediaDecoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val img = BmpCodec.decode(payload)
+      val out = new Array[Float](dim)
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < img.pixels.length) {
+        out(i % dim) += (img.pixels(i) & 0xFF) / 255.0f
+        counts(i % dim) += 1
+        i += 1
+      }
+      var d = 0
+      while (d < dim) { if (counts(d) > 0) out(d) /= counts(d); d += 1 }
+      out
+    }
+  }
+
   /** Deterministic fake decode: features derived from a rolling hash of
-    * the payload. Stands in for the real image/audio decode (``???``
-    * territory) — see class doc.
+    * the payload. The pluggable-codec stand-in for formats with no
+    * pure-JVM parser here (JPEG/PNG/audio) — the BMP path above is the
+    * real thing.
     */
   final class StubDecoder(val dim: Int = 16) extends MediaDecoder {
     def decode(payload: Array[Byte]): Array[Float] = {
@@ -104,5 +126,56 @@ object Multimodal {
         col(textCol).cast("binary").as("payload"),
         lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
       .as[MediaRecord]
+  }
+
+  /** Build REAL image payloads from a text column: each row's UTF-8
+    * bytes are encoded as a valid 24-bpp BMP of the given width
+    * ([[BmpCodec.encode]]), so downstream operators exercise an actual
+    * binary image format end to end — header parse, bottom-up row
+    * order, padding — not an opaque blob.
+    */
+  def bmpFromText(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      width: Int = 16): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val bmp = BmpCodec.encode(bytes, width)
+        val height = math.max(1, (bytes.length + width * 3 - 1) / (width * 3))
+        MediaRecord(id, "image", bmp, width, height, 0L)
+      }
+  }
+
+  /** Per-image integer pixel statistics from REAL decode: width and
+    * height read from the parsed BMP header, and exact per-channel
+    * byte sums (BMP pixel order is B,G,R) over the decoded pixel
+    * array. All-integer output, so a SQL oracle can reproduce it
+    * exactly from the source bytes (q33).
+    */
+  final case class ImageStats(
+      media_id: Long, width: Int, height: Int, n_pixels: Long,
+      sum_b: Long, sum_g: Long, sum_r: Long)
+
+  def imageStats(records: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val img = BmpCodec.decode(r.payload)
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = (img.pixels(i) & 0xFF).toLong
+          (i % 3: @annotation.switch) match {
+            case 0 => sb += v
+            case 1 => sg += v
+            case 2 => sr += v
+          }
+          i += 1
+        }
+        ImageStats(r.media_id, img.width, img.height,
+          img.width.toLong * img.height, sb, sg, sr)
+      }
+    }
   }
 }
