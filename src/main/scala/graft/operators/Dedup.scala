@@ -187,18 +187,27 @@ object Dedup {
     * Each round is two shuffles (neighbor-min groupBy + the halving
     * self-join) over (id, label) pairs only — no text, no signatures.
     * The driver-side loop runs one count() action per round to test
-    * convergence; labels are cached per round and localCheckpoint'ed to
-    * keep the plan from growing superlinearly (swap for reliable
-    * checkpointing on a real cluster).
+    * convergence; labels are truncated per round so the plan never
+    * grows superlinearly.
+    *
+    * Truncation mode: `checkpointDir = None` (default) uses
+    * `localCheckpoint` — right for local mode, but the truncated
+    * lineage lives in executor block storage, so on a real cluster an
+    * executor loss mid-computation fails the job. Pass a reliable
+    * `checkpointDir` (HDFS/S3 in production) and every round's labels
+    * are persisted to storage instead — the 100 TB posture.
     */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    var labels = truncate(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -209,11 +218,10 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // path halving: label := label(label)
-      val halved = propagated.as("p")
+      val halved = truncate(propagated.as("p")
         .join(propagated.select(col("doc_id").as("label"),
           col("label").as("ll")).as("g"), Seq("label"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
       val changed = halved.as("n")
         .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
         .filter(col("label") =!= col("old")).limit(1).count()

@@ -217,4 +217,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(resolved === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
+
+  test("connectedComponents: reliable-checkpoint mode ≡ local, lineage truncated") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val local = Dedup.connectedComponents(pairs)
+      .orderBy("doc_id").collect().toSeq
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    assert(reliable.orderBy("doc_id").collect().toSeq === local)
+    // the labels really went to reliable storage, not executor blocks
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try assert(files.filter(java.nio.file.Files.isRegularFile(_)).count() > 0)
+    finally files.close()
+    // lineage is truncated: the result plan reads checkpointed RDDs,
+    // not the k-round iterative join tree
+    assert(reliable.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.getClass.getSimpleName.startsWith("LogicalRDD")))
+  }
 }
