@@ -13,8 +13,9 @@ object Bench {
     // one representative per plan family (agg, window, banding join,
     // cosine/topk, pipeline, generate/explode, range window, CC loop)
     // so no timed query pays first-plan JIT for its whole shape.
-    Seq("q01_pricing_summary", "q13_window_topk", "q26_docs_minhash_neardup",
-      "q29_emb_cosine_topk", "q40_pipeline_dashboard", "q50_word_count",
+    Seq("q01_pricing_summary", "q06_join_3way_agg", "q13_window_topk",
+      "q26_docs_minhash_neardup", "q29_emb_cosine_topk", "q40_pipeline_dashboard",
+      "q45_tpch_q3", "q50_word_count",
       "q58_docs_neardup_resolve", "q64_events_trailing").foreach { q =>
       try SparkEntry.queries(q)(spark, warmupDir).count()
       catch { case _: Throwable => () }
