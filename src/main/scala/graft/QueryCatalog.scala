@@ -833,23 +833,24 @@ object QueryCatalog {
     // intersections, and the int/int-division Jaccard agree with the
     // oracle's literal gram sets exactly.
     "q70_docs_jaccard_exact" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("text"))
-      val mutated = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000L).as("doc_id"),
-          concat(col("text"), lit(" tail token")).as("text"))
-      val sets = d.unionByName(mutated)
-        .select(col("doc_id"),
-          graft.expressions.GraftFunctions.shingleSet(col("text"), 3, charLevel = false).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-        .withColumn("jaccard",
-          graft.expressions.GraftFunctions.jaccardSorted(col("sha"), col("shb")))
-        .filter(col("jaccard") >= 0.5)
+      exactJaccardPairs(s, dir)._2
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // value-checks the connectedComponents OPERATOR itself: the q70
+    // exact pair set resolved to components (min reachable id) on the
+    // Spark side, against a recursive-CTE reachability oracle — so the
+    // label-propagation + path-halving loop that underpins the
+    // rows-only resolution entries (q58/q60/q68) is itself
+    // value-grounded. Singletons keep their own id.
+    "q73_components_exact" -> ((s, dir) => {
+      val (all, pairs) = exactJaccardPairs(s, dir)
+      val comps = Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      all.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
     }),
 
     // lag/lead offset windows: per-user deltas between consecutive
@@ -1075,6 +1076,33 @@ object QueryCatalog {
   // cosine ranking IS expressible (q29/q30 via list_cosine_similarity).
   // ---------------------------------------------------------------
 
+  /** Bounded exact all-pairs token-3-gram Jaccard (q70/q73): docs with
+    * id < 100 plus planted near-copies (id+200000, " tail token"
+    * appended). Returns (all docs, pairs ≥ 0.5). Shingle-hash sets
+    * stand in for literal gram sets — 64-bit collision odds are
+    * negligible at this cardinality, so sizes/intersections/quotients
+    * agree with the oracle's literal grams exactly.
+    */
+  private def exactJaccardPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val mutated = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" tail token")).as("text"))
+    val all = d.unionByName(mutated)
+    val sets = all
+      .select(col("doc_id"),
+        graft.expressions.GraftFunctions.shingleSet(col("text"), 3, charLevel = false).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val pairs = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        graft.expressions.GraftFunctions.jaccardSorted(col("sha"), col("shb")))
+      .filter(col("jaccard") >= 0.5)
+    (all, pairs)
+  }
+
   /** Shared by q44 (in-flight) and q72 (persisted index): identical
     * parameters ⇒ identical results, so one oracle value-checks both —
     * the index ≡ in-flight equivalence becomes part of the driver gate.
@@ -1193,6 +1221,44 @@ object QueryCatalog {
         |       CAST(64 AS BIGINT) AS frame_bytes
         |FROM (SELECT doc_id, unnest(generate_series(0, blen // 64 - 1, 2)) AS f FROM d)
         |ORDER BY media_id, frame_no""".stripMargin,
+    // q73: same pair construction as q70, then components as the
+    // minimum reachable label via a recursive reachability CTE —
+    // UNION-dedup guarantees termination; min over reached nodes is
+    // the component id on the symmetric closure.
+    "q73_components_exact" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' tail token' FROM documents
+        |  WHERE doc_id < 100 AND doc_id % 7 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM docs WHERE length(trim(text)) > 0
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+        |), sets AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter i
+        |  JOIN sets sa ON i.doc_a = sa.doc_id
+        |  JOIN sets sb ON i.doc_b = sb.doc_id
+        |  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), walk(node, reached) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reached
+        |)
+        |SELECT node AS doc_id, MIN(reached) AS component
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     // decontamination: join on literal 13-token grams — equivalent to
     // the Spark side's join on 64-bit gram hashes (collision odds
     // negligible; the same argument value-grounds q70).
