@@ -215,17 +215,18 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
       val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // path halving: label := label(label)
+      // path halving: label := label(label). The previous round's label
+      // rides along as `old` so the convergence test below is a filter
+      // over the truncated result — no extra join job per round.
       val halved = truncate(propagated.as("p")
         .join(propagated.select(col("doc_id").as("label"),
           col("label").as("ll")).as("g"), Seq("label"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
-      val changed = halved.as("n")
-        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = halved
+        .select(col("doc_id"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+      val changed = halved.filter(col("label") =!= col("old")).limit(1).count()
+      labels = halved.select(col("doc_id"), col("label"))
       done = changed == 0
       iter += 1
     }

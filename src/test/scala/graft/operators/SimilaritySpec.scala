@@ -163,5 +163,10 @@ class SimilaritySpec extends SparkSpec {
     assert(served.orderBy("query_id", "rank").collect().toSeq ===
       ivf.orderBy("query_id", "rank").collect().toSeq,
       "persisted sign-IVF index must serve the exact in-flight result")
+    // probed lists must prune at the partition level, like the k-means
+    // index path
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
+      s"probed sign-list scan should carry a partition filter:\n$plan")
   }
 }
