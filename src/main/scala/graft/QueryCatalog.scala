@@ -1148,7 +1148,7 @@ object QueryCatalog {
       |), ranked AS (
       |  SELECT probe.query_id, cl.neighbor_id,
       |         row_number() OVER (PARTITION BY probe.query_id
-      |           ORDER BY list_cosine_similarity(probe.qv, cl.cv) DESC, cl.neighbor_id) AS rank
+      |           ORDER BY floor(list_cosine_similarity(probe.qv, cl.cv) * 1000000) DESC, cl.neighbor_id) AS rank
       |  FROM probe JOIN cl USING (list_id)
       |  WHERE prn <= 12 AND probe.query_id <> cl.neighbor_id
       |)
@@ -1503,7 +1503,7 @@ object QueryCatalog {
         |), ranked AS (
         |  SELECT query_id, neighbor_id,
         |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |           ORDER BY floor(list_cosine_similarity(qv, cv) * 1000000) DESC, neighbor_id) AS rank
         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
         |)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
@@ -1518,7 +1518,7 @@ object QueryCatalog {
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
         |           row_number() OVER (PARTITION BY query_id
-        |             ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |             ORDER BY floor(list_cosine_similarity(qv, cv) * 1000000) DESC, neighbor_id) AS rank
         |    FROM q CROSS JOIN c WHERE query_id <> neighbor_id) t
         |  WHERE rank <= 5
         |), votes AS (
@@ -1562,7 +1562,7 @@ object QueryCatalog {
         |), ranked AS (
         |  SELECT cand.query_id, cand.neighbor_id,
         |         row_number() OVER (PARTITION BY cand.query_id
-        |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, cand.neighbor_id) AS rank
+        |           ORDER BY floor(list_cosine_similarity(q.qv, c.cv) * 1000000) DESC, cand.neighbor_id) AS rank
         |  FROM cand JOIN q ON q.query_id = cand.query_id
         |            JOIN c ON c.neighbor_id = cand.neighbor_id
         |)

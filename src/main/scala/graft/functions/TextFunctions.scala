@@ -99,21 +99,26 @@ object TextFunctions {
       split(lower(trim(text)), "\\s+"),
       array(stopwords(lang).map(lit): _*)))
 
+  private def stopwordMatches(toks: Column, lang: String): Column = {
+    val stops = array(stopwords(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t)))
+  }
+
   /** Multiset count of tokens that are `lang` stopwords, as BIGINT —
     * the integer numerator behind [[stopwordRatio]], exposed for
     * oracle-checked queries (counts compare exactly across engines;
     * ratios re-introduce IEEE division).
     */
-  def stopwordTokenCount(text: Column, lang: String): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val stops = array(stopwords(lang).map(lit): _*)
-    size(filter(toks, t => array_contains(stops, t))).cast("long")
-  }
+  def stopwordTokenCount(text: Column, lang: String): Column =
+    stopwordMatches(split(lower(trim(text)), "\\s+"), lang).cast("long")
 
-  /** Fraction of tokens that are `lang` stopwords (multiset count). */
-  def stopwordRatio(text: Column, lang: String): Column =
-    stopwordTokenCount(text, lang).cast("double") /
-      greatest(size(split(lower(trim(text)), "\\s+")), lit(1))
+  /** Fraction of tokens that are `lang` stopwords (multiset count).
+    * Tokenizes once: the split feeds both numerator and denominator.
+    */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    stopwordMatches(toks, lang).cast("double") / greatest(size(toks), lit(1))
+  }
 
   /** Heuristic language ID: CJK codepoints ⇒ zh, else argmax stopword
     * hits with a fixed tiebreak order (en > fr > es > de), "und"

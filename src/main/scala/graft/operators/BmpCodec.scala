@@ -18,6 +18,13 @@ object BmpCodec {
 
   private def rowPadded(width: Int): Int = (width * 3 + 3) / 4 * 4
 
+  /** Rows needed to hold `contentLen` bytes at this width — the single
+    * source of truth for encoded image height (also used by
+    * [[Multimodal.bmpFromText]] for record metadata).
+    */
+  def heightFor(contentLen: Int, width: Int): Int =
+    math.max(1, (contentLen + width * 3 - 1) / (width * 3))
+
   /** Encode raw bytes as a 24-bpp bottom-up BMP of the given width:
     * the content fills pixels row-major top-down in BGR byte order,
     * zero-padded to fill the last row. Deterministic: the same content
@@ -27,7 +34,7 @@ object BmpCodec {
     require(width > 0, "width must be positive")
     val rowData = width * 3
     val padded = rowPadded(width)
-    val height = math.max(1, (content.length + rowData - 1) / rowData)
+    val height = heightFor(content.length, width)
     val dataSize = padded * height
     val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -67,6 +74,14 @@ object BmpCodec {
     val heightRaw = buf.getInt(22)
     val topDown = heightRaw < 0
     val height = math.abs(heightRaw)
+    // bound header-controlled dimensions BEFORE any arithmetic on them:
+    // a corrupt width like 0x40000000 would overflow rowData negative
+    // and slip past the truncation check into an allocation crash
+    require(width > 0 && width <= (1 << 20), s"unreasonable width $width")
+    require(height > 0 && height <= (1 << 20), s"unreasonable height $height")
+    require(width.toLong * height <= (1L << 28),
+      s"pixel count ${width.toLong * height} exceeds decoder cap")
+    require(pixelOffset >= 54 && pixelOffset <= bmp.length, "bad pixel-data offset")
     require(buf.getShort(26) == 1, "planes must be 1")
     require(buf.getShort(28) == 24, s"only 24 bpp supported, got ${buf.getShort(28)}")
     require(buf.getInt(30) == 0, "only uncompressed BI_RGB supported")

@@ -195,12 +195,32 @@ object Dedup {
     * lineage lives in executor block storage, so on a real cluster an
     * executor loss mid-computation fails the job. Pass a reliable
     * `checkpointDir` (HDFS/S3 in production) and every round's labels
-    * are persisted to storage instead — the 100 TB posture.
+    * are persisted to storage instead — the 100 TB posture. Superseded
+    * rounds' checkpoint files are deleted as the loop advances (Spark
+    * itself never cleans checkpoints), so storage holds at most two
+    * label snapshots at a time; only the final round's files outlive
+    * the call, freed when the caller is done with the result (or by a
+    * TTL on the directory). NOTE `SparkContext.setCheckpointDir` is
+    * session-global — the previous setting is restored on exit.
     */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    val priorCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // rdd-<id> subdirs under the (UUID-scoped) checkpoint dir; ids are
+    // monotonic, so after the loop everything but the newest is stale
+    def checkpointFiles(): Seq[org.apache.hadoop.fs.Path] =
+      sc.getCheckpointDir.toSeq.flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(sc.hadoopConfiguration)
+        if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("rdd-"))
+        else Nil
+      }
+    val preexisting = if (checkpointDir.isDefined) checkpointFiles().toSet
+      else Set.empty[org.apache.hadoop.fs.Path]
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -231,6 +251,17 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (checkpointDir.isDefined) {
+      // drop every checkpoint this call created except the newest
+      // (= the final labels, still referenced by the returned frame)
+      val created = checkpointFiles().filterNot(preexisting)
+      if (created.nonEmpty) {
+        val keep = created.maxBy(p => p.getName.stripPrefix("rdd-").toLong)
+        val fs = keep.getFileSystem(sc.hadoopConfiguration)
+        created.filterNot(_ == keep).foreach(fs.delete(_, true))
+      }
+      priorCheckpointDir.foreach(sc.setCheckpointDir)
+    }
     labels.select(col("doc_id"), col("label").as("component"))
   }
 

@@ -142,8 +142,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val bmp = BmpCodec.encode(bytes, width)
-        val height = math.max(1, (bytes.length + width * 3 - 1) / (width * 3))
-        MediaRecord(id, "image", bmp, width, height, 0L)
+        MediaRecord(id, "image", bmp, width, BmpCodec.heightFor(bytes.length, width), 0L)
       }
   }
 

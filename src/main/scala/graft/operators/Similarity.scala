@@ -18,6 +18,18 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Oracle-robust neighbor-ranking key: cosine quantized to the 1e-6
+    * grid. Under a raw double key, two engines whose cosine
+    * accumulation differs by 1 ulp (SIMD partial sums / FMA fusion —
+    * the exact FP class behind the r2/r3 q55–q57 driver hash fails)
+    * order near-ties oppositely. On the grid they TIE instead, and the
+    * neighbor_id tiebreak resolves identically everywhere; divergence
+    * now needs a cosine within 1 ulp of a grid boundary (~1e-10 odds)
+    * rather than within 1 ulp of a rival. Every oracle mirrors
+    * `floor(list_cosine_similarity(..) * 1000000)`.
+    */
+  private def rankKey(cosine: Column): Column = floor(cosine * 1e6)
+
   /** Exact top-k cosine neighbors for each query vector.
     * Ties break on neighbor id — deterministic output.
     */
@@ -30,7 +42,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
     cross
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -162,7 +174,7 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv", nProbe)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
     queryLists.join(corpusLists, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
@@ -262,7 +274,7 @@ object Similarity {
     val lists = spark.read.parquet(s"$path/lists")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"), col("list_id"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
     probed.join(lists, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
@@ -320,7 +332,7 @@ object Similarity {
 
   private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -390,6 +402,17 @@ object Similarity {
     * quantizer any SQL engine can reproduce — the oracle-checked
     * counterpart of the k-means [[ivfTopK]].
     */
+  /** Shared serving tail for both sign-IVF paths: probed (query, list)
+    * pairs joined to the inverted lists, self-matches dropped, exact
+    * cosine ranked. ONE implementation so the `signIvfTopK` ≡
+    * `querySignIvfIndex` guarantee (asserted by spec and by the shared
+    * q44/q72 oracle) is structural, not copy-paste discipline.
+    */
+  private def rankSignCandidates(lists: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    rankTopK(probes.join(lists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2"))), k)
+
   def signIvfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bits: Int = 5, nProbe: Int = 12,
@@ -397,11 +420,7 @@ object Similarity {
     val dims = quantDims(dim, bits)
     val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
       signBucket(col(vecCol), dims).as("list_id"))
-    val cands = signProbe(queries, dims, bits, nProbe, idCol, vecCol)
-      .join(lists, Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
-    rankTopK(cands, k)
+    rankSignCandidates(lists, signProbe(queries, dims, bits, nProbe, idCol, vecCol), k)
   }
 
   /** Persist the sign-quantizer IVF index: corpus parquet PARTITIONED
@@ -428,11 +447,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val lists = spark.read.parquet(s"$path/lists")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"), col("list_id"))
-    val cands = signProbe(queries, quantDims(dim, bits), bits, nProbe, idCol, vecCol)
-      .join(lists, Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
-    rankTopK(cands, k)
+    rankSignCandidates(lists,
+      signProbe(queries, quantDims(dim, bits), bits, nProbe, idCol, vecCol), k)
   }
 
   /** Approximate top-k via random-hyperplane LSH: score only pairs
@@ -465,7 +481,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
