@@ -838,6 +838,29 @@ object QueryCatalog {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // int8 embedding quantization: per-vector integer summaries of the
+    // symmetric-quantized codes. Division-free (one multiply + floor
+    // per component), so the codes — and these sums — are exact on any
+    // engine.
+    "q74_emb_quantize_int8" -> ((s, dir) => {
+      val q8 = VectorFunctions.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings").select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        aggregate(q8, lit(0L), (a, x) => a + x).as("sum_q8"),
+        array_min(q8).cast("long").as("min_q8"),
+        array_max(q8).cast("long").as("max_q8"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // exact-N deterministic uniform sample (priority = Knuth hash of
+    // the key): EXACTLY 200 docs, stable under reruns/partitioning,
+    // fully SQL-expressible.
+    "q75_sample_priority" -> ((s, dir) => {
+      Sampling.prioritySample(t(s, dir, "documents"), "doc_id", n = 200)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // value-checks the connectedComponents OPERATOR itself: the q70
     // exact pair set resolved to components (min reachable id) on the
     // Spark side, against a recursive-CTE reachability oracle — so the
@@ -1221,6 +1244,26 @@ object QueryCatalog {
         |       CAST(64 AS BIGINT) AS frame_bytes
         |FROM (SELECT doc_id, unnest(generate_series(0, blen // 64 - 1, 2)) AS f FROM d)
         |ORDER BY media_id, frame_no""".stripMargin,
+    "q74_emb_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, qv,
+        |         list_transform(qv,
+        |           x -> GREATEST(-128, LEAST(127, floor(x * 127)))) AS codes
+        |  FROM v
+        |)
+        |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims,
+        |       CAST(list_sum(codes) AS BIGINT) AS sum_q8,
+        |       CAST(list_aggregate(codes, 'min') AS BIGINT) AS min_q8,
+        |       CAST(list_aggregate(codes, 'max') AS BIGINT) AS max_q8
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q75_sample_priority" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        |  LIMIT 200
+        |) t ORDER BY doc_id""".stripMargin,
     // q73: same pair construction as q70, then components as the
     // minimum reachable label via a recursive reachability CTE —
     // UNION-dedup guarantees termination; min over reached nodes is

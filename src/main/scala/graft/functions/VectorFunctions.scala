@@ -38,6 +38,18 @@ object VectorFunctions {
     GraftFunctions.hyperplaneBucket(
       v, planes.flatten.toIndexedSeq, planes.length)
 
+  /** Symmetric int8 quantization codes: clamp(⌊x·127⌋, −128, 127) per
+    * component — the embedding-compression primitive for serving 100 TB
+    * corpora from a quarter of the footprint. Fixed-scale (÷128 to
+    * dequantize), deliberately division-free: one IEEE multiply + floor
+    * per component, so codes are bit-identical on any engine and the
+    * driver oracle value-checks them (q74). For unit-normalized
+    * embeddings (|x| ≤ 1) the clamp only fires at exactly ±1.
+    */
+  def quantizeInt8(v: Column): Column =
+    transform(v, x =>
+      greatest(lit(-128L), least(lit(127L), floor(x.cast("double") * 127))).cast("int"))
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

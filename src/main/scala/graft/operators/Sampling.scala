@@ -44,6 +44,24 @@ object Sampling {
     (df.filter(bucket(col(keyCol)) >= t), df.filter(bucket(col(keyCol)) < t))
   }
 
+  /** Exact-N uniform sample without replacement: every key gets a
+    * deterministic pseudo-random priority (Knuth multiplicative hash
+    * mod 2³²) and the N smallest priorities win. Unlike fraction
+    * sampling this returns EXACTLY n rows; like it, the selection is a
+    * pure function of the keys — reruns, retries, and repartitioning
+    * pick the same rows, and the whole decision is SQL-expressible for
+    * the oracle. Scale shape: `orderBy().limit(n)` compiles to
+    * TakeOrdered — per-partition top-N then a driver merge of N·P
+    * rows, no global sort shuffle.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    val priority = pmod(col(keyCol) * lit(2654435761L), lit(1L << 32))
+    df.withColumn("__priority", priority)
+      .orderBy(col("__priority"), col(keyCol))
+      .limit(n)
+      .drop("__priority")
+  }
+
   /** Per-stratum sampling rates (e.g. keep all rare positives, 5% of
     * the majority class): rows in a stratum listed in `fractions` keep
     * that rate, others keep `default`. One scan, no shuffle — the rate

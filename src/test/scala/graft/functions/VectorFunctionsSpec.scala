@@ -48,4 +48,17 @@ class VectorFunctionsSpec extends SparkSpec {
     // opposite vector flips every plane's sign → complementary bucket
     assert(m(1L) + m(3L) === 255L)
   }
+
+  test("quantizeInt8: floor scaling, clamped at the rails") {
+    val df = Seq((1L, Array(0.5f, -0.5f, 1.0f, -1.0f, 0.0f, 0.0079f)))
+      .toDF("id", "v")
+      .select(VectorFunctions.quantizeInt8(col("v")).as("q"))
+    val q = df.head.getSeq[Int](0)
+    // floor(0.5*127)=63, floor(-0.5*127)=-64 (floor, not trunc),
+    // 1.0→127, -1.0→-127 (in-range, no clamp), 0→0, floor(.0079*127)=1
+    assert(q === Seq(63, -64, 127, -127, 0, 1))
+    val rails = Seq((2L, Array(2.0f, -2.0f))).toDF("id", "v")
+      .select(VectorFunctions.quantizeInt8(col("v")).as("q"))
+    assert(rails.head.getSeq[Int](0) === Seq(127, -128))
+  }
 }

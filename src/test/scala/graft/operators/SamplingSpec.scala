@@ -42,4 +42,15 @@ class SamplingSpec extends SparkSpec {
   test("fraction bounds are validated") {
     intercept[IllegalArgumentException](Sampling.deterministicSample(rows, "id", 1.5))
   }
+
+  test("prioritySample: exactly N, stable under repartitioning") {
+    val picked = Sampling.prioritySample(rows, "id", n = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked.size === 50)
+    val repicked = Sampling.prioritySample(rows.repartition(7), "id", n = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(repicked === picked, "selection must be a pure function of keys")
+    // exact-N beats fraction sampling when a fixed budget is required
+    assert(Sampling.prioritySample(rows, "id", n = 2000).count() === rows.count())
+  }
 }
