@@ -105,8 +105,22 @@ object QueryCatalog {
   private val dashCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, graft.etl.Pipeline.CuratedOutputs)]()
 
+  /** Memoization assumes the parquet under `dir` is immutable for the
+    * session's lifetime (true for the driver's generated testdata); a
+    * session that rewrites its inputs mid-flight would be served the
+    * memoized pipeline. The entry — and with it the strong reference
+    * to the session — is evicted when the application ends, so
+    * long-lived processes that cycle sessions don't accumulate stopped
+    * ones here.
+    */
   private def dashboardServe(s: SparkSession, dir: String, sqlText: String): DataFrame = {
     val out = dashCache.compute(s, (_, prev) => {
+      if (prev == null)
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            dashCache.remove(s)
+        })
       if (prev != null && prev._1 == dir) prev
       else {
         if (prev != null) prev._2.staging.unpersist()

@@ -85,12 +85,17 @@ object Similarity {
       corpus: DataFrame, nLists: Int, iters: Int = 8, sampleSize: Int = 2048,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val sample: Array[Array[Float]] = corpus
+    // null/ragged rows are excluded from TRAINING only (a null vector
+    // would NPE on the driver; a ragged one would throw inside cos());
+    // assignment still sees every row downstream.
+    val rawSample: Array[Array[Float]] = corpus
       .select(col(idCol).as("sid"), col(vecCol).cast("array<float>").as("sv"))
+      .filter(col("sv").isNotNull)
       .orderBy(xxhash64(col("sid")), col("sid")).limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
-    require(sample.nonEmpty, "trainCentroids: empty corpus")
-    val dim = sample.head.length
+    require(rawSample.nonEmpty, "trainCentroids: empty corpus")
+    val dim = rawSample.head.length
+    val sample = rawSample.filter(_.length == dim)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -261,7 +266,7 @@ object Similarity {
     */
   def queryIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, nProbe: Int = 6,
+      queries: DataFrame, k: Int, nProbe: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cid"))

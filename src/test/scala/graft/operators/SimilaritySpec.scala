@@ -105,6 +105,18 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b, "hash-ordered sample + Lloyd iterations must be rerun-stable")
   }
 
+  test("trainCentroids survives null and ragged embedding rows") {
+    val clean = (0 until 50).map { i =>
+      (i.toLong, Array((i % 13).toFloat, (i % 7).toFloat, (i % 3).toFloat))
+    }
+    val dirty = Seq((100L, null: Array[Float]), (101L, Array(1.0f)))
+    val vecs = (clean ++ dirty).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, nLists = 3, iters = 2).collect()
+    assert(cents.length === 3)
+    assert(cents.forall(_.getSeq[Float](1).length === 3),
+      "ragged rows must be excluded from training, not corrupt the dim")
+  }
+
   test("persisted IVF index: query path matches in-flight ivfTopK exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
