@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{AsOfJoin, Chunking, Dedup, Funnel, Multimodal, Profiler, Sampling, Similarity, TermStats}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -890,6 +890,50 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // canonical text normalization (lowercase, digit-run masking,
+    // whitespace collapse) — verified by md5 digest of the normalized
+    // text, so the oracle checks every character of every row.
+    "q76_docs_normalize" -> ((s, dir) => {
+      val norm = TextFunctions.normalize(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(norm.cast("binary")).as("norm_hash"),
+        length(norm).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-balanced corpus: exact quota of 30 docs per lang, chosen
+    // by deterministic key priority (rerun/repartition-stable).
+    "q77_sample_lang_quota" -> ((s, dir) => {
+      Sampling.stratifiedQuota(t(s, dir, "documents"), "lang", "doc_id", n = 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // one-pass per-source corpus profile: row/null/distinct counts and
+    // numeric ranges from a single shuffle.
+    "q78_docs_profile" -> ((s, dir) => {
+      Profiler.profile(t(s, dir, "documents"), "source",
+          nullCols = Seq("text"), distinctCols = Seq("lang"),
+          minMaxCols = Seq("n_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // integer-scored TF-IDF: top-3 characteristic terms per doc; the
+    // idf factor is a scaled BIGINT division, so ranks AND scores are
+    // exact on both engines.
+    "q79_docs_tfidf" -> ((s, dir) => {
+      TermStats.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ordered-stage funnel over the event log: view → click → purchase,
+    // stage i counting only events at-or-after stage i−1's first reach.
+    "q80_events_funnel" -> ((s, dir) => {
+      Funnel.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+    }),
+
     // lag/lead offset windows: per-user deltas between consecutive
     // events (previous-value diff, next event type, seconds since
     // previous) — both engines order on floor-of-second epoch with an
@@ -1278,6 +1322,72 @@ object QueryCatalog {
         |  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
         |  LIMIT 200
         |) t ORDER BY doc_id""".stripMargin,
+    "q76_docs_normalize" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(
+        |         regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |         '\s+', ' ', 'g'))) AS norm_hash,
+        |       CAST(length(trim(regexp_replace(
+        |         regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |         '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q77_sample_lang_quota" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents
+        |) t WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
+    "q78_docs_profile" ->
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_text,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS distinct_lang,
+        |       min(n_chars) AS min_n_chars,
+        |       max(n_chars) AS max_n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q79_docs_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |    FROM documents WHERE length(trim(text)) > 0
+        |  ) t WHERE length(word) >= 3 GROUP BY doc_id, word
+        |), dfreq AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+        |), total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |         CAST(tf.tf * ((total.n_docs * 1000000) // dfreq.df) AS BIGINT) AS score
+        |  FROM tf JOIN dfreq USING(word) CROSS JOIN total
+        |), ranked AS (
+        |  SELECT doc_id, word, score, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, word, score FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q80_events_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY e.user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t GROUP BY e.user_id
+        |)
+        |SELECT * FROM (
+        |  SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+        |         CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+        |  UNION ALL
+        |  SELECT 'click', CAST(1 AS BIGINT),
+        |         CAST((SELECT count(*) FROM s1) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'purchase', CAST(2 AS BIGINT),
+        |         CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |) ORDER BY stage_idx""".stripMargin,
     // q73: same pair construction as q70, then components as the
     // minimum reachable label via a recursive reachability CTE —
     // UNION-dedup guarantees termination; min over reached nodes is

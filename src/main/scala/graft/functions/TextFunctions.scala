@@ -25,6 +25,19 @@ object TextFunctions {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+")))
 
+  /** Canonical text normalization for dedup/training-data prep:
+    * lowercase, digit runs masked to `<num>` (a cheap scrub of ids,
+    * phone-ish numbers, timestamps — the variance that defeats exact
+    * dedup), whitespace collapsed, trimmed. Pure codegen'd string ops;
+    * the result is engine-portable (same regex semantics in RE2 and
+    * Java for these ASCII-only patterns), so oracle queries can
+    * compare md5 digests of the normalized text exactly (q76).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[0-9]+", "<num>"),
+      "\\s+", " "))
+
   // --- quality ratios (deterministic double arithmetic) ---
 
   private def safeLen(text: Column): Column = greatest(length(text), lit(1))

@@ -62,6 +62,30 @@ object Sampling {
       .drop("__priority")
   }
 
+  /** Exact per-stratum quota (e.g. a language-balanced corpus: at most
+    * `n` docs per language): rank rows inside each stratum by the same
+    * deterministic key priority as [[prioritySample]] and keep the
+    * first `n`. Selection is a pure function of (stratum, key) —
+    * rerun/repartition-stable and SQL-expressible for the oracle.
+    * Scale shape: ONE shuffle on the stratum column for the window
+    * rank; with millions of strata that's a well-spread hash
+    * partition, and with few giant strata (the skew case) the rank
+    * truncates each partition stream early — but the sort within a
+    * monster stratum still dominates, so for corpus-scale quotas with
+    * tiny stratum counts, pre-filter with [[stratifiedSample]] at a
+    * generous fraction first, then apply the exact quota to the
+    * survivors.
+    */
+  def stratifiedQuota(
+      df: DataFrame, stratumCol: String, keyCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(pmod(col(keyCol) * lit(2654435761L), lit(1L << 32)), col(keyCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__rank")
+  }
+
   /** Per-stratum sampling rates (e.g. keep all rare positives, 5% of
     * the majority class): rows in a stratum listed in `fractions` keep
     * that rate, others keep `default`. One scan, no shuffle — the rate

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Profiler, TermStats, and Funnel — the round-4 analytics additions. */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("Profiler.profile: counts, nulls, distincts, ranges per group") {
+    val df = Seq(
+      ("a", "x", 10L, "en"), ("a", null, 20L, "en"), ("a", "z", 30L, "fr"),
+      ("b", "w", 5L, "de")).toDF("src", "txt", "n", "lang")
+    val p = Profiler.profile(df, "src", nullCols = Seq("txt"),
+        distinctCols = Seq("lang"), minMaxCols = Seq("n"))
+      .orderBy("src").collect()
+    assert(p.length === 2)
+    val a = p(0)
+    assert(a.getString(0) === "a" && a.getLong(1) === 3L) // n_rows
+    assert(a.getLong(2) === 1L)                           // nulls_txt
+    assert(a.getLong(3) === 2L)                           // distinct_lang
+    assert(a.getLong(4) === 10L && a.getLong(5) === 30L)  // min/max
+  }
+
+  test("TermStats.tfidfTopTerms: rare terms outrank common ones") {
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common words here"),
+      (3L, "common words again")).toDF("doc_id", "text")
+    val top = TermStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+    assert(top(0).getString(2) === "rare",
+      "df=1 term must outrank the corpus-wide term")
+    assert(top(0).getLong(3) === 3000000L) // 1 * (3*1e6 DIV 1)
+    assert(top(1).getString(2) === "common")
+    assert(top(1).getLong(3) === 2000000L) // 2 * (3*1e6 DIV 3)
+  }
+
+  test("Funnel.funnel: stage order is enforced, counts shrink") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1 completes in order
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // user 2 clicks BEFORE viewing — click must not count
+      (2L, "click", ts(5)), (2L, "view", ts(10)),
+      // user 3 views only
+      (3L, "view", ts(1)),
+      // user 4 never views; later stages can't count
+      (4L, "click", ts(1)), (4L, "purchase", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val f = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).collect()
+    assert(f.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("view", 3L), ("click", 1L), ("purchase", 1L)))
+  }
+
+  test("Funnel: same-timestamp chains count (inclusive semantics)") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq((1L, "view", ts(10)), (1L, "click", ts(10)))
+      .toDF("user_id", "event_type", "ts")
+    val f = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click")).collect()
+    assert(f.map(_.getLong(2)).toSeq === Seq(1L, 1L))
+  }
+
+  test("Sampling.stratifiedQuota: exact quota, stable, subset of input") {
+    val df = (0L until 500L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val picked = Sampling.stratifiedQuota(df, "lang", "id", n = 40)
+    val byLang = picked.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ === 40L))
+    val again = Sampling.stratifiedQuota(df.repartition(11), "lang", "id", n = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === picked.select("id").collect().map(_.getLong(0)).toSet)
+    // quota above stratum size keeps the whole stratum
+    val all = Sampling.stratifiedQuota(df, "lang", "id", n = 1000)
+    assert(all.count() === 500L)
+  }
+
+  test("TextFunctions.normalize masks digits and collapses whitespace") {
+    val df = Seq("  Call 555 0123   NOW  ", "abc").toDF("t")
+      .select(TextFunctions.normalize(col("t")).as("n"))
+    assert(df.collect().map(_.getString(0)).toSeq ===
+      Seq("call <num> <num> now", "abc"))
+  }
+}
