@@ -21,7 +21,6 @@ object Funnel {
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val spark = events.sparkSession
     val base = events.select(
       col(userCol).as("__user"), col(typeCol).as("__type"), col(tsCol).as("__ts"))
     // reached(i): users with first qualifying time of stage i

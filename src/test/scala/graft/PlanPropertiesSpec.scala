@@ -69,6 +69,28 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("codegen id"), s"scalar pipeline fell out of codegen:\n$p")
   }
 
+  test("q77/q79: rank-truncation plans a partial WindowGroupLimit") {
+    // quota sampling and TF-IDF top-k both filter row_number()<=k; the
+    // partial group-limit before the shuffle is what keeps the window
+    // from materializing every (stratum|doc) group in full
+    assert(plan("q77_sample_lang_quota").contains("WindowGroupLimit"),
+      "quota rank not pre-truncated before the stratum shuffle")
+    assert(plan("q79_docs_tfidf").contains("WindowGroupLimit"),
+      "tf-idf top-k rank not pre-truncated")
+  }
+
+  test("q79: the 1-row corpus count is broadcast, not shuffled") {
+    val p = plan("q79_docs_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"n_docs cross join must broadcast the 1-row side:\n$p")
+  }
+
+  test("q75: exact-N sampling plans TakeOrdered, not a global sort") {
+    val p = plan("q75_sample_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy().limit(n) must compile to per-partition top-N:\n$p")
+  }
+
   test("dedup kernels: shingle/minhash projection is codegen'd, not interpreted") {
     val d = sources.Tables.load(spark, dir, "documents")
     val prepared = operators.Dedup.minhashSignatures(d, "doc_id", "text", 3, 16)
