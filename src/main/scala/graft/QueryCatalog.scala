@@ -864,14 +864,18 @@ object QueryCatalog {
     // int8 embedding quantization: per-vector integer summaries of the
     // symmetric-quantized codes. Division-free (one multiply + floor
     // per component), so the codes — and these sums — are exact on any
-    // engine.
+    // engine. Shape: posexplode + scalar quantize (codegen'd, each
+    // component quantized ONCE) + partial-agg shuffle on vec_id — the
+    // q65 pattern; the array-HOF form would re-run the interpreted
+    // transform per referencing aggregate.
     "q74_emb_quantize_int8" -> ((s, dir) => {
-      val q8 = VectorFunctions.quantizeInt8(col("embedding"))
-      t(s, dir, "embeddings").select(col("vec_id"),
-        size(col("embedding")).cast("long").as("n_dims"),
-        aggregate(q8, lit(0L), (a, x) => a + x).as("sum_q8"),
-        array_min(q8).cast("long").as("min_q8"),
-        array_max(q8).cast("long").as("max_q8"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"),
+          VectorFunctions.quantizeInt8Component(col("x")).cast("long").as("q"))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_dims"), sum(col("q")).as("sum_q8"),
+          min(col("q")).as("min_q8"), max(col("q")).as("max_q8"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1328,7 +1332,7 @@ object QueryCatalog {
     "q75_sample_priority" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source FROM documents
-        |  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        |  ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
         |  LIMIT 200
         |) t ORDER BY doc_id""".stripMargin,
     "q76_docs_normalize" ->
@@ -1344,7 +1348,7 @@ object QueryCatalog {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (
         |    PARTITION BY lang
-        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |    ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rk
         |  FROM documents
         |) t WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
     "q78_docs_profile" ->
@@ -1876,17 +1880,18 @@ object QueryCatalog {
         |       SUM(f.sales_cents) AS sales_cents
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // q61/q62: the sampling decision is (key*2654435761) mod 10000 —
-    // pure integer arithmetic, identical on both engines (keys are
-    // non-negative so % and pmod agree).
+    // q61/q62: the sampling decision is ((key mod 2^31)*2654435761)
+    // mod 10000 — pure integer arithmetic, identical on both engines
+    // (keys are non-negative so % and pmod agree); the 31-bit fold
+    // keeps the product in Long range for any key.
     "q61_sample_deterministic" ->
       """SELECT doc_id, source FROM documents
-        |WHERE (doc_id * 2654435761) % 10000 < 2000
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 10000 < 2000
         |ORDER BY doc_id""".stripMargin,
     "q62_sample_stratified" ->
       """SELECT event_type, COUNT(*) AS n_sampled
         |FROM events
-        |WHERE (event_id * 2654435761) % 10000 <
+        |WHERE ((event_id % 2147483648) * 2654435761) % 10000 <
         |  CASE WHEN event_type = 'purchase' THEN 10000
         |       WHEN event_type = 'click' THEN 1000
         |       ELSE 500 END

@@ -38,17 +38,26 @@ object VectorFunctions {
     GraftFunctions.hyperplaneBucket(
       v, planes.flatten.toIndexedSeq, planes.length)
 
-  /** Symmetric int8 quantization codes: clamp(⌊x·127⌋, −128, 127) per
-    * component — the embedding-compression primitive for serving 100 TB
-    * corpora from a quarter of the footprint. Fixed-scale (÷128 to
-    * dequantize), deliberately division-free: one IEEE multiply + floor
-    * per component, so codes are bit-identical on any engine and the
-    * driver oracle value-checks them (q74). For unit-normalized
-    * embeddings (|x| ≤ 1) the clamp only fires at exactly ±1.
+  /** Symmetric int8 quantization code for ONE component:
+    * clamp(⌊x·127⌋, −128, 127). Fixed-scale (÷128 to dequantize),
+    * deliberately division-free: one IEEE multiply + floor, so codes
+    * are bit-identical on any engine and the driver oracle
+    * value-checks them (q74). For |x| ≤ 1 the clamp never fires
+    * (⌊±1·127⌋ = ±127 is already in range); −128 is only reachable
+    * for inputs below −128/127. Scalar → codegen'd; aggregations
+    * should posexplode + quantize per component (the q74/q65 shape)
+    * rather than evaluate the array [[quantizeInt8]] HOF, which is
+    * interpreted and re-evaluated per reference.
+    */
+  def quantizeInt8Component(x: Column): Column =
+    greatest(lit(-128L), least(lit(127L), floor(x.cast("double") * 127))).cast("int")
+
+  /** Array form of [[quantizeInt8Component]] — the embedding-
+    * compression primitive for serving 100 TB corpora from a quarter
+    * of the footprint (store codes, dequantize on read).
     */
   def quantizeInt8(v: Column): Column =
-    transform(v, x =>
-      greatest(lit(-128L), least(lit(127L), floor(x.cast("double") * 127))).cast("int"))
+    transform(v, quantizeInt8Component(_))
 
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {

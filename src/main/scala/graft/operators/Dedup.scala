@@ -195,74 +195,77 @@ object Dedup {
     * lineage lives in executor block storage, so on a real cluster an
     * executor loss mid-computation fails the job. Pass a reliable
     * `checkpointDir` (HDFS/S3 in production) and every round's labels
-    * are persisted to storage instead — the 100 TB posture. Superseded
-    * rounds' checkpoint files are deleted as the loop advances (Spark
-    * itself never cleans checkpoints), so storage holds at most two
-    * label snapshots at a time; only the final round's files outlive
-    * the call, freed when the caller is done with the result (or by a
-    * TTL on the directory). NOTE `SparkContext.setCheckpointDir` is
-    * session-global — the previous setting is restored on exit.
+    * are written to parquet there and read back — durable truncation
+    * with no session-global state. Superseded rounds are deleted as
+    * the loop advances, storage holds at most two label snapshots, a
+    * failure cleans up everything this call wrote, and only the final
+    * round's files outlive the call, freed when the caller is done
+    * with the result (or by a TTL on the directory).
     */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    val priorCheckpointDir = sc.getCheckpointDir
-    checkpointDir.foreach(sc.setCheckpointDir)
-    // rdd-<id> subdirs under the (UUID-scoped) checkpoint dir; ids are
-    // monotonic, so after the loop everything but the newest is stale
-    def checkpointFiles(): Seq[org.apache.hadoop.fs.Path] =
-      sc.getCheckpointDir.toSeq.flatMap { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        val fs = p.getFileSystem(sc.hadoopConfiguration)
-        if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith("rdd-"))
-        else Nil
-      }
-    val preexisting = if (checkpointDir.isDefined) checkpointFiles().toSet
-      else Set.empty[org.apache.hadoop.fs.Path]
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val spark = pairs.sparkSession
+    // Reliable mode severs lineage by writing each round's labels to
+    // parquet under `checkpointDir` and reading them back — durable
+    // storage like rdd.checkpoint(), but with NO session-global
+    // SparkContext.setCheckpointDir mutation (that setting can't be
+    // truly restored, and a mid-loop failure would leak it). Rounds
+    // are deleted as soon as they're superseded, so the dir holds at
+    // most two snapshots mid-write; on ANY failure every file this
+    // call created is removed before the exception propagates. Only
+    // the final round's files outlive the call (the returned frame
+    // reads them), freed when the caller is done with the result.
+    var round = 0
+    def roundPath(i: Int) = s"${checkpointDir.get}/labels-$i"
+    def deleteRound(i: Int): Unit = checkpointDir.foreach { _ =>
+      val p = new org.apache.hadoop.fs.Path(roundPath(i))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+    def truncate(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(_) =>
+        val path = roundPath(round)
+        df.write.mode("overwrite").parquet(path)
+        round += 1
+        if (round >= 2) deleteRound(round - 2)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
-    var labels = truncate(edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")))
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
-        .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
-      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // path halving: label := label(label). The previous round's label
-      // rides along as `old` so the convergence test below is a filter
-      // over the truncated result — no extra join job per round.
-      val halved = truncate(propagated.as("p")
-        .join(propagated.select(col("doc_id").as("label"),
-          col("label").as("ll")).as("g"), Seq("label"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
-      val changed = halved.filter(col("label") =!= col("old")).limit(1).count()
-      labels = halved.select(col("doc_id"), col("label"))
-      done = changed == 0
-      iter += 1
-    }
-    edges.unpersist()
-    if (checkpointDir.isDefined) {
-      // drop every checkpoint this call created except the newest
-      // (= the final labels, still referenced by the returned frame)
-      val created = checkpointFiles().filterNot(preexisting)
-      if (created.nonEmpty) {
-        val keep = created.maxBy(p => p.getName.stripPrefix("rdd-").toLong)
-        val fs = keep.getFileSystem(sc.hadoopConfiguration)
-        created.filterNot(_ == keep).foreach(fs.delete(_, true))
+    try {
+      var labels = truncate(edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
+          .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
+        val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // path halving: label := label(label). The previous round's label
+        // rides along as `old` so the convergence test below is a filter
+        // over the truncated result — no extra join job per round.
+        val halved = truncate(propagated.as("p")
+          .join(propagated.select(col("doc_id").as("label"),
+            col("label").as("ll")).as("g"), Seq("label"), "left")
+          .select(col("doc_id"), col("old"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+        val changed = halved.filter(col("label") =!= col("old")).limit(1).count()
+        labels = halved.select(col("doc_id"), col("label"))
+        done = changed == 0
+        iter += 1
       }
-      priorCheckpointDir.foreach(sc.setCheckpointDir)
-    }
-    labels.select(col("doc_id"), col("label").as("component"))
+      labels.select(col("doc_id"), col("label").as("component"))
+    } catch {
+      case e: Throwable =>
+        (0 until round).foreach(i => try deleteRound(i) catch { case _: Throwable => () })
+        throw e
+    } finally edges.unpersist()
   }
 
   /** Near-duplicate RESOLUTION: pairs → connected components → one

@@ -17,30 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** One row per stage: (stage, stage_idx, n_users). */
+  /** One row per stage: (stage, stage_idx, n_users).
+    *
+    * EAGER by design: each stage's reach set is cached, counted, and
+    * unpersisted as soon as the next stage is built — a lazy union of
+    * per-stage counts would embed reach-set i in k−i plan branches and
+    * re-execute the whole upstream chain per stage (O(k²) scans of the
+    * event log). The result is a k-row local frame.
+    */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
     val base = events.select(
       col(userCol).as("__user"), col(typeCol).as("__type"), col(tsCol).as("__ts"))
-    // reached(i): users with first qualifying time of stage i
-    val reached = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (stage, _)) =>
-        val candidates = prev match {
-          case None => base.filter(col("__type") === stage)
-          case Some(p) =>
-            base.filter(col("__type") === stage)
-              .join(p.select(col("__user"), col("__t").as("__tprev")), Seq("__user"))
-              .filter(col("__ts") >= col("__tprev"))
-        }
-        Some(candidates.groupBy("__user").agg(min(col("__ts")).as("__t")))
-    }.flatten
-    val counts = reached.zip(stages).zipWithIndex.map {
-      case ((r, stage), i) =>
-        r.agg(count(lit(1)).as("n_users"))
-          .select(lit(stage).as("stage"), lit(i.toLong).as("stage_idx"),
-            col("n_users"))
+    var prev = Option.empty[DataFrame]
+    val counts = stages.zipWithIndex.map { case (stage, i) =>
+      val candidates = prev match {
+        case None => base.filter(col("__type") === stage)
+        case Some(p) =>
+          base.filter(col("__type") === stage)
+            .join(p.select(col("__user"), col("__t").as("__tprev")), Seq("__user"))
+            .filter(col("__ts") >= col("__tprev"))
+      }
+      val reached = candidates.groupBy("__user")
+        .agg(min(col("__ts")).as("__t")).cache()
+      val n = reached.count()
+      prev.foreach(_.unpersist())
+      prev = Some(reached)
+      (stage, i.toLong, n)
     }
-    counts.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
+    prev.foreach(_.unpersist())
+    counts.toDF("stage", "stage_idx", "n_users").orderBy(col("stage_idx"))
   }
 }

@@ -17,14 +17,25 @@ import org.apache.spark.sql.functions._
   *    and SQL-expressible — the driver oracle verifies it value-exactly.
   *
   * Keys are assumed non-negative (ids); the multiplicative constant is
-  * Knuth's 2654435761, product stays in long range for keys < ~3.4e9.
+  * Knuth's 2654435761. The key is folded into the 31-bit domain BEFORE
+  * the multiply — `key * 2654435761` alone overflows Long for keys
+  * above ~3.4e9, which under Spark's default ANSI mode is a runtime
+  * ArithmeticException at exactly the 10 B-row corpus scale this
+  * operator targets; `(key mod 2^31) * 2654435761 < 2^62.3` never
+  * overflows.
   */
 object Sampling {
 
   val Buckets = 10000
 
+  private val KnuthC = 2654435761L
+  private val Fold = 1L << 31
+
+  /** Overflow-safe Knuth product of a non-negative integer key. */
+  private def mix(key: Column): Column = pmod(key, lit(Fold)) * lit(KnuthC)
+
   /** Stable bucket in [0, Buckets) for a non-negative integer key. */
-  def bucket(key: Column): Column = pmod(key * lit(2654435761L), lit(Buckets))
+  def bucket(key: Column): Column = pmod(mix(key), lit(Buckets))
 
   private def thresholdOf(fraction: Double): Long = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
@@ -55,7 +66,7 @@ object Sampling {
     * rows, no global sort shuffle.
     */
   def prioritySample(df: DataFrame, keyCol: String, n: Int): DataFrame = {
-    val priority = pmod(col(keyCol) * lit(2654435761L), lit(1L << 32))
+    val priority = pmod(mix(col(keyCol)), lit(1L << 32))
     df.withColumn("__priority", priority)
       .orderBy(col("__priority"), col(keyCol))
       .limit(n)
@@ -80,7 +91,7 @@ object Sampling {
       df: DataFrame, stratumCol: String, keyCol: String, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-      .orderBy(pmod(col(keyCol) * lit(2654435761L), lit(1L << 32)), col(keyCol))
+      .orderBy(pmod(mix(col(keyCol)), lit(1L << 32)), col(keyCol))
     df.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= n)
       .drop("__rank")

@@ -94,7 +94,11 @@ object Similarity {
       .orderBy(xxhash64(col("sid")), col("sid")).limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
     require(rawSample.nonEmpty, "trainCentroids: empty corpus")
-    val dim = rawSample.head.length
+    // anchor the training dim on the MAJORITY length (count-max, then
+    // smallest length for determinism) — anchoring on the hash-first
+    // row would let one ragged row discard every well-formed vector
+    val dim = rawSample.groupBy(_.length).toSeq
+      .maxBy { case (len, vs) => (vs.length, -len) }._1
     val sample = rawSample.filter(_.length == dim)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -330,10 +334,15 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Evenly spread quantizer dims: bits components at stride dim/bits,
-    * 1-indexed (matches SQL array indexing).
+    * 1-indexed (matches SQL array indexing). Requires dim ≥ bits:
+    * fewer components than bits would silently reuse component 1 for
+    * every bit and collapse the 2^bits lists to 2.
     */
-  def quantDims(dim: Int, bits: Int): Seq[Int] =
+  def quantDims(dim: Int, bits: Int): Seq[Int] = {
+    require(dim >= bits,
+      s"quantDims: vector dim $dim < $bits quantizer bits — the stride would collapse")
     (0 until bits).map(i => 1 + i * (dim / bits))
+  }
 
   private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -352,7 +361,13 @@ object Similarity {
   def signLshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nTables: Int = 8, planesPerTable: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    // table nTables-1 reads components up to nTables*planesPerTable;
+    // past the vector's end element_at is an ANSI runtime error (or a
+    // silently skewed null→0 bit with ANSI off) — fail fast instead
+    require(dim >= nTables * planesPerTable,
+      s"signLshTopK: dim $dim < ${nTables * planesPerTable} sampled components")
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         explode(array((0 until nTables).map { t =>

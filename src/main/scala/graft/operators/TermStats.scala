@@ -42,7 +42,10 @@ object TermStats {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minTokenLen: Int = 3): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol, minTokenLen)
-    val dfreq = docFrequencies(docs, idCol, textCol, minTokenLen)
+    // df derives from the tf frame already in the plan — one row per
+    // (doc, word) — NOT from a second tokenize-explode pass over the
+    // corpus (docFrequencies from scratch would plan the explode twice)
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

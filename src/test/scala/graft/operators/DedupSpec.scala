@@ -231,9 +231,13 @@ class DedupSpec extends SparkSpec {
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
     try assert(files.filter(java.nio.file.Files.isRegularFile(_)).count() > 0)
     finally files.close()
-    // lineage is truncated: the result plan reads checkpointed RDDs,
-    // not the k-round iterative join tree
-    assert(reliable.queryExecution.optimizedPlan.collectLeaves()
-      .forall(_.getClass.getSimpleName.startsWith("LogicalRDD")))
+    // lineage is truncated: the result plan reads the final round's
+    // parquet snapshot, not the k-round iterative join tree over the
+    // in-memory input
+    val leaves = reliable.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(l =>
+      l.getClass.getSimpleName.contains("Relation") &&
+        !l.getClass.getSimpleName.startsWith("LocalRelation")),
+      s"expected file-relation leaves, got: ${leaves.map(_.getClass.getSimpleName)}")
   }
 }
