@@ -947,6 +947,28 @@ object QueryCatalog {
         Seq("view", "click", "purchase"))
     }),
 
+    // LM sequence packing: each doc's (pack, offset) coordinates in
+    // the per-source concat-and-split token stream — one integer
+    // running-sum window, engine-exact.
+    "q81_docs_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Chunking.packSequences(d, "doc_id", "n_tokens", "source", budget = 2048L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source quality deciles (ntile over token count): the binning
+    // step behind "keep the top-k quality deciles per source" curation.
+    "q82_docs_quality_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // lag/lead offset windows: per-user deltas between consecutive
     // events (previous-value diff, next event type, seconds since
     // previous) — both engines order on floor-of-second epoch with an
@@ -1335,6 +1357,35 @@ object QueryCatalog {
         |  ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
         |  LIMIT 200
         |) t ORDER BY doc_id""".stripMargin,
+    "q81_docs_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) - n_tokens AS bef
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(bef // 2048 AS BIGINT) AS pack_id,
+        |       CAST(bef % 2048 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q82_docs_quality_deciles" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(ntile(10) OVER (PARTITION BY source
+        |         ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS decile
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q76_docs_normalize" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(

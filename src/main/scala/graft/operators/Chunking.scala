@@ -99,4 +99,31 @@ object Chunking {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_matching_ngrams"))
   }
+
+  /** LM-pretraining sequence packing: documents are (conceptually)
+    * concatenated in (group, id) order and the token stream is split
+    * at `budget`-token boundaries. Emits each document's coordinates
+    * in that stream — `pack_id` (which training sequence its first
+    * token lands in) and `pack_offset` (where inside it) — from ONE
+    * running-sum window per group: integers only, no shuffle beyond
+    * the group partition, and SQL-expressible for the oracle. A doc
+    * longer than the remaining budget simply spans into the next
+    * pack(s), exactly like concat-and-split tokenization does.
+    * Scale: the window shuffles on `groupCol` — pack within natural
+    * shards (source / date bucket), never one global stream, so no
+    * single partition sees the whole corpus.
+    */
+  def packSequences(
+      docs: DataFrame, idCol: String, tokenCol: String, groupCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"packSequences: budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val before = (sum(col(tokenCol)).over(w) - col(tokenCol)).as("__before")
+    docs.select(col(idCol), col(groupCol), col(tokenCol), before)
+      .select(col(idCol), col(groupCol), col(tokenCol),
+        expr(s"__before DIV $budget").as("pack_id"),
+        expr(s"__before % $budget").as("pack_offset"))
+  }
 }

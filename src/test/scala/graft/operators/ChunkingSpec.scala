@@ -68,4 +68,21 @@ class ChunkingSpec extends SparkSpec {
     assert(!flagged.contains(2L))
     assert(!flagged.contains(3L))
   }
+
+  test("packSequences: concat-and-split coordinates, per-group streams") {
+    val docs = Seq(
+      (1L, "a", 600L), (2L, "a", 600L), (3L, "a", 600L), (4L, "a", 600L),
+      (10L, "b", 2500L), (11L, "b", 100L)).toDF("doc_id", "source", "n_tokens")
+    val packed = Chunking.packSequences(docs, "doc_id", "n_tokens", "source",
+        budget = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // group a: cumulative-before = 0, 600, 1200, 1800
+    assert(packed(1L) === (0L, 0L))
+    assert(packed(2L) === (0L, 600L))
+    assert(packed(3L) === (1L, 200L)) // spans the pack-1 boundary
+    assert(packed(4L) === (1L, 800L))
+    // group b starts its own stream; a 2500-token doc spans packs 0-2
+    assert(packed(10L) === (0L, 0L))
+    assert(packed(11L) === (2L, 500L))
+  }
 }
