@@ -957,6 +957,24 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // the exact-hash stage of incremental dedup, value-checked: batch
+    // vs history md5 anti-join + within-batch min-id resolution — the
+    // SQL-expressible core that grounds the full q68 pipeline. Batch:
+    // %10 docs re-arrive verbatim (dropped vs history), %13 docs
+    // arrive reversed TWICE under two ids (fresh; the smaller id
+    // survives the within-batch stage).
+    "q83_docs_incremental_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val rev13 = d.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), reverse(col("text")).as("text"))
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .unionByName(rev13.select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+        .unionByName(rev13.select((col("doc_id") + 750000L).as("doc_id"), col("text")))
+      Dedup.exactIncrement(batch, d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source quality deciles (ntile over token count): the binning
     // step behind "keep the top-k quality deciles per source" curation.
     "q82_docs_quality_deciles" -> ((s, dir) => {
@@ -1374,6 +1392,23 @@ object QueryCatalog {
         |       CAST(bef // 2048 AS BIGINT) AS pack_id,
         |       CAST(bef % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q83_docs_incremental_exact" ->
+      """WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 700000, reverse(text) FROM documents
+        |  WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 750000, reverse(text) FROM documents
+        |  WHERE doc_id % 13 = 0
+        |), fresh AS (
+        |  SELECT b.doc_id, md5(b.text) AS h FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = md5(b.text))
+        |)
+        |SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY h
+        |ORDER BY doc_id""".stripMargin,
     "q82_docs_quality_deciles" ->
       """WITH d AS (
         |  SELECT doc_id, source,

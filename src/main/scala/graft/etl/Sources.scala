@@ -20,7 +20,15 @@ object Sources {
   /** NDJSON with epoch-millis `date` (reference: walmart_inventory_data.json shape). */
   final case class JsonSource(path: String, schema: StructType,
       millisColumns: Seq[String] = Seq("date")) extends SourceConfig
-  final case class ParquetSource(path: String) extends SourceConfig
+  /** `mergeSchema` reconciles raw-zone batches written over a schema
+    * change (a column added mid-stream): the scan unions the footer
+    * schemas and older files surface nulls for the new columns. Off by
+    * default — schema merging reads every file footer up front, a real
+    * cost at 100 TB; turn it on for evolving raw zones, keep it off
+    * for curated tables with a pinned schema.
+    */
+  final case class ParquetSource(path: String, mergeSchema: Boolean = false)
+    extends SourceConfig
   /** Range partitioning for a parallel JDBC extract: Spark issues
     * `numPartitions` concurrent range queries over `column`
     * (`WHERE column >= lo AND column < hi` strides), so the extract
@@ -47,8 +55,8 @@ object Sources {
       millisCols.foldLeft(spark.read.schema(schema).json(path)) {
         case (df, c) => df.withColumn(c, timestamp_millis(col(c)))
       }
-    case ParquetSource(path) =>
-      spark.read.parquet(path)
+    case ParquetSource(path, mergeSchema) =>
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
     case JdbcSource(url, query, props, partitioning) =>
       val base = spark.read.format("jdbc")
         .option("url", url)

@@ -361,6 +361,24 @@ object Dedup {
       GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
   }
 
+  /** The EXACT-hash stage of incremental dedup in isolation: batch
+    * docs whose md5 exists in the kept history are dropped, then
+    * within-batch exact copies resolve to the min id. This is the
+    * dominant (and fully SQL-expressible) path of [[dedupeIncrement]]
+    * — exposed separately so the driver oracle value-checks it (q83)
+    * and so pipelines that only need exact semantics skip the
+    * signature machinery. Two hash shuffles, ids+hashes only.
+    */
+  def exactIncrement(batch: DataFrame, history: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bh = batch.select(col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("text_hash"))
+    val hh = history.select(md5(col(textCol).cast("binary")).as("text_hash")).distinct()
+    bh.join(hh, Seq("text_hash"), "left_anti")
+      .groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+  }
+
   /** Incremental dedup — the 100 TB curation shape: each new batch
     * dedups against the KEPT HISTORY's compact artifacts instead of
     * re-deduplicating the world. Steps, all bounded by batch size ×

@@ -45,6 +45,18 @@ class SourcesSpec extends SparkSpec {
     assert(inc.length === 1 && inc.head.getString(0) === "b")
   }
 
+  test("mergeSchema parquet source reconciles batches across a schema change") {
+    val dir = Files.createTempDirectory("src_merge").toString
+    Seq(("a", 1L)).toDF("id", "v").write.parquet(s"$dir/p/b1")
+    Seq(("b", 2L, "en")).toDF("id", "v", "lang").write.parquet(s"$dir/p/b2")
+    val merged = Sources.read(spark,
+      Sources.ParquetSource(s"$dir/p/*", mergeSchema = true))
+    assert(merged.columns.toSet === Set("id", "v", "lang"))
+    val byId = merged.collect().map(r => r.getString(0) -> r.getAs[String]("lang")).toMap
+    assert(byId("a") === null && byId("b") === "en",
+      "pre-change rows must surface null for the added column")
+  }
+
   test("incremental JDBC source embeds the watermark predicate in the pushed query") {
     val src = Sources.JdbcSource("jdbc:postgresql://db/x", "SELECT * FROM inventory")
     // build only — no database in CI; assert the query text is rewritten

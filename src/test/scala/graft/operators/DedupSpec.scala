@@ -206,6 +206,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupeIncrement(batch, grown, threshold = 0.5).count() === 0)
   }
 
+  test("exactIncrement: history anti-join + min-id within batch, idempotent") {
+    val history = docs(1L -> "alpha beta", 2L -> "gamma delta")
+    val batch = docs(
+      10L -> "alpha beta",   // exact dup of history → dropped
+      12L -> "fresh text",
+      13L -> "fresh text",   // in-batch exact dup → min id 12 survives
+      14L -> "another one")
+    val survivors = Dedup.exactIncrement(batch, history, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(12L, 14L))
+    // idempotence: survivors unioned into history kill a re-run
+    val grown = history.unionByName(
+      docs(12L -> "fresh text", 14L -> "another one"))
+    assert(Dedup.exactIncrement(batch, grown, "doc_id", "text").count() === 0)
+  }
+
   test("resolveNearDups keeps singletons and splits distinct clusters") {
     val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val base2 = "one two three four five six seven eight nine ten eleven twelve"
