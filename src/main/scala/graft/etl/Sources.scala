@@ -56,7 +56,11 @@ object Sources {
         case (df, c) => df.withColumn(c, timestamp_millis(col(c)))
       }
     case ParquetSource(path, mergeSchema) =>
-      spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+      // only set the option when asked: an explicit false would
+      // override a session-level spark.sql.parquet.mergeSchema=true,
+      // which the bare reader respects
+      val r = spark.read
+      (if (mergeSchema) r.option("mergeSchema", "true") else r).parquet(path)
     case JdbcSource(url, query, props, partitioning) =>
       val base = spark.read.format("jdbc")
         .option("url", url)

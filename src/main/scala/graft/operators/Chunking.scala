@@ -120,7 +120,11 @@ object Chunking {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val before = (sum(col(tokenCol)).over(w) - col(tokenCol)).as("__before")
+    // a null token count packs as 0 tokens (sum() would skip it in the
+    // running stream anyway — coalescing keeps the row's OWN
+    // coordinates defined instead of null)
+    val toks = coalesce(col(tokenCol), lit(0L))
+    val before = (sum(toks).over(w) - toks).as("__before")
     docs.select(col(idCol), col(groupCol), col(tokenCol), before)
       .select(col(idCol), col(groupCol), col(tokenCol),
         expr(s"__before DIV $budget").as("pack_id"),
