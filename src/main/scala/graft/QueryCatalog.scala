@@ -1089,6 +1089,61 @@ object QueryCatalog {
         .withColumn("revenue", round(col("revenue"), 2))
     }),
 
+    // TPC-H Q18 shape (large-volume customers): orders whose total
+    // quantity exceeds the threshold, with customer context — the
+    // agg-then-join form (equivalent to the spec's IN-subquery, one
+    // lineitem scan). Quantities are integral-valued doubles → exact
+    // BIGINT sums; o_totalprice passes through untouched.
+    "q84_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q14 shape (promotion revenue share): all-integer revenue
+    // units — exact cents × discount hundredths (both cents-exact in
+    // the data, the q38/q55 double-free discipline) — and ONE final
+    // double division for the percentage (bit-identical everywhere).
+    "q85_tpch_q14" -> ((s, dir) => {
+      val lo = utcTs("1997-01-01 00:00:00")
+      val hi = utcTs("1998-01-01 00:00:00")
+      val epCents = expr("floor(l_extendedprice * 100 + 0.5)").cast("long")
+      val discH = expr("floor(l_discount * 100 + 0.5)").cast("long")
+      val rev = epCents * (lit(100L) - discH)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).as("promo_rev_c4"),
+          sum(rev).as("total_rev_c4"))
+        .select(col("promo_rev_c4"), col("total_rev_c4"),
+          ((col("promo_rev_c4") * 100).cast("double") /
+            col("total_rev_c4").cast("double")).as("promo_pct"))
+    }),
+
+    // TPC-H Q12 shape (priority lines by return flag): conditional
+    // integer counts over a joined year of shipments.
+    "q86_tpch_q12" -> ((s, dir) => {
+      val lo = utcTs("1997-01-01 00:00:00")
+      val hi = utcTs("1998-01-01 00:00:00")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // time-bounded (interval) join: each event paired with the same
     // user's purchases in the preceding hour (stream-stream joinable —
     // see EventStreams.intervalJoinStreaming).
@@ -1392,6 +1447,44 @@ object QueryCatalog {
         |       CAST(bef // 2048 AS BIGINT) AS pack_id,
         |       CAST(bef % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q84_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice, sum_qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(floor(l_quantity) AS BIGINT)) > 150
+        |) b
+        |JOIN orders ON o_orderkey = b.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q85_tpch_q14" ->
+      """WITH l AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+        |         p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |)
+        |SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+        |         AS promo_rev_c4,
+        |       CAST(SUM(rev) AS BIGINT) AS total_rev_c4,
+        |       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 100 AS DOUBLE)
+        |         / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+        |FROM l""".stripMargin,
+    "q86_tpch_q12" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q83_docs_incremental_exact" ->
       """WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents),
         |batch AS (
