@@ -987,6 +987,20 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // fixed-width value histogram per event type: bucket = floor of
+    // ONE division — deterministic IEEE, counted as BIGINT.
+    "q87_events_histogram" -> ((s, dir) => {
+      Profiler.histogram(t(s, dir, "events"), "event_type", "value", width = 50.0)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // weekly retention cohorts: users bucketed by first-event week,
+    // counted in each week they return — pure integer epoch DIVs.
+    "q88_events_retention" -> ((s, dir) => {
+      Funnel.retentionCohorts(t(s, dir, "events"), "user_id", "ts",
+        period = 604800L)
+    }),
+
     // lag/lead offset windows: per-user deltas between consecutive
     // events (previous-value diff, next event type, seconds since
     // previous) — both engines order on floor-of-second epoch with an
@@ -1447,6 +1461,20 @@ object QueryCatalog {
         |       CAST(bef // 2048 AS BIGINT) AS pack_id,
         |       CAST(bef % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q87_events_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "q88_events_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS wk
+        |  FROM events
+        |), c AS (SELECT user_id, min(wk) AS cohort_period FROM a GROUP BY user_id)
+        |SELECT cohort_period, wk - cohort_period AS period_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q84_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -51,4 +51,31 @@ object Funnel {
     prev.foreach(_.unpersist())
     counts.toDF("stage", "stage_idx", "n_users").orderBy(col("stage_idx"))
   }
+
+  /** Retention cohorts: users grouped by the period of their first
+    * event, counted in every later period they return. Periods are
+    * integer divisions of epoch seconds (`period` long, e.g. 604800
+    * for weeks) — no calendar arithmetic, engine-exact. Returns
+    * (cohort_period, period_offset, n_users).
+    *
+    * Shape: one distinct over (user, period) — the activity matrix,
+    * FAR smaller than the event log — then a per-user min and a
+    * self-join on user. All shuffles carry (user, period) longs;
+    * at 100 TB the event scan dominates and everything downstream is
+    * user-cardinality-sized.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      period: Long): DataFrame = {
+    require(period > 0, s"retentionCohorts: period must be positive, got $period")
+    val activity = events.select(col(userCol).as("__user"),
+        expr(s"CAST($tsCol AS LONG) DIV $period").as("__period"))
+      .distinct()
+    val cohort = activity.groupBy(col("__user"))
+      .agg(min(col("__period")).as("cohort_period"))
+    activity.join(cohort, Seq("__user"))
+      .groupBy(col("cohort_period"),
+        (col("__period") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_period"), col("period_offset"))
+  }
 }

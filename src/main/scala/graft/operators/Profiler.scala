@@ -36,4 +36,17 @@ object Profiler {
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /** Fixed-width histogram per group: bucket = ⌊value / width⌋ (one
+    * IEEE division + floor — deterministic on any engine), counted.
+    * One groupBy pass; empty buckets are absent (dense ranges should
+    * be filled by the consumer, not shuffled as zeros).
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      width: Double): DataFrame = {
+    require(width > 0, s"histogram: width must be positive, got $width")
+    df.groupBy(col(groupCol),
+        floor(col(valueCol) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

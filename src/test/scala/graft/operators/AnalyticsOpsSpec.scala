@@ -80,6 +80,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(all.count() === 500L)
   }
 
+  test("Profiler.histogram: floor-width buckets, negative values included") {
+    val df = Seq(("a", 0.0), ("a", 49.9), ("a", 50.0), ("a", 125.0), ("b", -10.0))
+      .toDF("g", "v")
+    val h = Profiler.histogram(df, "g", "v", width = 50.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(h(("a", 0L)) === 2L)   // 0.0 and 49.9
+    assert(h(("a", 1L)) === 1L)   // 50.0 lands in bucket 1 (floor boundary)
+    assert(h(("a", 2L)) === 1L)   // 125.0
+    assert(h(("b", -1L)) === 1L)  // floor(-0.2) = -1
+  }
+
+  test("Funnel.retentionCohorts: first-period cohorts, offsets count returns") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(8)),   // cohort week 0, returns week 1
+      (2L, ts(1)), (2L, ts(2)),   // cohort week 0, same-week only
+      (3L, ts(8)), (3L, ts(16))   // cohort week 1, returns week 2
+    ).toDF("user_id", "ts")
+    val r = Funnel.retentionCohorts(events, "user_id", "ts", period = 604800L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r((0L, 0L)) === 2L) // users 1 and 2 in their cohort week
+    assert(r((0L, 1L)) === 1L) // user 1 returned next week
+    assert(r((1L, 0L)) === 1L && r((1L, 1L)) === 1L) // user 3
+    assert(!r.contains((0L, 2L)))
+  }
+
   test("TextFunctions.normalize masks digits and collapses whitespace") {
     val df = Seq("  Call 555 0123   NOW  ", "abc").toDF("t")
       .select(TextFunctions.normalize(col("t")).as("n"))
