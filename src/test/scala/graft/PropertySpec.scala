@@ -104,4 +104,70 @@ class PropertySpec extends SparkSpec {
       oneCurrent && newApplied && kept
     }, n = 15)
   }
+
+  // The round-4 operator invariants run ONE Spark job over a large
+  // seeded-random frame each (per-sample jobs would be too slow), with
+  // the invariant asserted row-by-row against a driver-side replica.
+
+  test("quantizeInt8Component: range, floor semantics, monotonicity on random floats") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val xs = Array.fill(2000)((rnd.nextFloat() - 0.5f) * 4.0f) ++
+      Array(-1.0f, 1.0f, 0.0f, -128f / 127f, 2.0f, -2.0f)
+    val got = xs.toSeq.toDF("x")
+      .select(org.apache.spark.sql.functions.col("x"),
+        graft.functions.VectorFunctions.quantizeInt8Component(
+          org.apache.spark.sql.functions.col("x")).as("q"))
+      .collect().map(r => r.getFloat(0) -> r.getInt(1))
+    got.foreach { case (x, q) =>
+      assert(q >= -128 && q <= 127, s"out of rails: $x -> $q")
+      val expect = math.max(-128L, math.min(127L, math.floor(x.toDouble * 127).toLong))
+      assert(q.toLong === expect, s"floor mismatch: $x -> $q (want $expect)")
+    }
+    val sorted = got.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((x1, q1), (x2, q2)) =>
+        assert(q1 <= q2, s"not monotone: $x1->$q1 vs $x2->$q2")
+      case _ =>
+    }
+  }
+
+  test("packSequences: offsets in [0, budget), running sum replicated exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 1500).map(i =>
+      (i.toLong, s"g${rnd.nextInt(7)}", rnd.nextInt(900).toLong))
+    val budget = 512L
+    val got = graft.operators.Chunking.packSequences(
+        rows.toDF("doc_id", "source", "n_tokens"), "doc_id", "n_tokens", "source", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val expect = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy(_._1).map { case (id, g, tok) =>
+        val before = cum; cum += tok
+        (id, g) -> (before / budget, before % budget)
+      }
+    }.toMap
+    got.foreach { case (id, g, packId, off) =>
+      assert(off >= 0 && off < budget, s"offset out of range: $off")
+      assert((packId, off) === expect((id, g)), s"coordinates diverge for ($id,$g)")
+    }
+    assert(got.length === rows.length)
+  }
+
+  test("funnel: stage counts are monotonically non-increasing on random logs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "purchase", "error")
+    val events = (0 until 3000).map { _ =>
+      (rnd.nextInt(120).toLong, types(rnd.nextInt(types.length)),
+        new java.sql.Timestamp(rnd.nextInt(1000000).toLong * 1000L))
+    }
+    val counts = graft.operators.Funnel.funnel(
+        events.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(_.getLong(2))
+    assert(counts.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
+      s"funnel widened: ${counts.toSeq}")
+  }
 }
