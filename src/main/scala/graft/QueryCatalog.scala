@@ -1001,6 +1001,17 @@ object QueryCatalog {
         period = 604800L)
     }),
 
+    // record-level funnel: each user's reach TIME per stage — the
+    // batch equivalent of the streaming funnel's advancement records
+    // (spec-asserted identical), value-checked row by row.
+    "q89_events_funnel_reach" -> ((s, dir) => {
+      Funnel.reachTimes(t(s, dir, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("stage"), col("stage_idx"),
+          date_format(col("reach_ts"), "yyyy-MM-dd HH:mm:ss").as("reach_ts"))
+        .orderBy(col("user_id"), col("stage_idx"))
+    }),
+
     // lag/lead offset windows: per-user deltas between consecutive
     // events (previous-value diff, next event type, seconds since
     // previous) — both engines order on floor-of-second epoch with an
@@ -1461,6 +1472,27 @@ object QueryCatalog {
         |       CAST(bef // 2048 AS BIGINT) AS pack_id,
         |       CAST(bef % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q89_events_funnel_reach" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY e.user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t GROUP BY e.user_id
+        |)
+        |SELECT user_id, stage, stage_idx,
+        |       strftime(date_trunc('second', t), '%Y-%m-%d %H:%M:%S') AS reach_ts
+        |FROM (
+        |  SELECT user_id, 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, t FROM s0
+        |  UNION ALL
+        |  SELECT user_id, 'click', CAST(1 AS BIGINT), t FROM s1
+        |  UNION ALL
+        |  SELECT user_id, 'purchase', CAST(2 AS BIGINT), t FROM s2
+        |)
+        |ORDER BY user_id, stage_idx""".stripMargin,
     "q87_events_histogram" ->
       """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
         |       CAST(count(*) AS BIGINT) AS n

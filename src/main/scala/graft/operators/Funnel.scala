@@ -52,6 +52,40 @@ object Funnel {
     counts.toDF("stage", "stage_idx", "n_users").orderBy(col("stage_idx"))
   }
 
+  /** Per-user funnel reach TIMES — one row per (user, stage reached):
+    * the record-level view behind [[funnel]]'s counts, and the batch
+    * equivalent of [[graft.streaming.StreamingFunnel]]'s advancement
+    * stream (asserted equal in spec). Each stage's reach frame is
+    * localCheckpoint-ed: it feeds both the next stage's join and the
+    * result union, and without the boundary the lazy union re-executes
+    * the whole upstream chain per stage (O(k²) event-log scans). The
+    * output is user-cardinality-sized, so unlike [[funnel]] it stays
+    * distributed.
+    */
+  def reachTimes(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "reachTimes needs at least one stage")
+    val base = events.select(
+      col(userCol).as("user_id"), col(typeCol).as("__type"), col(tsCol).as("__ts"))
+    var prev = Option.empty[DataFrame]
+    val perStage = stages.zipWithIndex.map { case (stage, i) =>
+      val candidates = prev match {
+        case None => base.filter(col("__type") === stage)
+        case Some(p) =>
+          base.filter(col("__type") === stage)
+            .join(p.select(col("user_id"), col("reach_ts").as("__tprev")), Seq("user_id"))
+            .filter(col("__ts") >= col("__tprev"))
+      }
+      val reached = candidates.groupBy(col("user_id"))
+        .agg(min(col("__ts")).as("reach_ts"))
+        .localCheckpoint()
+      prev = Some(reached)
+      reached.select(col("user_id"), lit(stage).as("stage"),
+        lit(i.toLong).as("stage_idx"), col("reach_ts"))
+    }
+    perStage.reduce(_.unionByName(_))
+  }
+
   /** Retention cohorts: users grouped by the period of their first
     * event, counted in every later period they return. Periods are
     * integer divisions of epoch seconds (`period` long, e.g. 604800
