@@ -1464,8 +1464,8 @@ object QueryCatalog {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, source, n_tokens,
-        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |           ROWS UNBOUNDED PRECEDING) - n_tokens AS bef
+        |         SUM(COALESCE(n_tokens, 0)) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) - COALESCE(n_tokens, 0) AS bef
         |  FROM d
         |)
         |SELECT doc_id, source, n_tokens,

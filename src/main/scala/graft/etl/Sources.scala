@@ -22,12 +22,14 @@ object Sources {
       millisColumns: Seq[String] = Seq("date")) extends SourceConfig
   /** `mergeSchema` reconciles raw-zone batches written over a schema
     * change (a column added mid-stream): the scan unions the footer
-    * schemas and older files surface nulls for the new columns. Off by
-    * default — schema merging reads every file footer up front, a real
-    * cost at 100 TB; turn it on for evolving raw zones, keep it off
-    * for curated tables with a pinned schema.
+    * schemas and older files surface nulls for the new columns.
+    * Tri-state: `None` (default) defers to the session's
+    * `spark.sql.parquet.mergeSchema`; `Some(true)` pins merging on for
+    * an evolving raw zone; `Some(false)` pins it OFF for curated
+    * tables with a pinned schema — schema merging reads every file
+    * footer up front, a real cost at 100 TB.
     */
-  final case class ParquetSource(path: String, mergeSchema: Boolean = false)
+  final case class ParquetSource(path: String, mergeSchema: Option[Boolean] = None)
     extends SourceConfig
   /** Range partitioning for a parallel JDBC extract: Spark issues
     * `numPartitions` concurrent range queries over `column`
@@ -56,11 +58,8 @@ object Sources {
         case (df, c) => df.withColumn(c, timestamp_millis(col(c)))
       }
     case ParquetSource(path, mergeSchema) =>
-      // only set the option when asked: an explicit false would
-      // override a session-level spark.sql.parquet.mergeSchema=true,
-      // which the bare reader respects
-      val r = spark.read
-      (if (mergeSchema) r.option("mergeSchema", "true") else r).parquet(path)
+      mergeSchema.fold(spark.read)(m =>
+        spark.read.option("mergeSchema", m.toString)).parquet(path)
     case JdbcSource(url, query, props, partitioning) =>
       val base = spark.read.format("jdbc")
         .option("url", url)

@@ -63,27 +63,55 @@ object Funnel {
     * distributed.
     */
   def reachTimes(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): DataFrame = {
+      tsCol: String, stages: Seq[String],
+      checkpointDir: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "reachTimes needs at least one stage")
+    val spark = events.sparkSession
+    // Stage-boundary materialization, same posture as
+    // Dedup.connectedComponents: localCheckpoint locally (executor
+    // block storage — an executor loss fails the job), or parquet
+    // snapshots under `checkpointDir` on a real cluster. EVERY stage's
+    // snapshot feeds the result union, so unlike the CC loop nothing
+    // is deleted as we go — on failure everything this call wrote is
+    // cleaned up; on success the caller owns the dir's lifetime (TTL).
+    var written = List.empty[String]
+    def materialize(df: DataFrame, i: Int): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/stage-$i"
+        df.write.mode("overwrite").parquet(path)
+        written ::= path
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
     val base = events.select(
       col(userCol).as("user_id"), col(typeCol).as("__type"), col(tsCol).as("__ts"))
-    var prev = Option.empty[DataFrame]
-    val perStage = stages.zipWithIndex.map { case (stage, i) =>
-      val candidates = prev match {
-        case None => base.filter(col("__type") === stage)
-        case Some(p) =>
-          base.filter(col("__type") === stage)
-            .join(p.select(col("user_id"), col("reach_ts").as("__tprev")), Seq("user_id"))
-            .filter(col("__ts") >= col("__tprev"))
+    try {
+      var prev = Option.empty[DataFrame]
+      val perStage = stages.zipWithIndex.map { case (stage, i) =>
+        val candidates = prev match {
+          case None => base.filter(col("__type") === stage)
+          case Some(p) =>
+            base.filter(col("__type") === stage)
+              .join(p.select(col("user_id"), col("reach_ts").as("__tprev")), Seq("user_id"))
+              .filter(col("__ts") >= col("__tprev"))
+        }
+        val reached = materialize(candidates.groupBy(col("user_id"))
+          .agg(min(col("__ts")).as("reach_ts")), i)
+        prev = Some(reached)
+        reached.select(col("user_id"), lit(stage).as("stage"),
+          lit(i.toLong).as("stage_idx"), col("reach_ts"))
       }
-      val reached = candidates.groupBy(col("user_id"))
-        .agg(min(col("__ts")).as("reach_ts"))
-        .localCheckpoint()
-      prev = Some(reached)
-      reached.select(col("user_id"), lit(stage).as("stage"),
-        lit(i.toLong).as("stage_idx"), col("reach_ts"))
+      perStage.reduce(_.unionByName(_))
+    } catch {
+      case e: Throwable =>
+        written.foreach { p =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+          } catch { case _: Throwable => () }
+        }
+        throw e
     }
-    perStage.reduce(_.unionByName(_))
   }
 
   /** Retention cohorts: users grouped by the period of their first
@@ -101,8 +129,13 @@ object Funnel {
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
       period: Long): DataFrame = {
     require(period > 0, s"retentionCohorts: period must be positive, got $period")
+    // FLOOR division, not Spark's truncate-toward-zero DIV: pre-1970
+    // timestamps (negative epochs) must land in period -1, not merge
+    // into period 0 — and DuckDB's // (the oracle) floors. Subtracting
+    // the positive mod first makes the quotient exact for any sign.
     val activity = events.select(col(userCol).as("__user"),
-        expr(s"CAST($tsCol AS LONG) DIV $period").as("__period"))
+        expr(s"(CAST($tsCol AS LONG) - pmod(CAST($tsCol AS LONG), $period)) DIV $period")
+          .as("__period"))
       .distinct()
     val cohort = activity.groupBy(col("__user"))
       .agg(min(col("__period")).as("cohort_period"))

@@ -58,9 +58,12 @@ object StreamingFunnel {
               }
             }
           if (cur.reachedIdx >= 0) {
+            // completed funnels KEEP their state until the idle timeout
+            // evicts it — removing on completion would let the same
+            // user re-enter at stage 0 in the next micro-batch and
+            // double-count, making output depend on batch boundaries
             state.update(cur)
-            if (cur.reachedIdx == stages.length - 1) state.remove() // funnel done
-            else state.setTimeoutTimestamp(
+            state.setTimeoutTimestamp(
               math.max(cur.reachedTs + idleMs, state.getCurrentWatermarkMs() + 1))
           }
           out.result()

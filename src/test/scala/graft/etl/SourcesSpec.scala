@@ -50,7 +50,7 @@ class SourcesSpec extends SparkSpec {
     Seq(("a", 1L)).toDF("id", "v").write.parquet(s"$dir/p/b1")
     Seq(("b", 2L, "en")).toDF("id", "v", "lang").write.parquet(s"$dir/p/b2")
     val merged = Sources.read(spark,
-      Sources.ParquetSource(s"$dir/p/*", mergeSchema = true))
+      Sources.ParquetSource(s"$dir/p/*", mergeSchema = Some(true)))
     assert(merged.columns.toSet === Set("id", "v", "lang"))
     val byId = merged.collect().map(r => r.getString(0) -> r.getAs[String]("lang")).toMap
     assert(byId("a") === null && byId("b") === "en",

@@ -106,6 +106,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!r.contains((0L, 2L)))
   }
 
+  test("retentionCohorts floors pre-1970 periods (no merge into period 0)") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq((1L, ts(-100L)), (2L, ts(100L)))  // straddle the epoch
+      .toDF("user_id", "ts")
+    val r = Funnel.retentionCohorts(events, "user_id", "ts", period = 604800L)
+      .collect().map(x => x.getLong(0)).toSet
+    assert(r === Set(-1L, 0L), "pre-epoch events must land in period -1")
+  }
+
+  test("reachTimes: reliable-checkpoint mode ≡ local, files cleaned on owner's terms") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, "view", ts(10)), (1L, "click", ts(20)),
+      (2L, "view", ts(5))).toDF("user_id", "event_type", "ts")
+    val local = Funnel.reachTimes(events, "user_id", "event_type", "ts",
+        Seq("view", "click")).orderBy("user_id", "stage_idx").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("reach_ckpt").toString
+    val reliable = Funnel.reachTimes(events, "user_id", "event_type", "ts",
+      Seq("view", "click"), checkpointDir = Some(dir))
+    assert(reliable.orderBy("user_id", "stage_idx").collect().toSeq === local)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try assert(files.filter(java.nio.file.Files.isRegularFile(_)).count() > 0)
+    finally files.close()
+  }
+
   test("TextFunctions.normalize masks digits and collapses whitespace") {
     val df = Seq("  Call 555 0123   NOW  ", "abc").toDF("t")
       .select(TextFunctions.normalize(col("t")).as("n"))

@@ -49,6 +49,40 @@ class StreamingFunnelSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS funnel_adv")
   }
 
+  test("cross-batch: a completed funnel does not re-enter, progress spans batches") {
+    val dir = Files.createTempDirectory("funnel_xbatch").toString
+    // file 1: user 10 completes the funnel; user 11 views
+    Seq((10L, ts("2024-01-01 10:00:00"), "view"),
+      (10L, ts("2024-01-01 10:01:00"), "click"),
+      (10L, ts("2024-01-01 10:02:00"), "purchase"),
+      (11L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type").coalesce(1).write.parquet(s"$dir/src")
+    // file 2 (separate micro-batch via maxFilesPerTrigger=1): user 10
+    // views AGAIN — must NOT restart the funnel; user 11 clicks —
+    // must advance using state carried across batches
+    Seq((10L, ts("2024-01-01 10:30:00"), "view"),
+      (11L, ts("2024-01-01 10:31:00"), "click"))
+      .toDF("user_id", "ts", "event_type").coalesce(1).write.mode("append")
+      .parquet(s"$dir/src")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+      .withWatermark("ts", "10 minutes")
+      .as[StreamingFunnel.Event]
+    val q = StreamingFunnel.progressions(stream, stages, idleMs = 3600000L)
+      .writeStream.format("memory").queryName("funnel_xb")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty)
+    val adv = spark.sql("SELECT * FROM funnel_xb").as[StreamingFunnel.Advance]
+      .collect().toSeq
+    // user 10: exactly one advancement per stage, nothing after completion
+    assert(adv.count(_.user_id == 10L) === 3,
+      s"completed funnel re-entered: ${adv.filter(_.user_id == 10L)}")
+    // user 11: view in batch 1, click in batch 2 — state crossed batches
+    assert(adv.filter(_.user_id == 11L).map(_.stage).toSet === Set("view", "click"))
+    spark.sql("DROP TABLE IF EXISTS funnel_xb")
+  }
+
   test("batch reference: order enforced, ties advance, stage counts match Funnel") {
     val adv = StreamingFunnel.progressionsBatch(events, stages)
     // user 1 full funnel, user 2 view→click only (the 09:00 click is
