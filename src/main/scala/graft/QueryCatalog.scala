@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, Dedup, Funnel, Multimodal, Profiler, Sampling, Similarity, TermStats}
+import graft.operators.{AsOfJoin, Chunking, Dedup, Funnel, Multimodal, Profiler, Sampling, ScaleJoins, Similarity, Sketches, TermStats}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -1012,6 +1012,93 @@ object QueryCatalog {
         .orderBy(col("user_id"), col("stage_idx"))
     }),
 
+    // skew-salted join, driver-verified: salting spreads each hot key
+    // over saltFactor reducers but is semantically invisible, so the
+    // oracle is the PLAIN join — the one query where "matches the
+    // naive SQL" is itself the interesting assertion.
+    "q90_skew_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("suppkey"), col("l_orderkey"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      val sup = t(s, dir, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_name"))
+      ScaleJoins.saltedInnerJoin(li, sup, "suppkey",
+          saltFactor = 8, saltBy = "l_orderkey")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("s_name"))
+    }),
+
+    // signed random projection: integer ±1-hyperplane signatures of
+    // int8-quantized embeddings — exact BIGINTs, so unlike the
+    // float-dot LSH (q31) the full projection path is value-checked.
+    "q91_emb_signed_projection" -> ((s, dir) => {
+      Sketches.signedProjection(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nPlanes = 8)
+        .orderBy(col("vec_id"), col("plane"))
+    }),
+
+    // count-min heavy hitters: per-user exact count next to the 4×64
+    // sketch estimate (integer multiplicative hashes, so both engines
+    // build the identical sketch; est ≥ exact is also spec-asserted).
+    "q92_heavy_hitters_cms" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      Sketches.countMinEstimates(ev, "user_id", depth = 4, width = 64)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("exact_n"), col("cms_est"))
+        .orderBy(col("user_id"))
+    }),
+
+    // TPC-H Q6 shape: tight multi-predicate scan + global agg — the
+    // canonical pushdown query (all three filters reach the parquet
+    // scan; revenue in exact 1e-4-dollar integer units).
+    "q93_tpch_q6" -> ((s, dir) => {
+      val lo = utcTs("1997-01-01 00:00:00")
+      val hi = utcTs("1998-01-01 00:00:00")
+      val epCents = expr("floor(l_extendedprice * 100 + 0.5)").cast("long")
+      val discH = expr("floor(l_discount * 100 + 0.5)").cast("long")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(epCents * discH).as("revenue_c4"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q19 shape: OR-of-ANDs across both join sides — the
+    // disjunction can't be pushed wholesale, but Catalyst pushes the
+    // per-side common envelope (brand/size on part); predicates
+    // broadened from the spec values so the synthetic data matches.
+    "q94_tpch_q19" -> ((s, dir) => {
+      val epCents = expr("floor(l_extendedprice * 100 + 0.5)").cast("long")
+      val discH = expr("floor(l_discount * 100 + 0.5)").cast("long")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#21" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum(epCents * (lit(100L) - discH)).as("revenue_c4"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // CUBE + grouping_id: all four grouping sets of (returnflag,
+    // linestatus) with the bitmask distinguishing real NULLs from
+    // subtotal rows — q36's ROLLUP relied on NULL markers alone.
+    "q95_cube_grouping" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // lag/lead offset windows: per-user deltas between consecutive
     // events (previous-value diff, next event type, seconds since
     // previous) — both engines order on floor-of-second epoch with an
@@ -1507,6 +1594,73 @@ object QueryCatalog {
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q90_skew_salted_join" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q91_emb_signed_projection" ->
+      """WITH q AS (
+        |  SELECT vec_id, i - 1 AS pos,
+        |         CAST(GREATEST(-128, LEAST(127,
+        |           floor(CAST(embedding[i] AS DOUBLE) * 127))) AS BIGINT) AS qc
+        |  FROM (SELECT vec_id, embedding,
+        |               unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)
+        |)
+        |SELECT vec_id, plane,
+        |       CAST(SUM(qc * CASE WHEN ((pos * 8 + plane) * 2654435761 // 65536) % 2 = 0
+        |                          THEN 1 ELSE -1 END) AS BIGINT) AS proj
+        |FROM q, (SELECT unnest(range(0, 8)) AS plane)
+        |GROUP BY vec_id, plane ORDER BY vec_id, plane""".stripMargin,
+    "q92_heavy_hitters_cms" ->
+      """WITH hp(d, a) AS (VALUES (CAST(0 AS BIGINT), CAST(2654435761 AS BIGINT)),
+        |                         (1, 2246822519), (2, 3266489917), (3, 668265263)),
+        |cells AS (
+        |  SELECT d, ((user_id % 2147483648) * a % 2147483648) % 64 AS cell,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events, hp GROUP BY 1, 2
+        |),
+        |est AS (
+        |  SELECT k.user_id, min(c.cnt) AS cms_est
+        |  FROM (SELECT DISTINCT user_id FROM events) k, hp
+        |  JOIN cells c ON c.d = hp.d
+        |    AND c.cell = ((k.user_id % 2147483648) * hp.a % 2147483648) % 64
+        |  GROUP BY k.user_id
+        |)
+        |SELECT user_id, CAST(x.exact_n AS BIGINT) AS exact_n, e.cms_est
+        |FROM est e
+        |JOIN (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1) x
+        |  USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q93_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |                CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS revenue_c4,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q94_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |                (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+        |         AS revenue_c4,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q95_cube_grouping" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q84_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deterministic integer sketches: count-min (heavy-hitter estimation)
+  * and signed random projection (compact embedding signatures).
+  *
+  * Both are pure integer arithmetic end-to-end, so any SQL engine
+  * reproduces them bit-exactly — unlike seeded-RNG or float-dot
+  * sketches, the output does not depend on partitioning, task retries,
+  * summation order, or engine version. That makes them driver-oracle
+  * checkable AND idempotent across incremental runs: re-sketching the
+  * same rows yields the same cells, so sketches from separate batches
+  * can be merged by summing counters.
+  */
+object Sketches {
+
+  /** Multiplicative-hash constants (Knuth's 2654435761 and the public
+    * xxhash/Murmur-family odd primes). The key is folded to 31 bits
+    * BEFORE the multiply so the product stays under 2^63 for any
+    * BIGINT key — ANSI mode throws on the bare product past ~3.4e9
+    * keys (round-4 sampling postmortem), non-ANSI would silently wrap.
+    */
+  private val HashConstants = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+
+  private val Fold = 2147483648L // 2^31
+
+  private def cellOf(key: Column, a: Long, width: Int): Column =
+    pmod(pmod(pmod(key.cast("long"), lit(Fold)) * lit(a), lit(Fold)), lit(width.toLong))
+
+  /** Count-min sketch cells over `keyCol`: `depth` hash rows × `width`
+    * counters, emitted as (d, cell, cnt). ONE shuffle whose reduce side
+    * is depth×width rows regardless of corpus size — the sketch crosses
+    * the wire, never the keys. Estimates are biased up only (hash
+    * collisions add counts, never subtract): est(k) ≥ true(k), with the
+    * standard (ε=e/width, δ=e^-depth) overcount bound.
+    */
+  def countMinCells(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= HashConstants.size,
+      s"depth must be 1..${HashConstants.size}, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(explode(array(hashRows(col(keyCol), depth, width): _*)).as("h"))
+      .groupBy(col("h.d").as("d"), col("h.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def hashRows(key: Column, depth: Int, width: Int): Seq[Column] =
+    HashConstants.take(depth).zipWithIndex.map { case (a, d) =>
+      struct(lit(d.toLong).as("d"), cellOf(key, a, width).as("cell"))
+    }
+
+  /** Point estimate for every distinct key: min over the key's `depth`
+    * cells. The cell table is depth×width rows → broadcast to the
+    * distinct-key side; keys never join each other, so the plan is one
+    * distinct-shuffle plus a map-side hash lookup at any scale.
+    */
+  def countMinEstimates(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val cells = countMinCells(df, keyCol, depth, width)
+    df.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array(hashRows(col(keyCol), depth, width): _*)).as("h"))
+      .select(col(keyCol), col("h.d").as("__d"), col("h.cell").as("__cell"))
+      .join(broadcast(cells), col("__d") === col("d") && col("__cell") === col("cell"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
+  /** Signed random projection of int8-quantized vectors onto `nPlanes`
+    * ±1 hyperplanes: (id, plane, proj) with proj = Σ_pos q(pos)·sign(pos,
+    * plane), a BIGINT. The per-coordinate sign extracts bit 16 of a
+    * Knuth multiply — NOT the low bit, which an odd multiplier leaves
+    * equal to the input's parity (a non-mixing alternating pattern).
+    *
+    * Components are quantized ONCE through the codegen'd scalar
+    * expression then fan out by plane (the q65/q74 posexplode pattern —
+    * an array HOF would re-run interpreted per referencing aggregate).
+    * Row inflation before the (id, plane) shuffle is dim×nPlanes, all
+    * map-side-combinable. Unlike the float-dot hyperplane LSH in
+    * [[Similarity]], the integer projection is exactly reproducible in
+    * SQL, so the whole path is driver-oracle checkable.
+    */
+  def signedProjection(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1, s"nPlanes must be >= 1, got $nPlanes")
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idCol), col("pos"),
+        VectorFunctions.quantizeInt8Component(col("x")).cast("long").as("qc"))
+      .select(col(idCol), col("pos"), col("qc"),
+        explode(sequence(lit(0L), lit((nPlanes - 1).toLong))).as("plane"))
+      .withColumn("sign",
+        when(expr(s"pmod((pos * $nPlanes + plane) * 2654435761 DIV 65536, 2)") === 0,
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("plane"))
+      .agg(sum(col("qc") * col("sign")).as("proj"))
+  }
+}
