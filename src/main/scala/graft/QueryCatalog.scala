@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, Dedup, Funnel, Multimodal, Profiler, Sampling, ScaleJoins, Similarity, Sketches, TermStats}
+import graft.operators.{AsOfJoin, Chunking, Dedup, Funnel, Multimodal, Profiler, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -1086,6 +1086,34 @@ object QueryCatalog {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Bloom-prefiltered semi-join (the runtime-filter pattern): the
+    // small side's deterministic bitset drops non-matching rows before
+    // the shuffle; the exact semi-join removes false positives, so the
+    // oracle is the PLAIN IN-subquery — like q90, "equals naive SQL"
+    // is the assertion.
+    "q96_bloom_semi_join" -> ((s, dir) => {
+      val rich = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+      Sketches.bloomSemiJoin(
+          t(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey"),
+          "suppkey", rich.withColumnRenamed("s_suppkey", "suppkey"), "suppkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // z-order key: the Morton interleave that clusterByZ lays files
+    // out by, value-checked bit for bit (the layout itself is a write
+    // property — ZOrderSpec asserts the tile-locality it buys).
+    "q97_zorder_key" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        ZOrder.interleaveBits(
+          pmod(col("l_suppkey"), lit(65536L)),
+          pmod(col("l_partkey"), lit(65536L))).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // CUBE + grouping_id: all four grouping sets of (returnflag,
     // linestatus) with the bitmask distinguishing real NULLs from
     // subtotal rows — q36's ROLLUP relied on NULL markers alone.
@@ -1655,6 +1683,18 @@ object QueryCatalog {
         |       AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q96_bloom_semi_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q97_zorder_key" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(list_sum(list_transform(range(0, 16),
+        |         i -> ((((l_suppkey % 65536) >> i) & 1) << (2*i + 1))
+        |            + ((((l_partkey % 65536) >> i) & 1) << (2*i)))) AS BIGINT) AS zval
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q95_cube_grouping" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_lines,
         |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

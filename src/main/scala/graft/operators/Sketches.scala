@@ -67,6 +67,62 @@ object Sketches {
       .agg(min(col("cnt")).as("cms_est"))
   }
 
+  /** Deterministic Bloom bitset of a key column: `k` bit positions per
+    * key from the folded multiplicative family, distinct positions
+    * collected (bounded by `nBits` rows — a build-side artifact like an
+    * IVF codebook, NOT a per-row driver loop) and OR'd into an
+    * Array[Long]. Same-hash determinism means two engines — or two
+    * incremental batches — building over the same keys produce the
+    * identical bitset (merge = bitwise OR).
+    */
+  def bloomBits(df: DataFrame, keyCol: String, nBits: Int, k: Int): Array[Long] = {
+    require(k >= 1 && k <= HashConstants.size, s"k must be 1..${HashConstants.size}, got $k")
+    require(nBits >= 64 && (nBits & (nBits - 1)) == 0,
+      s"nBits must be a power of two >= 64, got $nBits")
+    val positions = HashConstants.take(k)
+      .map(a => pmod(pmod(pmod(col(keyCol).cast("long"), lit(Fold)) * lit(a), lit(Fold)),
+        lit(nBits.toLong)))
+    val bits = new Array[Long](nBits / 64)
+    df.select(explode(array(positions: _*)).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        bits((p / 64).toInt) |= 1L << (p % 64)
+      }
+    bits
+  }
+
+  /** Might-contain test against a literal bitset — all codegen'd
+    * builtins (element_at + shiftleft + bitwise and), no UDF. False
+    * positives possible, false negatives never.
+    */
+  def mightContain(key: Column, bits: Array[Long], k: Int): Column = {
+    val nBits = bits.length * 64
+    HashConstants.take(k).map { a =>
+      val p = pmod(pmod(pmod(key.cast("long"), lit(Fold)) * lit(a), lit(Fold)),
+        lit(nBits.toLong))
+      // functions.shiftleft only takes a literal shift; the SQL
+      // builtin (same codegen) accepts a column
+      (element_at(lit(bits), (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L)
+    }.reduce(_ && _)
+  }
+
+  /** Exact semi-join with a Bloom prefilter on the large side — the
+    * runtime-filter pattern: the bitset (nBits/8 bytes) ships in the
+    * plan, rows failing it never reach the shuffle, and the exact
+    * LEFT SEMI join removes the false positives. Result EQUALS the
+    * plain semi-join (the oracle assertion in q96); the win at 100 TB
+    * is shuffle volume proportional to the match rate, not the scan.
+    */
+  def bloomSemiJoin(large: DataFrame, largeKey: String,
+      small: DataFrame, smallKey: String,
+      nBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val bits = bloomBits(small, smallKey, nBits, k)
+    large.filter(mightContain(col(largeKey), bits, k))
+      .join(small.select(col(smallKey).as(largeKey)).distinct(),
+        Seq(largeKey), "left_semi")
+  }
+
   /** Signed random projection of int8-quantized vectors onto `nPlanes`
     * ±1 hyperplanes: (id, plane, proj) with proj = Σ_pos q(pos)·sign(pos,
     * plane), a BIGINT. The per-coordinate sign extracts bit 16 of a

@@ -76,6 +76,51 @@ class SketchesSpec extends SparkSpec {
     assert(signs.map(_._1).distinct.size === 2, "both signs must occur")
   }
 
+  test("bloom: no false negatives, prefiltered semi-join equals the plain semi-join") {
+    val small = (1L to 40L).filter(_ % 7 == 0).toDF("k")
+    val large = (1L to 2000L).map(i => (i % 200, i)).toDF("k", "v")
+    val bits = Sketches.bloomBits(small, "k", nBits = 1024, k = 3)
+    // every inserted key must pass its own filter
+    val misses = small.filter(!Sketches.mightContain(col("k"), bits, 3)).count()
+    assert(misses === 0L, "bloom filter dropped an inserted key (false negative)")
+    val got = Sketches.bloomSemiJoin(large, "k", small, "k")
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = large.join(small, Seq("k"), "left_semi")
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
+  test("bloom: false-positive rate is low at the sized load factor") {
+    val inserted = (0L until 100L).toDF("k")
+    val bits = Sketches.bloomBits(inserted, "k", nBits = 4096, k = 3)
+    // 100 keys * 3 bits in 4096 → theoretical FPR ~(1-e^-0.073)^3 ≈ 3e-4
+    val probes = (10000L until 20000L).toDF("k") // disjoint from inserted
+    val fp = probes.filter(Sketches.mightContain(col("k"), bits, 3)).count()
+    assert(fp < 500L, s"false-positive rate implausibly high: $fp / 10000")
+  }
+
+  test("countMinCells on a stream: running cells equal the batch sketch (merge law)") {
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream").toString
+    val (a, b) = keys.splitAt(200)
+    a.toDF("k").coalesce(1).write.parquet(s"$dir/src")
+    b.toDF("k").coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema("k LONG")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = Sketches.countMinCells(stream, "k", depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty)
+    val streamed = spark.sql("SELECT * FROM cms_cells")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.countMinCells(keys.toDF("k"), "k", 4, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      "streaming cells after all batches must equal the batch sketch")
+    spark.sql("DROP TABLE IF EXISTS cms_cells")
+  }
+
   test("countMin rejects bad shapes") {
     val df = Seq(1L).toDF("k")
     intercept[IllegalArgumentException](Sketches.countMinCells(df, "k", 0, 64))
