@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, Dedup, Funnel, Multimodal, Profiler, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
+import graft.operators.{AsOfJoin, Chunking, Dedup, Funnel, Multimodal, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -1114,6 +1114,47 @@ object QueryCatalog {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // full outer join (the one join type q01–q97 never exercised):
+    // hourly signup vs error totals where each side has hours the
+    // other lacks — both null wings verified.
+    "q98_full_outer_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def hourly(tp: String, n: String) = ev
+        .filter(col("event_type") === tp)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm").as("hour"))
+        .agg(count(lit(1)).as(n))
+      hourly("signup", "n_signups")
+        .join(hourly("error", "n_errors"), Seq("hour"), "full_outer")
+        .orderBy(col("hour"))
+    }),
+
+    // rank-family window functions over a tie-heavy ordering:
+    // percent_rank/cume_dist are one division of exact integers —
+    // bit-identical across engines (the catalog's no-round rule).
+    "q99_rank_functions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(floor(col("l_quantity")).cast("long"))
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // per-type 3-sigma outliers via the division-free integer z-score
+    // (Quality.zScoreOutliers): boundary rows agree exactly on both
+    // engines because nothing is ever divided or square-rooted.
+    "q100_value_outliers" -> ((s, dir) => {
+      Quality.zScoreOutliers(t(s, dir, "events"), "event_type", "value",
+          sigmas = 3)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // CUBE + grouping_id: all four grouping sets of (returnflag,
     // linestatus) with the bitmask distinguishing real NULLs from
     // subtotal rows — q36's ROLLUP relied on NULL markers alone.
@@ -1695,6 +1736,43 @@ object QueryCatalog {
         |         i -> ((((l_suppkey % 65536) >> i) & 1) << (2*i + 1))
         |            + ((((l_partkey % 65536) >> i) & 1) << (2*i)))) AS BIGINT) AS zval
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q98_full_outer_join" ->
+      """WITH s AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |         CAST(count(*) AS BIGINT) AS n_signups
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), e AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |         CAST(count(*) AS BIGINT) AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |)
+        |SELECT hour, n_signups, n_errors
+        |FROM s FULL OUTER JOIN e USING (hour) ORDER BY hour""".stripMargin,
+    "q99_rank_functions" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_returnflag,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       cume_dist() OVER w AS cdist
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY CAST(floor(l_quantity) AS BIGINT))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q100_value_outliers" ->
+      """WITH x AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(value * 100 + 0.5) AS HUGEINT) AS xc
+        |  FROM events
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |         SUM(xc) AS s, SUM(xc * xc) AS ss
+        |  FROM x GROUP BY event_type
+        |)
+        |SELECT event_id, event_type
+        |FROM x JOIN st USING (event_type)
+        |WHERE (n * xc - s) * (n * xc - s) > 9 * (n * ss - s * s)
+        |ORDER BY event_id""".stripMargin,
     "q95_cube_grouping" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_lines,
         |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

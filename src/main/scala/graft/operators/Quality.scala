@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-based data-quality screens for training corpora.
+  *
+  * Everything is exact integer/decimal arithmetic: the z-score test
+  * |x − μ| > kσ is evaluated as (n·x − s)² > k²·(n·ss − s²) — the
+  * n²-scaled form with no division and no square root — so two engines
+  * (or two runs over different partitionings) agree on every boundary
+  * row. A float variance would disagree exactly on the rows the test
+  * exists to find.
+  */
+object Quality {
+
+  /** Rows whose integer-cents value lies more than `sigmas` population
+    * standard deviations from their group's mean. One aggregate pass +
+    * a broadcast of the per-group (n, s, ss) triple — the corpus is
+    * scanned twice but shuffled never (the stats frame is
+    * groups-cardinality small).
+    *
+    * Declared decimal widths bound the products away from Spark's
+    * 38-digit cap: cents ≤ 1e10, group rows ≤ 1e10 keep every term
+    * exact (n·x − s squared is capped at DECIMAL(38) but its runtime
+    * magnitude ≤ ~1e42 only past 1e10-row × 1e10-cent groups — far
+    * beyond the declared domain, and ANSI mode throws rather than
+    * corrupts if exceeded).
+    */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      sigmas: Int = 3): DataFrame = {
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val withCents = df.withColumn("__xc",
+      expr(s"CAST(floor($valueCol * 100 + 0.5) AS DECIMAL(10,0))"))
+    val stats = withCents.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(DecimalType(10, 0)).as("__n"),
+      sum(col("__xc")).cast(DecimalType(16, 0)).as("__s"),
+      sum(col("__xc") * col("__xc")).cast(DecimalType(22, 0)).as("__ss"))
+    val dev = col("__n") * col("__xc") - col("__s")
+    withCents.join(broadcast(stats), Seq(groupCol))
+      .filter(dev * dev >
+        lit(sigmas.toLong * sigmas) * (col("__n") * col("__ss") - col("__s") * col("__s")))
+      .drop("__xc", "__n", "__s", "__ss")
+  }
+}

@@ -131,6 +131,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     finally files.close()
   }
 
+  test("Quality.zScoreOutliers flags the far point, spares a tight cluster") {
+    // group a: 15 values at ~10.00 plus one at 1000.00. A lone spike
+    // among n points peaks at z = (n-1)/sqrt(n), so n must be >= 11
+    // for any single point to clear 3 sigma; 16 gives z ~ 3.75.
+    val a = (1 to 15).map(i => ("a", i.toLong, 10.0 + i * 0.01)) :+ (("a", 99L, 1000.0))
+    // group b: uniform-ish cluster, max deviation < 2 sigma → no rows
+    val b = (1 to 10).map(i => ("b", 100L + i, 50.0 + i))
+    val df = (a ++ b).toDF("g", "id", "v")
+    val out = Quality.zScoreOutliers(df, "g", "v", sigmas = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(99L), s"expected only the spike, got $out")
+  }
+
+  test("Quality.zScoreOutliers: zero-variance group flags nothing") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0)).toDF("g", "id", "v")
+    assert(Quality.zScoreOutliers(df, "g", "v").count() === 0L)
+  }
+
   test("TextFunctions.normalize masks digits and collapses whitespace") {
     val df = Seq("  Call 555 0123   NOW  ", "abc").toDF("t")
       .select(TextFunctions.normalize(col("t")).as("n"))
