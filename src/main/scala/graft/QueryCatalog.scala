@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, Dedup, Funnel, Multimodal, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
+import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, Multimodal, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -1155,6 +1155,62 @@ object QueryCatalog {
         .orderBy(col("event_id"))
     }),
 
+    // PII redaction (training-data compliance pass): deterministic
+    // contact details seeded from doc_id (synthetic docs carry no real
+    // PII), then the RE2-portable scrub chain + per-pattern audit
+    // counts — md5 of the redacted text value-checks every replacement.
+    "q101_docs_redact_pii" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach me at user"), id,
+          lit("@mail"), pmod(col("doc_id"), lit(7L)).cast("string"), lit(".com or 10."),
+          pmod(col("doc_id"), lit(256L)).cast("string"), lit(".0."),
+          pmod(col("doc_id") * 7, lit(256L)).cast("string"), lit(" tel 555-010-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")).as("text"))
+      seeded.select(col("doc_id"),
+        md5(TextFunctions.redactPii(col("text"))).as("redacted_md5"),
+        TextFunctions.piiMatchCount(col("text"), TextFunctions.EmailPattern).as("n_emails"),
+        TextFunctions.piiMatchCount(col("text"), TextFunctions.Ipv4Pattern).as("n_ips"),
+        TextFunctions.piiMatchCount(col("text"), TextFunctions.PhonePattern).as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic HLL registers: 256 rows of mergeable distinct-user
+    // sketch state, every register value-checked (Spark's own
+    // approx_count_distinct state is engine-private; this one is three
+    // integer ops and a bin() length on both engines).
+    "q102_hll_registers" -> ((s, dir) => {
+      Sketches.hllRegisters(t(s, dir, "events"), "user_id", p = 8)
+        .orderBy(col("bucket"))
+    }),
+
+    // domain mixing: down-sample four sources to a 40/30/20/10 target
+    // mixture, quotas from pure integer division, selection by the
+    // deterministic key priority — the exact kept set value-checks.
+    "q103_docs_mix_domains" -> ((s, dir) => {
+      Sampling.mixToTarget(t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 400000L, "src1" -> 300000L,
+            "src2" -> 200000L, "src3" -> 100000L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // file-level min/max data skipping: range-cluster events by ts,
+    // build the per-file manifest, read only files overlapping a 2-day
+    // window — result proven IDENTICAL to the plain full-scan filter
+    // (the q90 invisible-optimization discipline; DataSkippingSpec
+    // asserts files were actually skipped).
+    "q104_events_skipping" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      DataSkipping.writeClustered(t(s, dir, "events"), "ts", tmp, nFiles = 16)
+      val (pruned, _, _) = DataSkipping.prunedRead(s, tmp, "ts",
+        lo = 1704844800L, hi = 1705017599L) // 2024-01-10 .. 2024-01-11 UTC
+      pruned.select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("long").as("ts_sec"))
+        .orderBy(col("event_id"))
+    }),
+
     // CUBE + grouping_id: all four grouping sets of (returnflag,
     // linestatus) with the bitmask distinguishing real NULLs from
     // subtotal rows — q36's ROLLUP relied on NULL markers alone.
@@ -1772,6 +1828,71 @@ object QueryCatalog {
         |SELECT event_id, event_type
         |FROM x JOIN st USING (event_type)
         |WHERE (n * xc - s) * (n * xc - s) > 9 * (n * ss - s * s)
+        |ORDER BY event_id""".stripMargin,
+    "q101_docs_redact_pii" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |         text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+        |              || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com or 10.'
+        |              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |              || CAST((doc_id * 7) % 256 AS VARCHAR) || ' tel 555-010-'
+        |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ip>', 'g'),
+        |         '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<phone>', 'g')) AS redacted_md5,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text,
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(text,
+        |         '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b')) AS BIGINT) AS n_phones
+        |FROM seeded ORDER BY doc_id""".stripMargin,
+    "q102_hll_registers" ->
+      """WITH h1 AS (
+        |  SELECT ((user_id % 2147483648) * 2654435761) % 2147483648 AS h
+        |  FROM events
+        |), h2 AS (
+        |  SELECT (xor(h, h >> 16) * 2246822519) % 2147483648 AS h FROM h1
+        |), hf AS (
+        |  SELECT xor(h, h >> 13) AS h FROM h2
+        |), br AS (
+        |  SELECT h % 256 AS bucket, h // 256 AS rem FROM hf
+        |)
+        |SELECT bucket,
+        |       CAST(MAX(CASE WHEN rem = 0 THEN 24
+        |                     ELSE 24 - length(bin(rem)) END) AS BIGINT) AS register
+        |FROM br GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q103_docs_mix_domains" ->
+      """WITH t(source, parts) AS (
+        |  VALUES ('src0', 400000), ('src1', 300000),
+        |         ('src2', 200000), ('src3', 100000)
+        |), counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT MIN(n * 1000000 // parts) AS total
+        |  FROM counts JOIN t USING (source)
+        |), q AS (
+        |  SELECT source, (SELECT total FROM tot) * parts // 1000000 AS quota FROM t
+        |), ranked AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+        |                    doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source
+        |FROM ranked JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+    "q104_events_skipping" ->
+      """SELECT event_id, user_id, event_type,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |FROM events
+        |WHERE CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1704844800 AND 1705017599
         |ORDER BY event_id""".stripMargin,
     "q95_cube_grouping" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_lines,

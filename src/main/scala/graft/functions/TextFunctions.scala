@@ -38,6 +38,42 @@ object TextFunctions {
       regexp_replace(lower(text), "[0-9]+", "<num>"),
       "\\s+", " "))
 
+  // --- PII redaction (training-data scrubbing) ---
+
+  /** ASCII-only, RE2-compatible patterns (no backreferences, no
+    * lookaround) so Spark's Java regex and the oracle's RE2 agree
+    * byte-for-byte. Order of application matters and is fixed by
+    * [[redactPii]]: emails first (they contain dots and digits that
+    * the later patterns would otherwise chew on), then IPv4, then
+    * phone-shaped digit runs.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+
+  /** Scrub emails / IPv4 addresses / phone-shaped numbers to typed
+    * placeholder tags. Pure codegen'd `regexp_replace` chain — one scan,
+    * no shuffle, no UDF — and engine-portable, so the oracle compares
+    * md5 digests of the redacted text exactly (the q76 normalization
+    * pattern). This is the compliance pass a corpus pipeline runs
+    * BEFORE dedup/training: placeholders also make documents differing
+    * only in contact details exact-dedup to one row.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<email>"),
+        Ipv4Pattern, "<ip>"),
+      PhonePattern, "<phone>")
+
+  /** Match count for one PII pattern, as BIGINT (audit metric: how much
+    * PII did the scrub remove — the number every privacy review asks
+    * for). regexp_extract_all is codegen'd in Spark and exists verbatim
+    * in the oracle engine.
+    */
+  def piiMatchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   // --- quality ratios (deterministic double arithmetic) ---
 
   private def safeLen(text: Column): Column = greatest(length(text), lit(1))

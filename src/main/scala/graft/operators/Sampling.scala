@@ -97,6 +97,49 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Down-sample strata to hit a TARGET MIXTURE — the domain-reweighting
+    * step of a training-data pipeline ("the corpus must be 60% web /
+    * 20% books / 20% code"). Targets are integer parts-per-million; the
+    * operator finds the largest total T such that no stratum is asked
+    * for more rows than it has (T = min over strata of
+    * `count·10^6 div parts`, all integer division), derives each
+    * stratum's quota `T·parts div 10^6`, and keeps the quota rows with
+    * the smallest deterministic key priorities — so the selected set is
+    * rerun/repartition-stable AND maximal for the requested mix.
+    *
+    * Scale shape: one tiny count aggregate collected to the driver
+    * (#strata rows — the bloomBits/IVF-codebook bounded-artifact
+    * pattern, not a data collect), then ONE shuffle on the stratum
+    * column for the quota rank. Longs hold `count·10^6` up to ~9.2e12
+    * rows per stratum — comfortably past a 100 TB document corpus.
+    * Strata absent from `targetPpm` are dropped (quota 0); a target
+    * stratum absent from the data fails fast rather than silently
+    * skewing the mix.
+    */
+  def mixToTarget(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      targetPpm: Map[String, Long]): DataFrame = {
+    val MixDenom = 1000000L
+    require(targetPpm.nonEmpty && targetPpm.values.forall(_ > 0),
+      "every target share must be a positive parts-per-million count")
+    require(targetPpm.values.sum == MixDenom,
+      s"target shares must sum to $MixDenom ppm, got ${targetPpm.values.sum}")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targetPpm.keySet -- counts.keySet
+    require(missing.isEmpty, s"target strata absent from data: ${missing.mkString(", ")}")
+    val total = targetPpm.map { case (v, parts) => counts(v) * MixDenom / parts }.min
+    val quota = targetPpm.foldLeft(lit(0L)) { case (acc, (v, parts)) =>
+      when(col(stratumCol) === lit(v), lit(total * parts / MixDenom)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(pmod(mix(col(keyCol)), lit(1L << 32)), col(keyCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= quota)
+      .drop("__rank")
+  }
+
   /** Per-stratum sampling rates (e.g. keep all rare positives, 5% of
     * the majority class): rows in a stratum listed in `fractions` keep
     * that rate, others keep `default`. One scan, no shuffle — the rate

@@ -123,6 +123,69 @@ object Sketches {
         Seq(largeKey), "left_semi")
   }
 
+  /** HyperLogLog-style distinct-count registers, deterministic and
+    * oracle-portable. The folded Knuth hash yields 31 uniform bits; the
+    * LOW `p` bits pick one of 2^p buckets and the remaining `width =
+    * 31-p` bits produce the classic rank = leading-zero-count + 1,
+    * computed WITHOUT floats as `width - (length(bin(rem)) - 1)` (for
+    * rem > 0; an all-zero remainder saturates at width+1). Registers
+    * are the per-bucket MAX rank — 2^p tiny rows of sketch state
+    * regardless of corpus size, mergeable across batches/partitions by
+    * elementwise max (the same monoid law as [[MinHashUnion]]'s
+    * elementwise min). Spark's own approx_count_distinct carries
+    * engine-private HLL state no other engine can replay; this one is
+    * three integer ops and a string length, so the driver oracle
+    * reproduces every register exactly. Buckets no key hashes into are
+    * absent from the output (they read as rank 0 when estimating).
+    * The cardinality ESTIMATE (harmonic mean) is intentionally left to
+    * [[hllEstimate]] on the collected registers: it needs doubles,
+    * which stay out of every hashed column.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be 4..16, got $p")
+    val width = 31 - p
+    // A single multiplicative hash of sequential ids is a Weyl lattice:
+    // equidistributed, but with NO exponential small-value tail, and
+    // max-rank registers come out ~1.5 bits short (measured 2.7× under-
+    // estimate). The murmur-style xorshift-multiply finalizer below
+    // restores the geometric rank distribution — still three integer
+    // ops any SQL engine reproduces bit-exactly. All values stay in the
+    // 31-bit domain, so the products stay under 2^62.1 (ANSI-safe).
+    val h1 = pmod(pmod(col(keyCol).cast("long"), lit(Fold)) * lit(HashConstants.head), lit(Fold))
+    val h2 = pmod(h1.bitwiseXOR(shiftright(h1, 16)) * lit(HashConstants(1)), lit(Fold))
+    val h = h2.bitwiseXOR(shiftright(h2, 13))
+    df.select(h.as("__h"))
+      .select(
+        pmod(col("__h"), lit(1L << p)).as("bucket"),
+        shiftright(col("__h"), p).as("__rem"))
+      .select(col("bucket"),
+        when(col("__rem") === 0, lit((width + 1).toLong))
+          .otherwise(lit((width + 1).toLong) - length(bin(col("__rem"))).cast("long"))
+          .as("rank"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rank")).as("register"))
+  }
+
+  /** Driver-side cardinality estimate from collected registers —
+    * standard HLL harmonic mean with the small-range linear-counting
+    * correction. Test/report helper: doubles are fine HERE because the
+    * estimate is never hashed or joined, only read by a human (or a
+    * spec asserting relative error).
+    */
+  def hllEstimate(registers: Map[Long, Long], p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val sum = (0 until m).map(b => math.pow(2.0, -registers.getOrElse(b.toLong, 0L).toDouble)).sum
+    val raw = alpha * m * m / sum
+    val zeros = m - registers.count(_._2 > 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
   /** Signed random projection of int8-quantized vectors onto `nPlanes`
     * ±1 hyperplanes: (id, plane, proj) with proj = Σ_pos q(pos)·sign(pos,
     * plane), a BIGINT. The per-coordinate sign extracts bit 16 of a

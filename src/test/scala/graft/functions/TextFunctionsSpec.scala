@@ -89,4 +89,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.dupNgramRatio(col("t"), 5), boiler).getDouble(0) >
       one(TextFunctions.dupNgramRatio(col("t"), 5), prose).getDouble(0))
   }
+
+  test("redactPii scrubs emails, IPv4s, and phone numbers to typed tags") {
+    val in = "mail a.b+c@sub.example.org, host 192.168.0.1, call 555-123-4567 now"
+    assert(one(TextFunctions.redactPii(col("t")), in).getString(0) ===
+      "mail <email>, host <ip>, call <phone> now")
+    // redaction is idempotent: a second pass finds nothing to replace
+    val once = one(TextFunctions.redactPii(col("t")), in).getString(0)
+    assert(one(TextFunctions.redactPii(col("t")), once).getString(0) === once)
+    // clean text passes through untouched
+    val clean = "no contact details in this sentence at all"
+    assert(one(TextFunctions.redactPii(col("t")), clean).getString(0) === clean)
+  }
+
+  test("redactPii ordering: emails win over the ip/phone digit patterns") {
+    // the host part of an email contains dot-separated digits — the
+    // email pass must consume it before the ip pass can split it
+    val in = "ping 12.34.56.78@weird.example.net plus bare 10.0.0.7"
+    assert(one(TextFunctions.redactPii(col("t")), in).getString(0) ===
+      "ping <email> plus bare <ip>")
+  }
+
+  test("piiMatchCount counts matches per pattern") {
+    val in = "a@b.io c@d.co 1.2.3.4 555-123-4567 555-99-1234"
+    def cnt(p: String) = one(TextFunctions.piiMatchCount(col("t"), p), in).getLong(0)
+    assert(cnt(TextFunctions.EmailPattern) === 2L)
+    assert(cnt(TextFunctions.Ipv4Pattern) === 1L)
+    assert(cnt(TextFunctions.PhonePattern) === 1L, "555-99-1234 is not phone-shaped")
+  }
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DataSkippingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def writeClustered(nFiles: Int): String = {
+    val dir = Files.createTempDirectory("graft_skip_spec").toString
+    val df = (0L until 10000L).map(i => (i, i * 3 % 7)).toDF("v", "payload")
+    DataSkipping.writeClustered(df, "v", dir, nFiles)
+    dir
+  }
+
+  test("prunedRead equals the full-scan filter and actually skips files") {
+    val dir = writeClustered(nFiles = 20)
+    val (pruned, kept, total) = DataSkipping.prunedRead(spark, dir, "v", 2000L, 2999L)
+    val expected = spark.read.parquet(dir)
+      .filter(col("v").between(2000L, 2999L))
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(pruned.select("v").collect().map(_.getLong(0)).toSet === expected,
+      "skipping must be invisible in the result")
+    assert(total === 20, s"manifest should see every file, saw $total")
+    // a 10% value window over range-clustered files touches ~2-3 of 20
+    assert(kept < total / 2, s"no skipping happened: kept $kept of $total")
+    assert(kept >= 1)
+  }
+
+  test("manifest rows cover the table exactly once") {
+    val dir = writeClustered(nFiles = 8)
+    val m = DataSkipping.buildManifest(spark, dir, "v")
+    assert(m.agg(sum("n_rows")).head.getLong(0) === 10000L)
+    // range clustering ⇒ file ranges are disjoint: sum of per-file
+    // spans (inclusive) is the whole domain
+    assert(m.agg(sum(col("max_v") - col("min_v") + 1)).head.getLong(0) === 10000L)
+  }
+
+  test("a window outside every file range yields an empty frame, not an error") {
+    val dir = writeClustered(nFiles = 4)
+    val (pruned, kept, _) = DataSkipping.prunedRead(spark, dir, "v", 50000L, 60000L)
+    assert(kept === 0)
+    assert(pruned.count() === 0L)
+    intercept[IllegalArgumentException](
+      DataSkipping.prunedRead(spark, dir, "v", 10L, 5L))
+  }
+}

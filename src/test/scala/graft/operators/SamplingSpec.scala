@@ -53,4 +53,46 @@ class SamplingSpec extends SparkSpec {
     // exact-N beats fraction sampling when a fixed budget is required
     assert(Sampling.prioritySample(rows, "id", n = 2000).count() === rows.count())
   }
+
+  private def mixRows = (
+    (0L until 1000L).map(i => (i, "web")) ++
+    (1000L until 1200L).map(i => (i, "books")) ++
+    (1200L until 1500L).map(i => (i, "code"))).toDF("id", "src")
+
+  test("mixToTarget hits the requested mixture exactly (integer quotas)") {
+    val out = Sampling.mixToTarget(mixRows, "src", "id",
+      Map("web" -> 500000L, "books" -> 250000L, "code" -> 250000L))
+    val bySrc = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // books is the binding stratum: 200 rows / 0.25 share → T = 800000/1e6
+    // scaled total = 800 rows → quotas 400 / 200 / 200.
+    assert(bySrc === Map("web" -> 400L, "books" -> 200L, "code" -> 200L))
+  }
+
+  test("mixToTarget is maximal: the binding stratum is kept whole") {
+    val out = Sampling.mixToTarget(mixRows, "src", "id",
+      Map("web" -> 500000L, "books" -> 250000L, "code" -> 250000L))
+    val books = out.filter(col("src") === "books").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(books === (1000L until 1200L).toSet,
+      "every row of the scarcest stratum must survive")
+  }
+
+  test("mixToTarget is rerun- and partitioning-stable; drops unlisted strata") {
+    val target = Map("web" -> 900000L, "books" -> 100000L)
+    val a = Sampling.mixToTarget(mixRows, "src", "id", target)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixToTarget(mixRows.repartition(11), "src", "id", target)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "selection must be a pure function of (stratum, key)")
+    assert(!a.exists(_ >= 1200L), "strata outside the target mix must be dropped")
+  }
+
+  test("mixToTarget validates shares and fails fast on absent strata") {
+    intercept[IllegalArgumentException](
+      Sampling.mixToTarget(mixRows, "src", "id", Map("web" -> 999999L)))
+    intercept[IllegalArgumentException](
+      Sampling.mixToTarget(mixRows, "src", "id",
+        Map("web" -> 500000L, "nope" -> 500000L)))
+  }
 }

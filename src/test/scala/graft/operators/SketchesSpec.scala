@@ -121,6 +121,46 @@ class SketchesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS cms_cells")
   }
 
+  test("hllRegisters: registers merge across batches by elementwise max") {
+    val a = (0L until 3000L).toDF("k")
+    val b = (2000L until 6000L).toDF("k")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "k", p = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = (regs(a).keySet ++ regs(b).keySet).map { bk =>
+      bk -> math.max(regs(a).getOrElse(bk, 0L), regs(b).getOrElse(bk, 0L))
+    }.toMap
+    val whole = regs(a.union(b))
+    assert(whole === merged,
+      "sketch of the union must equal the elementwise max of the sketches")
+  }
+
+  test("hllRegisters: partitioning-independent, estimate within HLL error") {
+    val df = (0L until 50000L).filter(_ % 3 == 0).toDF("k") // 16667 distinct
+    val r1 = Sketches.hllRegisters(df, "k", p = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = Sketches.hllRegisters(df.repartition(17), "k", p = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === r2, "registers must not depend on partitioning")
+    val est = Sketches.hllEstimate(r1, p = 8)
+    // standard error at m=256 is ~1.04/sqrt(m) ≈ 6.5%; allow 3 sigma
+    assert(math.abs(est - 16667) / 16667.0 < 0.20, s"estimate too far off: $est")
+    // duplicates must not move a distinct-count sketch at all
+    val r3 = Sketches.hllRegisters(df.union(df), "k", p = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 === r1, "a distinct sketch must be duplicate-insensitive")
+  }
+
+  test("hllRegisters: state is bounded by 2^p rows and ranks stay in range") {
+    val df = (0L until 100000L).toDF("k")
+    val regs = Sketches.hllRegisters(df, "k", p = 4).collect()
+    assert(regs.length <= 16, "register count must be bounded by 2^p")
+    // width = 31 - 4 = 27 → rank ∈ [1, 28]
+    assert(regs.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 28))
+    intercept[IllegalArgumentException](Sketches.hllRegisters(df, "k", p = 3))
+    intercept[IllegalArgumentException](Sketches.hllRegisters(df, "k", p = 17))
+  }
+
   test("countMin rejects bad shapes") {
     val df = Seq(1L).toDF("k")
     intercept[IllegalArgumentException](Sketches.countMinCells(df, "k", 0, 64))
