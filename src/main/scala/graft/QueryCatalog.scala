@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, Multimodal, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
+import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, IncrementalAgg, Multimodal, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -1211,6 +1211,43 @@ object QueryCatalog {
         .orderBy(col("event_id"))
     }),
 
+    // histogram quantiles: the scale path for percentiles — q52's
+    // exact percentile() sorts whole groups; here the only big pass is
+    // the q87 histogram and the quantile read is a window over
+    // #groups × #buckets rows. Targets are integer ceil ranks, so the
+    // chosen bucket matches on any engine.
+    "q105_value_quantiles" -> ((s, dir) => {
+      Profiler.histogramQuantiles(t(s, dir, "events"), "event_type", "value",
+          width = 5.0, percents = Seq(50, 90, 99))
+        .orderBy(col("event_type"), col("pct"))
+    }),
+
+    // incremental aggregation (materialized-view maintenance): state
+    // from the first ~19 days of events persisted to parquet, the rest
+    // folded in as a batch by merging partials — oracle is the FULL
+    // recompute over all events, so merge ≡ recompute is the assertion.
+    "q106_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cutoff = 1705708800L // 2024-01-20 00:00 UTC
+      val path = java.nio.file.Files.createTempDirectory("graft_incr_agg").toString
+      IncrementalAgg.writeState(
+        IncrementalAgg.buildState(
+          ev.filter(col("ts").cast("long") < cutoff), "user_id", "value"), path)
+      IncrementalAgg.mergeBatch(s, path,
+          ev.filter(col("ts").cast("long") >= cutoff), "user_id", "value")
+        .orderBy(col("user_id"))
+    }),
+
+    // last-touch attribution: credit each purchase to the user's most
+    // recent click in the prior 24 h — one RANGE window, winner by
+    // order-insensitive integer max, unattributed purchases keep NULLs.
+    "q107_attribution" -> ((s, dir) => {
+      Funnel.lastTouchAttribution(t(s, dir, "events"), "user_id",
+          "event_type", "event_id", "ts",
+          touchType = "click", convType = "purchase", windowSecs = 86400L)
+        .orderBy(col("conv_id"))
+    }),
+
     // CUBE + grouping_id: all four grouping sets of (returnflag,
     // linestatus) with the bitmask distinguishing real NULLs from
     // subtotal rows — q36's ROLLUP relied on NULL markers alone.
@@ -1894,6 +1931,46 @@ object QueryCatalog {
         |FROM events
         |WHERE CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1704844800 AND 1705017599
         |ORDER BY event_id""".stripMargin,
+    "q105_value_quantiles" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, bucket,
+        |         CAST(SUM(n) OVER (PARTITION BY event_type
+        |                           ORDER BY bucket) AS BIGINT) AS cum,
+        |         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM h
+        |)
+        |SELECT event_type, CAST(pct AS BIGINT) AS pct,
+        |       MIN(bucket) AS q_bucket
+        |FROM c CROSS JOIN (VALUES (50), (90), (99)) p(pct)
+        |WHERE cum >= GREATEST(1, (total * pct + 99) // 100)
+        |GROUP BY 1, 2 ORDER BY event_type, pct""".stripMargin,
+    "q106_incremental_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q107_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), k AS (
+        |  SELECT *,
+        |         MAX(CASE WHEN event_type = 'click'
+        |                  THEN ts_sec * 1000000000 + event_id END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_sec
+        |                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS tk
+        |  FROM e
+        |)
+        |SELECT user_id, event_id AS conv_id, ts_sec AS conv_ts_sec,
+        |       tk % 1000000000 AS touch_id,
+        |       tk // 1000000000 AS touch_ts_sec,
+        |       ts_sec - tk // 1000000000 AS secs_since_touch
+        |FROM k WHERE event_type = 'purchase' ORDER BY conv_id""".stripMargin,
     "q95_cube_grouping" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_lines,
         |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -145,4 +145,57 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_period"), col("period_offset"))
   }
+
+  /** Last-touch attribution: for every conversion event, the most
+    * recent preceding touch event by the same user within `windowSecs`
+    * — "which click gets credit for this purchase". ONE event-time
+    * RANGE window per user (the q64 trailing-feature shape): no
+    * self-join, no per-user collect; the frame
+    * `RANGE BETWEEN windowSecs PRECEDING AND CURRENT ROW` bounds state.
+    * Conversions with no touch in the window keep a NULL touch id
+    * (unattributed — the number marketing actually argues about).
+    *
+    * The winning touch is `max(ts·10^9 + id)` over the frame, NOT
+    * `last(..., ignoreNulls)`: `last` reads the frame's physical tie
+    * order, which is partition- and engine-dependent when two touches
+    * share an epoch second, while `max` of the integer (ts, id)
+    * encoding is order-insensitive — same answer on any engine, ties
+    * broken by the larger id. Touch ids must therefore be < 10^9 and
+    * non-negative (the encode would collide otherwise — checked).
+    * A touch in the conversion's own second counts: the RANGE frame is
+    * closed at the current row's ts on both engines.
+    *
+    * Returns one row per conversion: (userCol, conv_id, conv_ts_sec,
+    * touch_id, touch_ts_sec, secs_since_touch).
+    */
+  def lastTouchAttribution(
+      events: DataFrame, userCol: String, typeCol: String, idCol: String,
+      tsCol: String, touchType: String, convType: String,
+      windowSecs: Long): DataFrame = {
+    require(windowSecs > 0, s"attribution window must be positive, got $windowSecs")
+    val Encode = 1000000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-windowSecs, org.apache.spark.sql.expressions.Window.currentRow)
+    // ANSI mode turns an out-of-domain id into a runtime error at the
+    // encode multiply only for ts ≈ 2^63/10^9; guard ids explicitly so
+    // a bad id column fails with a message instead of a wrong winner.
+    val guardedId = when(col(idCol) >= 0 && col(idCol) < Encode, col(idCol))
+      .otherwise(raise_error(concat(lit(s"lastTouchAttribution: $idCol out of [0, $Encode): "),
+        col(idCol).cast("string"))))
+    val touchKey = when(col(typeCol) === touchType,
+      col(tsCol).cast("long") * Encode + guardedId)
+    events
+      .withColumn("__touch_key", max(touchKey).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(userCol), col(idCol).as("conv_id"),
+        col(tsCol).cast("long").as("conv_ts_sec"),
+        pmod(col("__touch_key"), lit(Encode)).as("touch_id"),
+        // integer DIV, never `/`: the encoded key is ~1.7e18, past
+        // double's 2^53 exact range, and the key is non-negative so
+        // truncating DIV is floor
+        expr(s"__touch_key DIV ${Encode}L").as("touch_ts_sec"))
+      .withColumn("secs_since_touch", col("conv_ts_sec") - col("touch_ts_sec"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass dataset profiling — the "do I trust this corpus" primitive
@@ -48,5 +49,37 @@ object Profiler {
     df.groupBy(col(groupCol),
         floor(col(valueCol) / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Approximate per-group quantiles from the fixed-width histogram —
+    * the scale path for percentiles: `percentile()` (q52) plans a full
+    * sort of every group, while the histogram answer is ONE aggregation
+    * whose state is #groups × #occupied-buckets rows, then a window
+    * over that tiny frame. Resolution is `width` (the answer is the
+    * bucket INDEX holding the p-th percentile; callers scale by width
+    * themselves). Cumulation and targets are all integers — ceil(n·p/
+    * 100) as `(n·p + 99) DIV 100` — so any engine agrees exactly, and
+    * the only double op is the same floor-division that q87 already
+    * hash-matches. `percents` are integer percentages in [0,100]:
+    * target rank max(1, ceil(n·p/100)), so p=0 reads the min bucket
+    * and p=100 the max.
+    */
+  def histogramQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      width: Double, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"percents must be in [0,100], got $percents")
+    val h = histogram(df, groupCol, valueCol, width)
+    val cum = h
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("bucket"))))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy(col(groupCol))))
+    cum.select(col(groupCol), col("bucket"), col("cum"), col("total"),
+        explode(array(percents.distinct.sorted.map(p => lit(p.toLong)): _*)).as("pct"))
+      .filter(col("cum") >= greatest(lit(1L),
+        expr("(total * pct + 99) DIV 100")))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min(col("bucket")).as("q_bucket"))
   }
 }

@@ -155,4 +155,74 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq ===
       Seq("call <num> <num> now", "abc"))
   }
+
+  test("Profiler.histogramQuantiles: ceil-rank bucket selection, p0/p100 rails") {
+    // 10 values 0..9, width 1 → bucket i holds value i exactly
+    val df = (0 until 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val q = Profiler.histogramQuantiles(df, "g", "v", width = 1.0,
+        percents = Seq(0, 50, 100))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(q(0L) === 0L, "p0 reads the min bucket (rank clamps to 1)")
+    assert(q(50L) === 4L, "ceil(10*50/100)=5th value = 4 (0-indexed buckets)")
+    assert(q(100L) === 9L, "p100 reads the max bucket")
+    intercept[IllegalArgumentException](
+      Profiler.histogramQuantiles(df, "g", "v", 1.0, Seq(101)))
+    intercept[IllegalArgumentException](
+      Profiler.histogramQuantiles(df, "g", "v", 1.0, Nil))
+  }
+
+  test("Profiler.histogramQuantiles agrees with exact percentile at bucket resolution") {
+    val df = (0 until 1000).map(i => ("g", (i * 37 % 500).toDouble)).toDF("g", "v")
+    val q90 = Profiler.histogramQuantiles(df, "g", "v", width = 10.0, Seq(90))
+      .head().getLong(2)
+    val exact = df.stat.approxQuantile("v", Array(0.9), 0.0).head
+    assert(math.abs(q90 * 10.0 - exact) <= 10.0,
+      s"histogram p90 bucket ${q90 * 10.0} vs exact $exact must be within one width")
+  }
+
+  test("IncrementalAgg: merge(state, batch) equals full recompute; idempotent keys") {
+    val hist = Seq((1L, 1.25), (1L, 2.50), (2L, 10.0)).toDF("k", "v")
+    val batch = Seq((2L, 0.75), (3L, 5.0)).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+    IncrementalAgg.writeState(IncrementalAgg.buildState(hist, "k", "v"), dir)
+    val merged = IncrementalAgg.mergeBatch(spark, dir, batch, "k", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val full = IncrementalAgg.buildState(hist.union(batch), "k", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged === full, "incremental merge must be invisible vs full recompute")
+    assert(merged(1L) === ((2L, 375L)), "untouched key passes through (cents exact)")
+    assert(merged(2L) === ((2L, 1075L)), "existing key merges partials")
+    assert(merged(3L) === ((1L, 500L)), "new key appears with batch partials")
+  }
+
+  test("lastTouchAttribution: window bound, same-second tie by max id, NULL when cold") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      (10L, 1L, "click", ts(100L)),    // in window for conv 13
+      (11L, 1L, "click", ts(150L)),    // same second as 12 — ties
+      (12L, 1L, "click", ts(150L)),    // ...max id 12 wins
+      (13L, 1L, "purchase", ts(160L)),
+      (14L, 1L, "purchase", ts(100000L)), // all touches aged out → NULL
+      (15L, 2L, "purchase", ts(50L))   // user 2 never clicked → NULL
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Funnel.lastTouchAttribution(events, "user_id", "event_type",
+        "event_id", "ts", "click", "purchase", windowSecs = 3600L)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(5))))).toMap
+    assert(out(13L) === Some((12L, 10L)),
+      "latest touch wins; same-second tie broken by larger id")
+    assert(out(14L) === None, "touches outside the window must not attribute")
+    assert(out(15L) === None, "users with no touch stay unattributed")
+  }
+
+  test("lastTouchAttribution rejects ids outside the encode domain") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val bad = Seq((1000000000L, 1L, "click", ts(10L)), (2L, 1L, "purchase", ts(20L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val ex = intercept[Exception] {
+      Funnel.lastTouchAttribution(bad, "user_id", "event_type", "event_id",
+        "ts", "click", "purchase", 3600L).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
