@@ -1418,6 +1418,178 @@ object QueryCatalog {
         .orderBy(col("l_returnflag"))
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join to a filtered fact, count per customer (zeros preserved),
+    // then aggregate the counts themselves — two stacked aggregation
+    // levels off one outer join.
+    "q108_tpch_q13" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): lineitems of one brand
+    // below 20% of their part's average quantity. The correlated
+    // scalar-AVG subquery is decorrelated into a per-part aggregate +
+    // join, and the fractional comparison is cross-multiplied to pure
+    // integers (qty * 5 * n < sum ⇔ qty < 0.2·avg) — no division, no
+    // doubles anywhere, so the hash is engine-version-proof.
+    "q109_tpch_q17" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qty = floor(col("l_quantity")).cast("long")
+      val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(sum(qty).as("part_sum_qty"), count(lit(1)).as("part_n"))
+      li.join(t(s, dir, "part").filter(col("p_brand") === "Brand#23"),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("ap_partkey"))
+        .filter(qty * lit(5L) * col("part_n") < col("part_sum_qty"))
+        .agg(sum(expr("floor(l_extendedprice * 100 + 0.5)").cast("long"))
+            .as("rev_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q22 shape (global-acquisition analysis): customers with no
+    // URGENT orders whose balance beats the positive-balance average —
+    // a global scalar subquery (broadcast single row) + anti join.
+    // (Every customer in the testdata has ≥1 order, so the anti-join
+    // predicate is priority-scoped to keep the result non-empty.) The
+    // avg comparison is cross-multiplied (acct·n > sum) so the scalar
+    // stays an exact BIGINT pair, never a double.
+    "q110_tpch_q22" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val acctC = expr("floor(c_acctbal * 100 + 0.5)").cast("long")
+      val posAvg = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(acctC).as("pos_sum_c"), count(lit(1)).as("pos_n"))
+      cust.withColumn("acct_c", acctC)
+        .join(broadcast(posAvg))
+        .filter(col("acct_c") * col("pos_n") > col("pos_sum_c"))
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("acct_c")).as("totacctbal_c"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // TPC-H Q11 shape (important inventory): per-part value share vs a
+    // global total — HAVING against a scalar subquery. Lineitem stands
+    // in for partsupp (the testdata ships none); both sides are exact
+    // cents BIGINTs and the 0.1% share test is cross-multiplied
+    // (part_sum · 1000 > total), division-free.
+    "q111_tpch_q11" -> ((s, dir) => {
+      val natSupp = t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_7"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val epCents = expr("floor(l_extendedprice * 100 + 0.5)").cast("long")
+      val natLines = t(s, dir, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"), epCents.as("val_c"))
+      val total = natLines.agg(sum(col("val_c")).as("total_c"))
+      natLines.groupBy(col("l_partkey"))
+        .agg(sum(col("val_c")).as("part_value_c"))
+        .join(broadcast(total))
+        .filter(col("part_value_c") * lit(1000L) > col("total_c"))
+        .select(col("l_partkey"), col("part_value_c"))
+        .orderBy(col("part_value_c").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): revenue per supplier for one
+    // quarter, then the argmax via a scalar MAX subquery joined back —
+    // returns every tied winner, exact because revenue is integer
+    // cents×discount-hundredths.
+    "q112_tpch_q15" -> ((s, dir) => {
+      val lo = utcTs("1997-01-01 00:00:00")
+      val hi = utcTs("1997-04-01 00:00:00")
+      val revU = expr("floor(l_extendedprice * 100 + 0.5)").cast("long") *
+        (lit(100L) - expr("floor(l_discount * 100 + 0.5)").cast("long"))
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revU).as("total_rev_u"))
+      val mx = rev.agg(max(col("total_rev_u")).as("max_rev_u"))
+      rev.join(broadcast(mx), col("total_rev_u") === col("max_rev_u"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_u"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): EXISTS over a
+    // correlated non-equi condition → left-semi join with a compound
+    // ON clause (equi key + interval inequality), counted by priority.
+    "q113_tpch_q4" -> ((s, dir) => {
+      val lo = utcTs("1997-01-01 00:00:00")
+      val hi = utcTs("1997-07-01 00:00:00")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      ord.join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // EXISTS + NOT EXISTS double correlation — late lines whose order
+    // has another supplier (semi join, non-equi suppkey clause) but no
+    // OTHER late supplier (anti join) — then distinct orders counted
+    // per supplier.
+    "q114_tpch_q21" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val late = li.join(ord.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val anyOther = li.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+      val lateOther = late.select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+      late
+        .join(anyOther, col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(lateOther, col("l_orderkey") === col("l3_orderkey") &&
+          col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(50)
+    }),
+
+    // TPC-H Q2 shape (minimum-cost supplier): per-part MIN over the
+    // part-supplier relation (lineitem unit price stands in for
+    // ps_supplycost), joined back to keep exactly the argmin rows with
+    // supplier context. Unit price is the q55-style BIGINT cents
+    // integer division — exact on both engines.
+    "q115_tpch_q2" -> ((s, dir) => {
+      val unitC = expr(
+        "floor(l_extendedprice * 100 + 0.5) DIV greatest(floor(l_quantity), 1)")
+        .cast("long")
+      val offers = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), unitC.as("unit_c"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("unit_c")).as("supp_min_c"))
+      val best = offers.groupBy(col("l_partkey").as("mp_partkey"))
+        .agg(min(col("supp_min_c")).as("part_min_c"))
+      offers
+        .join(best, col("l_partkey") === col("mp_partkey") &&
+          col("supp_min_c") === col("part_min_c"))
+        .join(t(s, dir, "part").filter(col("p_size") === 10 &&
+          col("p_type") === "LARGE"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("supp_min_c"))
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+    }),
+
     // time-bounded (interval) join: each event paired with the same
     // user's purchases in the preceding hour (stream-stream joinable —
     // see EventStreams.intervalJoinStreaming).
@@ -2015,6 +2187,126 @@ object QueryCatalog {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q108_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q109_tpch_q17" ->
+      """WITH per AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |         CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+        |           AS part_sum_qty,
+        |         CAST(count(*) AS BIGINT) AS part_n
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS rev_cents,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+        |JOIN per ON l_partkey = ap_partkey
+        |WHERE CAST(floor(l_quantity) AS BIGINT) * 5 * part_n < part_sum_qty""".stripMargin,
+    "q110_tpch_q22" ->
+      """WITH pos AS (
+        |  SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS pos_sum_c,
+        |         CAST(count(*) AS BIGINT) AS pos_n
+        |  FROM customer WHERE c_acctbal > 0
+        |)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(acct_c) AS BIGINT) AS totacctbal_c
+        |FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_c
+        |  FROM customer
+        |) c, pos
+        |WHERE acct_c * pos_n > pos_sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q111_tpch_q11" ->
+      """WITH natlines AS (
+        |  SELECT l_partkey,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val_c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_7')
+        |), total AS (SELECT CAST(SUM(val_c) AS BIGINT) AS total_c FROM natlines)
+        |SELECT l_partkey, CAST(SUM(val_c) AS BIGINT) AS part_value_c
+        |FROM natlines, total
+        |GROUP BY l_partkey, total_c
+        |HAVING CAST(SUM(val_c) AS BIGINT) * 1000 > total_c
+        |ORDER BY part_value_c DESC, l_partkey""".stripMargin,
+    "q112_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |              (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |           AS BIGINT) AS total_rev_u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_rev_u
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_u = (SELECT MAX(total_rev_u) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q113_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q114_tpch_q21" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 180 DAY
+        |)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM late l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey)
+        |) w
+        |JOIN supplier ON w.l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 50""".stripMargin,
+    "q115_tpch_q2" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             // CAST(greatest(floor(l_quantity), 1) AS BIGINT)) AS supp_min_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |), best AS (
+        |  SELECT l_partkey AS mp_partkey, MIN(supp_min_c) AS part_min_c
+        |  FROM offers GROUP BY 1
+        |)
+        |SELECT p_partkey, p_brand, s_suppkey, s_name, supp_min_c
+        |FROM offers
+        |JOIN best ON l_partkey = mp_partkey AND supp_min_c = part_min_c
+        |JOIN part ON l_partkey = p_partkey AND p_size = 10 AND p_type = 'LARGE'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
     "q83_docs_incremental_exact" ->
       """WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents),
         |batch AS (
