@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, IncrementalAgg, Multimodal, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
+import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, IncrementalAgg, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -1590,6 +1590,126 @@ object QueryCatalog {
         .orderBy(col("p_partkey"), col("s_suppkey"))
     }),
 
+    // Hive-partitioned lake write + partition-pruned read: lineitem
+    // rewritten partitioned by ship year, then a one-year query that
+    // lists only that year's directory. Oracle = the plain filter over
+    // the original table (the q90/q104 "optimization must be
+    // invisible" discipline); that pruning actually happens is
+    // spec-asserted via PartitionedLake.filesScanned.
+    "q116_partitioned_prune" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lake").toString
+      PartitionedLake.writePartitioned(
+        t(s, dir, "lineitem").withColumn("ship_year", year(col("l_shipdate"))),
+        tmp, "ship_year")
+      PartitionedLake.read(s, tmp)
+        .filter(col("ship_year") === 1997)
+        .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("ship_month"))
+    }),
+
+    // ORC round-trip: the second columnar format the engine speaks —
+    // a projected lineitem slice written as ORC, read back, and
+    // aggregated. Oracle = the same aggregate straight off the
+    // parquet, proving the format conversion lossless for the
+    // long/string/timestamp types the zones carry.
+    "q117_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("qty"),
+          expr("floor(l_extendedprice * 100 + 0.5)").cast("long").as("ep_cents"),
+          col("l_shipdate"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("l_returnflag"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(col("qty")).as("sum_qty"),
+          sum(col("ep_cents")).as("sum_ep_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"), col("ship_year"))
+    }),
+
+    // TPC-H Q7 shape (volume shipping): nation-pair trade flows — the
+    // same dimension table joined twice under different roles (supplier
+    // nation vs customer nation), a symmetric pair predicate, revenue
+    // by year. Integer revenue units throughout.
+    "q118_tpch_q7" -> ((s, dir) => {
+      val lo = utcTs("1996-01-01 00:00:00")
+      val hi = utcTs("1998-01-01 00:00:00")
+      val revU = expr("floor(l_extendedprice * 100 + 0.5)").cast("long") *
+        (lit(100L) - expr("floor(l_discount * 100 + 0.5)").cast("long"))
+      val natS = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val natC = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_14") ||
+          (col("supp_nation") === "NATION_14" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(revU).as("revenue_u"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region's PROMO revenue per order year — conditional vs total
+    // integer sums, then ONE final double division for the share
+    // (bit-identical everywhere, the q85 discipline).
+    "q119_tpch_q8" -> ((s, dir) => {
+      val revU = expr("floor(l_extendedprice * 100 + 0.5)").cast("long") *
+        (lit(100L) - expr("floor(l_discount * 100 + 0.5)").cast("long"))
+      val euroNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("en_key"))
+      val natS = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(euroNations), col("c_nationkey") === col("en_key"), "left_semi")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", revU).otherwise(0L))
+            .as("nation_rev_u"),
+          sum(revU).as("total_rev_u"))
+        .withColumn("mkt_share",
+          col("nation_rev_u").cast("double") / col("total_rev_u").cast("double"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): per-nation yearly profit =
+    // revenue minus cost, p_retailprice standing in for ps_supplycost
+    // (no partsupp in the testdata). Both terms scaled to the same
+    // integer unit (dollars × 10^-4), so profit is an exact — possibly
+    // negative — BIGINT.
+    "q120_tpch_q9" -> ((s, dir) => {
+      val revU = expr("floor(l_extendedprice * 100 + 0.5)").cast("long") *
+        (lit(100L) - expr("floor(l_discount * 100 + 0.5)").cast("long"))
+      val costU = expr("floor(p_retailprice * 100 + 0.5)").cast("long") *
+        floor(col("l_quantity")).cast("long") * lit(100L)
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_name").like("%bolt%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(revU - costU).as("profit_u"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // time-bounded (interval) join: each event paired with the same
     // user's purchases in the preceding hour (stream-stream joinable —
     // see EventStreams.intervalJoinStreaming).
@@ -2307,6 +2427,72 @@ object QueryCatalog {
         |JOIN part ON l_partkey = p_partkey AND p_size = 10 AND p_type = 'LARGE'
         |JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q116_partitioned_prune" ->
+      """SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem WHERE year(l_shipdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q117_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS sum_ep_cents,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag, ship_year
+        |ORDER BY l_returnflag, ship_year""".stripMargin,
+    "q118_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |            (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |         AS BIGINT) AS revenue_u
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_14')
+        |    OR (sn.n_name = 'NATION_14' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q119_tpch_q8" ->
+      """WITH l AS (
+        |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_u
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE c_nationkey IN (
+        |    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |)
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev_u ELSE 0 END)
+        |         AS BIGINT) AS nation_rev_u,
+        |       CAST(SUM(rev_u) AS BIGINT) AS total_rev_u,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev_u ELSE 0 END)
+        |           AS DOUBLE) / CAST(SUM(rev_u) AS DOUBLE) AS mkt_share
+        |FROM l GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q120_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |              (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |            - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) *
+        |              CAST(floor(l_quantity) AS BIGINT) * 100)
+        |         AS BIGINT) AS profit_u
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2 DESC""".stripMargin,
     "q83_docs_incremental_exact" ->
       """WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents),
         |batch AS (

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PartitionedLakeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def writeLake(): String = {
+    val dir = Files.createTempDirectory("graft_lake_spec").toString
+    val df = (0L until 3650L)
+      .map(i => (i, 2020 + (i / 365).toInt, i % 100))
+      .toDF("id", "yr", "payload")
+    PartitionedLake.writePartitioned(df.repartition(4), dir, "yr")
+    dir
+  }
+
+  test("partition filter prunes directories and is invisible in the result") {
+    val dir = writeLake()
+    val full = PartitionedLake.read(spark, dir)
+    val pruned = full.filter(col("yr") === 2023)
+    val totalFiles = PartitionedLake.filesScanned(full)
+    val scanned = PartitionedLake.filesScanned(pruned)
+    // 10 year-directories × 4 files each; one year's slice lists 1/10
+    assert(scanned < totalFiles,
+      s"no pruning: scanned $scanned of $totalFiles files")
+    assert(scanned <= totalFiles / 5)
+    val expected = (3 * 365L until 4 * 365L).toSet
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSet === expected,
+      "pruning must be invisible in the result")
+  }
+
+  test("partition values round-trip: every year present exactly once") {
+    val dir = writeLake()
+    val counts = PartitionedLake.read(spark, dir)
+      .groupBy("yr").count().collect()
+      .map(r => r.getAs[Number]("yr").intValue() -> r.getAs[Long]("count")).toMap
+    assert(counts.keySet === (2020 to 2029).toSet)
+    assert(counts.values.forall(_ === 365L))
+  }
+
+  test("orc round-trip preserves longs, strings, and timestamps exactly") {
+    val dir = Files.createTempDirectory("graft_orc_spec").toString
+    val df = Seq(
+      (1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "β", java.sql.Timestamp.valueOf("1997-06-15 12:34:56")),
+      (Long.MaxValue, "", java.sql.Timestamp.valueOf("2001-11-04 23:59:59")))
+      .toDF("v", "s", "ts")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("v").collect().toSeq === df.orderBy("v").collect().toSeq)
+  }
+}
