@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, IncrementalAgg, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, ZOrder}
+import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, IncrementalAgg, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -1710,6 +1710,58 @@ object QueryCatalog {
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
+    // left-outer interval join: every click kept — per-user conversion
+    // coverage where unmatched clicks feed the denominator (the inner
+    // q48 never sees them). Streaming twin:
+    // EventStreams.intervalJoinLeftOuterStreaming (spec-gated).
+    "q123_interval_left_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EventStreams.intervalJoinLeftOuter(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), "1 HOUR")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("r_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          dsum4(col("r_value")).as("purchase_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // typed Dataset[T] pipeline: case-class rows, a typed lambda
+    // filter, groupByKey + a custom Aggregator (exact-integer monoid)
+    // — the compile-time-schema surface of the engine. Values are the
+    // same BIGINTs the untyped path would produce, so the oracle is
+    // plain SQL.
+    "q121_typed_flag_stats" -> ((s, dir) => {
+      TypedOps.flagStats(TypedOps.lineSlices(t(s, dir, "lineitem")), minQty = 5L)
+        .toDF()
+        .orderBy(col("flag"))
+    }),
+
+    // bigram language-model counts: per-source top-5 adjacent word
+    // pairs — the n-gram count statistics a tokenizer/contamination/
+    // quality stack is built on. The pair construction is a codegen'd
+    // higher-order transform over the split array (no UDF, no
+    // shuffle until the count), then one hash aggregation and a
+    // per-source WindowGroupLimit top-k.
+    "q122_docs_bigrams" -> ((s, dir) => {
+      val ws = split(trim(col("text")), "\\s+")
+      // guarded: sequence(a, b) DECREASES when b < a, so a 1-word doc
+      // must short-circuit to an empty array (explode then drops it)
+      val bigrams = when(size(col("ws")) >= 2,
+        expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .otherwise(expr("array()").cast("array<string>"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("bigram"))
+      t(s, dir, "documents")
+        .withColumn("ws", ws)
+        .select(col("source"), explode(bigrams).as("bigram"))
+        .groupBy(col("source"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // time-bounded (interval) join: each event paired with the same
     // user's purchases in the preceding hour (stream-stream joinable —
     // see EventStreams.intervalJoinStreaming).
@@ -2493,6 +2545,46 @@ object QueryCatalog {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2 DESC""".stripMargin,
+    "q123_interval_left_outer" ->
+      """SELECT l.user_id, COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN r.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_matched,
+        |       CAST(SUM(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+        |FROM events l
+        |LEFT OUTER JOIN events r ON l.user_id = r.user_id
+        |  AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+        |WHERE l.event_type = 'click'
+        |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin,
+    "q121_typed_flag_stats" ->
+      """WITH l AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep
+        |  FROM lineitem
+        |)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(ep) AS BIGINT) AS sum_ep_cents,
+        |       CAST(MAX(ep) AS BIGINT) AS max_line_cents
+        |FROM l WHERE qty > 5 GROUP BY flag ORDER BY flag""".stripMargin,
+    "q122_docs_bigrams" ->
+      """WITH d AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |), c AS (
+        |  SELECT source, bigram, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n DESC, bigram) AS BIGINT) AS rk
+        |  FROM c
+        |)
+        |SELECT source, bigram, n, rk FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
     "q83_docs_incremental_exact" ->
       """WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents),
         |batch AS (

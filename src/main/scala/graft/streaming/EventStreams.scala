@@ -69,7 +69,22 @@ object EventStreams {
     * condition bounds the buffered state (stream-stream join).
     */
   def intervalJoin(
-      left: DataFrame, right: DataFrame, before: String): DataFrame = {
+      left: DataFrame, right: DataFrame, before: String): DataFrame =
+    intervalJoinTyped(left, right, before, "inner")
+
+  /** Left-outer interval join: every left event survives, unmatched
+    * ones with a null right wing — the "did this click convert?"
+    * shape. Streaming left-outer emits the null wing only once the
+    * watermark passes the join window (eventually-exact); the batch
+    * twin is the ground truth the spec compares against.
+    */
+  def intervalJoinLeftOuter(
+      left: DataFrame, right: DataFrame, before: String): DataFrame =
+    intervalJoinTyped(left, right, before, "left_outer")
+
+  private def intervalJoinTyped(
+      left: DataFrame, right: DataFrame, before: String,
+      joinType: String): DataFrame = {
     val l = left.select(col("user_id"), col("ts").as("l_ts"),
       col("event_type").as("l_type"), col("value").as("l_value"))
     val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
@@ -77,7 +92,8 @@ object EventStreams {
     l.join(r,
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
-        col("r_ts") <= col("l_ts"))
+        col("r_ts") <= col("l_ts"),
+      joinType)
       .drop("r_user")
   }
 
@@ -88,6 +104,19 @@ object EventStreams {
       left: DataFrame, right: DataFrame, before: String,
       watermarkDelay: String = "1 hour"): DataFrame =
     intervalJoin(
+      left.withWatermark("ts", watermarkDelay),
+      right.withWatermark("ts", watermarkDelay),
+      before)
+
+  /** Streaming left-outer: watermarks bound both the buffered state
+    * AND decide when an unmatched left row's null wing can be emitted
+    * (no right row within the interval can still arrive once the
+    * right watermark passes `l_ts`).
+    */
+  def intervalJoinLeftOuterStreaming(
+      left: DataFrame, right: DataFrame, before: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    intervalJoinLeftOuter(
       left.withWatermark("ts", watermarkDelay),
       right.withWatermark("ts", watermarkDelay),
       before)

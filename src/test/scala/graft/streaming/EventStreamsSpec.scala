@@ -82,6 +82,65 @@ class EventStreamsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ssjoin_mem")
   }
 
+  test("left-outer interval join keeps unmatched left rows (batch)") {
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "click", 0.0), // purchase at 10:00 matches
+      (2L, ts("2024-01-01 10:30:00"), "click", 0.0), // no purchase → null wing
+    ).toDF("user_id", "ts", "event_type", "value")
+    val purchases = Seq((1L, ts("2024-01-01 10:00:00"), "purchase", 5.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = EventStreams.intervalJoinLeftOuter(clicks, purchases, "1 HOUR")
+    assert(out.count() === 2)
+    val unmatched = out.filter($"r_value".isNull).collect()
+    assert(unmatched.map(_.getAs[Long]("user_id")).toSeq === Seq(2L))
+    // inner join twin must agree on the matched subset
+    assert(out.filter($"r_value".isNotNull).count() ===
+      EventStreams.intervalJoin(clicks, purchases, "1 HOUR").count())
+  }
+
+  test("streaming left-outer interval join emits the null wing after the watermark") {
+    val base = Files.createTempDirectory("sslo").toString
+    def append(side: String, rows: (Long, Timestamp, String, Double)*): Unit =
+      rows.toDF("user_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$base/$side")
+    append("l",
+      (1L, ts("2024-01-01 10:30:00"), "click", 0.0),
+      (2L, ts("2024-01-01 10:30:00"), "click", 0.0))
+    append("r", (1L, ts("2024-01-01 10:00:00"), "purchase", 5.0))
+    val schema = spark.read.parquet(s"$base/l").schema
+    // parquet sink accumulates across checkpointed restarts (a memory
+    // sink would reset per run); the null wing for user 2 can only be
+    // emitted once the watermark passes its join window, which later
+    // batches' far-future rows force
+    def runOnce(): Unit = {
+      val q = EventStreams.intervalJoinLeftOuterStreaming(
+          spark.readStream.schema(schema).parquet(s"$base/l"),
+          spark.readStream.schema(schema).parquet(s"$base/r"),
+          "1 HOUR", watermarkDelay = "1 minute")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/chk")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(90000)
+      assert(q.exception.isEmpty, q.exception.toString)
+    }
+    runOnce()
+    // the GLOBAL watermark is the min across inputs — BOTH sides need
+    // far-future rows (the 99s are non-matching filler) or the join
+    // state is never evicted and the null wing never emits
+    append("l", (3L, ts("2024-01-02 00:00:00"), "click", 0.0))
+    append("r", (99L, ts("2024-01-02 00:00:00"), "purchase", 0.0))
+    runOnce()
+    append("l", (4L, ts("2024-01-03 00:00:00"), "click", 0.0))
+    append("r", (98L, ts("2024-01-03 00:00:00"), "purchase", 0.0))
+    runOnce()
+    val out = spark.read.parquet(s"$base/out")
+    val matched = out.filter($"r_value".isNotNull).collect()
+    assert(matched.map(_.getAs[Long]("user_id")).toSeq === Seq(1L))
+    assert(out.filter($"r_value".isNull && $"user_id" === 2L).count() === 1L,
+      "null wing for the unmatched click must be emitted once the " +
+        s"watermark passes; got: ${out.collect().mkString(", ")}")
+  }
+
   test("streaming path: windowed aggregation with watermark over readStream") {
     val dir = Files.createTempDirectory("events_stream").toString
     events.write.mode("overwrite").parquet(dir)
