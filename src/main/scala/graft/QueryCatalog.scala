@@ -1710,6 +1710,60 @@ object QueryCatalog {
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
+    // TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT)
+    // per attribute group over an anti-joined exclusion list
+    // (negative-balance suppliers standing in for the spec's
+    // complaint-comment filter — the testdata has no s_comment).
+    "q124_tpch_q16" -> ((s, dir) => {
+      val excl = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_brand") =!= "Brand#5" &&
+          col("p_type") =!= "PROMO" && col("p_size").isin(5, 10, 15, 20, 25)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion): the nested
+    // semi-join chain — (part,supplier) pairs whose 1997 shipments
+    // dominate their all-time volume (cross-multiplied integers, no
+    // 0.5 factor), restricted to red parts, then suppliers having any
+    // such pair. Two stacked left-semi joins, exactly the decorrelated
+    // form of the spec's nested IN subqueries.
+    "q125_tpch_q20" -> ((s, dir) => {
+      val qty = floor(col("l_quantity")).cast("long")
+      val pairQty = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(qty).as("total_qty"),
+          sum(when(year(col("l_shipdate")) === 1997, qty).otherwise(0L)).as("qty97"))
+      val hot = pairQty.filter(col("qty97") * 2 > col("total_qty"))
+        .join(t(s, dir, "part").filter(col("p_name").like("red%")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      t(s, dir, "supplier")
+        .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // MapType end-to-end: per-user map<event_type, count> built with
+    // map_from_entries(collect_list(struct)), then read back via
+    // size/element_at — map construction proven invisible against a
+    // plain conditional-count oracle.
+    "q126_map_roundtrip" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+          .as("m"))
+        .select(col("user_id"), size(col("m")).cast("long").as("n_types"),
+          element_at(col("m"), "purchase").as("purchase_n"))
+        .orderBy(col("user_id"))
+    }),
+
     // left-outer interval join: every click kept — per-user conversion
     // coverage where unmatched clicks feed the denominator (the inner
     // q48 never sees them). Streaming twin:
@@ -2545,6 +2599,42 @@ object QueryCatalog {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2 DESC""".stripMargin,
+    "q124_tpch_q16" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q125_tpch_q20" ->
+      """WITH pair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+        |           AS total_qty,
+        |         CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+        |                  THEN CAST(floor(l_quantity) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS qty97
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM pair
+        |  WHERE qty97 * 2 > total_qty
+        |    AND l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'))
+        |ORDER BY s_suppkey""".stripMargin,
+    "q126_map_roundtrip" ->
+      """SELECT user_id,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |       CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |            THEN CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                 AS BIGINT)
+        |            ELSE NULL END AS purchase_n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q123_interval_left_outer" ->
       """SELECT l.user_id, COUNT(*) AS n_rows,
         |       CAST(SUM(CASE WHEN r.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
