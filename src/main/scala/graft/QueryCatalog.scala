@@ -1764,6 +1764,21 @@ object QueryCatalog {
         .orderBy(col("user_id"))
     }),
 
+    // VariantType (Spark 4): semi-structured props parsed ONCE into
+    // the binary variant encoding, then typed field extraction with
+    // variant_get — the open-schema path for event payloads whose
+    // shape drifts (vs from_json's locked StructType). Extracted
+    // values are BIGINTs; oracle = DuckDB's JSON extraction.
+    "q127_variant_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // left-outer interval join: every click kept — per-user conversion
     // coverage where unmatched clicks feed the denominator (the inner
     // q48 never sees them). Streaming twin:
@@ -2599,6 +2614,15 @@ object QueryCatalog {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2 DESC""".stripMargin,
+    "q127_variant_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS sum_k,
+        |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS min_k,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q124_tpch_q16" ->
       """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
