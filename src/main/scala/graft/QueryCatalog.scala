@@ -1482,7 +1482,7 @@ object QueryCatalog {
     // (part_sum · 1000 > total), division-free.
     "q111_tpch_q11" -> ((s, dir) => {
       val natSupp = t(s, dir, "supplier")
-        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_7"),
+        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_8"),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       val epCents = expr("floor(l_extendedprice * 100 + 0.5)").cast("long")
@@ -1942,6 +1942,76 @@ object QueryCatalog {
         .select(col("media_id"), col("frame_no"),
           length(col("frame_payload")).cast("long").as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_no"))
+    }),
+
+    // edit-distance fuzzy match: single-typo near-dup keys that token/
+    // shingle dedup misses — prefix-blocked (never all-pairs), Spark's
+    // thresholded levenshtein band-limits the DP. Key = normalized
+    // first 24 chars (whitespace collapsed), so planted near-dup docs
+    // with small leading edits pair up.
+    "q128_docs_fuzzy_match" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .withColumn("fkey",
+          substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 24))
+      Dedup.fuzzyPairs(keyed, "doc_id", "fkey", maxDist = 3, prefixLen = 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // small-file compaction round-trip: a 64-file fragmented zone
+    // (micro-batch appends) rewritten to 4 range-clustered files, then
+    // aggregated FROM THE COMPACTED COPY. Oracle = the same aggregate
+    // over the original events — layout maintenance must be invisible
+    // to every reader (the q116/q117 discipline). That the file count
+    // actually dropped is spec-asserted via dataFileCount.
+    "q129_events_compaction" -> ((s, dir) => {
+      val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+      val compacted = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      t(s, dir, "events").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      PartitionedLake.compact(s.read.parquet(frag), compacted, targetFiles = 4,
+        "ts", "event_id")
+      s.read.parquet(compacted)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("floor(value * 100 + 0.5)").cast("long")).as("value_cents"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    // snapshot composition drift (PSI-style): per-language ppm shares
+    // of two corpus snapshots and the absolute delta — exact integer
+    // floor division, full-outer so one-sided categories survive.
+    "q130_corpus_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Quality.snapshotDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang")
+        .orderBy(col("lang"))
+    }),
+
+    // multimodal audio with a REAL second codec: text bytes → valid
+    // RIFF/WAVE 16-bit mono PCM (WavCodec.encode) → actual chunk-walk
+    // header parse + LE sample decode → exact integer amplitude stats.
+    // The oracle recomputes them from the source bytes (sample i =
+    // (byte_i − 128)·256).
+    "q131_audio_stats" -> ((s, dir) => {
+      val media = Multimodal.wavFromText(s, t(s, dir, "documents"),
+        "doc_id", "text", sampleRate = 8000)
+      Multimodal.audioStats(media).toDF()
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          col("duration_ms"), col("sum_abs"), col("peak_abs"), col("zero_cross"))
+        .orderBy(col("media_id"))
+    }),
+
+    // first-order event transitions (Markov view): what follows what,
+    // per user sequence — one LAG window + a count over the tiny
+    // (from, to) matrix. Σ n reconciles to the event count via the
+    // synthetic "(start)" state.
+    "q132_event_transitions" -> ((s, dir) => {
+      Funnel.transitions(t(s, dir, "events"), "user_id", "ts", "event_id",
+          "event_type")
+        .orderBy(col("from_type"), col("to_type"))
     }),
   )
 
@@ -2479,7 +2549,7 @@ object QueryCatalog {
         |  FROM lineitem
         |  WHERE l_suppkey IN (
         |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |    WHERE n_name = 'NATION_7')
+        |    WHERE n_name = 'NATION_8')
         |), total AS (SELECT CAST(SUM(val_c) AS BIGINT) AS total_c FROM natlines)
         |SELECT l_partkey, CAST(SUM(val_c) AS BIGINT) AS part_value_c
         |FROM natlines, total
@@ -3481,6 +3551,96 @@ object QueryCatalog {
         |  GROUP BY c_custkey, c_name, n_name
         |  ORDER BY revenue DESC, c_custkey LIMIT 20
         |) t ORDER BY revenue DESC, c_custkey""".stripMargin,
+    // q128: same normalize → prefix-block → thresholded levenshtein.
+    // DuckDB's regexp_replace needs the 'g' flag (Spark replaces all
+    // matches by default); its levenshtein has no threshold arg, so
+    // the filter does the banding.
+    "q128_docs_fuzzy_match" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 24) AS fkey
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |       CAST(levenshtein(l.fkey, r.fkey) AS BIGINT) AS dist
+        |FROM keyed l JOIN keyed r
+        |  ON substr(l.fkey, 1, 6) = substr(r.fkey, 1, 6)
+        | AND l.doc_id < r.doc_id
+        | AND abs(length(l.fkey) - length(r.fkey)) <= 3
+        |WHERE levenshtein(l.fkey, r.fkey) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q129: the compacted copy must answer exactly like the original.
+    "q129_events_compaction" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS value_cents,
+        |       MIN(event_id) AS min_event_id,
+        |       MAX(event_id) AS max_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q130: integer ppm shares (floor division) per snapshot + delta.
+    "q130_corpus_drift" ->
+      """WITH a AS (
+        |  SELECT lang, COUNT(*) AS n_prev FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY lang
+        |), b AS (
+        |  SELECT lang, COUNT(*) AS n_cur FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY lang
+        |), sh AS (
+        |  SELECT COALESCE(a.lang, b.lang) AS lang,
+        |         COALESCE(a.n_prev, 0) AS n_prev,
+        |         COALESCE(b.n_cur, 0) AS n_cur,
+        |         CAST(COALESCE(a.n_prev, 0) * 1000000
+        |              // (SELECT SUM(n_prev) FROM a) AS BIGINT) AS ppm_prev,
+        |         CAST(COALESCE(b.n_cur, 0) * 1000000
+        |              // (SELECT SUM(n_cur) FROM b) AS BIGINT) AS ppm_cur
+        |  FROM a FULL OUTER JOIN b USING (lang)
+        |)
+        |SELECT lang, n_prev, ppm_prev, n_cur, ppm_cur,
+        |       abs(ppm_cur - ppm_prev) AS drift_ppm
+        |FROM sh ORDER BY lang""".stripMargin,
+    // q131: WAV sample i = (byte_i − 128)·256; all stats are integer
+    // consequences of the source bytes (zero crossings via LAG over
+    // the sign test byte < 128). Zero-length docs keep all-zero rows
+    // through the LEFT JOIN.
+    "q131_audio_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |), bytes AS (
+        |  SELECT doc_id, i, ord(substr(text, CAST(i AS INTEGER), 1)) AS v
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len)) AS i FROM d)
+        |), stats AS (
+        |  SELECT doc_id,
+        |         SUM(abs(v - 128)) * 256 AS sum_abs,
+        |         MAX(abs(v - 128)) * 256 AS peak_abs
+        |  FROM bytes GROUP BY doc_id
+        |), flips AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN prev_neg IS NOT NULL
+        |                   AND (v < 128) <> prev_neg THEN 1 ELSE 0 END) AS zc
+        |  FROM (SELECT doc_id, v,
+        |               LAG(v < 128) OVER (PARTITION BY doc_id ORDER BY i) AS prev_neg
+        |        FROM bytes)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id,
+        |       CAST(d.len AS BIGINT) AS n_samples,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(d.len * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |       CAST(COALESCE(s.sum_abs, 0) AS BIGINT) AS sum_abs,
+        |       CAST(COALESCE(s.peak_abs, 0) AS BIGINT) AS peak_abs,
+        |       CAST(COALESCE(f.zc, 0) AS BIGINT) AS zero_cross
+        |FROM d LEFT JOIN stats s USING (doc_id) LEFT JOIN flips f USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+    // q132: LAG over the same (ts, event_id) ordering — engine-
+    // independent even on tied timestamps.
+    "q132_event_transitions" ->
+      """SELECT COALESCE(prev, '(start)') AS from_type,
+        |       event_type AS to_type, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |             LAG(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q25 lang-id heuristic,
   // q26–q28 MinHash/SimHash/n-gram banding, q31 LSH ANN, q32

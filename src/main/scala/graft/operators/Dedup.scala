@@ -304,6 +304,42 @@ object Dedup {
       k: Int = 16, bands: Int = 4): DataFrame =
     nearDupPairs(docs, idCol, textCol, threshold, k, bands, n, charLevel = true)
 
+  /** Edit-distance (Levenshtein) near-match pairs over a short key
+    * column — the fuzzy-title/fuzzy-name join record linkage needs
+    * (catalog titles, author names, URLs) where token/shingle methods
+    * miss single-character typos. Blocking, not all-pairs: candidates
+    * must share the first `prefixLen` normalized characters and have
+    * |length difference| ≤ `maxDist` (a length gap > d already forces
+    * edit distance > d, so the length filter is lossless). Within a
+    * block the join is a shuffle on the prefix key; Spark's codegen'd
+    * `levenshtein(l, r, threshold)` band-limits the DP to O(len·d)
+    * and early-exits past the threshold. At 100 TB the prefix blocks
+    * bound candidate volume the same way LSH bands do for
+    * [[nearDupPairs]] — a hot prefix is the salting case
+    * ([[ScaleJoins]]), not an algorithmic wall.
+    */
+  def fuzzyPairs(docs: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int = 3, prefixLen: Int = 6): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    val keyed = docs.select(
+        col(idCol).as("doc_id"),
+        col(keyCol).as("key"),
+        substring(col(keyCol), 1, prefixLen).as("blk"),
+        length(col(keyCol)).as("len"))
+      .filter(col("key").isNotNull)
+    keyed.as("l").join(keyed.as("r"),
+        col("l.blk") === col("r.blk") &&
+          col("l.doc_id") < col("r.doc_id") &&
+          abs(col("l.len") - col("r.len")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("l.key"), col("r.key"), maxDist).cast("long"))
+      // the thresholded builtin returns -1 when distance exceeds maxDist
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("dist"))
+  }
+
   /** 64-bit SimHash signatures: bit j of the signature is the sign of
     * Σ_tokens (±1 by bit j of hash(token)) — one compiled kernel call
     * per row ([[graft.expressions.SimHash64]]), no explode, no shuffle.

@@ -198,4 +198,25 @@ object Funnel {
         expr(s"__touch_key DIV ${Encode}L").as("touch_ts_sec"))
       .withColumn("secs_since_touch", col("conv_ts_sec") - col("touch_ts_sec"))
   }
+
+  /** First-order transition counts over each user's event sequence —
+    * the Markov-chain view of behavior (what follows what) that feeds
+    * next-action models and journey analysis. One LAG window per user
+    * ordered by (ts, id) — the id tiebreak makes same-timestamp
+    * ordering engine-independent — then a single count shuffle over
+    * (from, to) pairs, whose cardinality is |event types|², not event
+    * volume. A user's first event transitions from the synthetic
+    * "(start)" state so row counts reconcile: Σ n = |events|.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__from",
+        coalesce(lag(col(typeCol), 1).over(w), lit("(start)")))
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -146,6 +146,59 @@ object Multimodal {
       }
   }
 
+  /** Build REAL audio payloads from a text column: each row's UTF-8
+    * bytes become 16-bit mono PCM samples inside a valid RIFF/WAVE
+    * file ([[WavCodec.encode]]) — the audio twin of [[bmpFromText]],
+    * so the pipeline exercises a second genuine binary format
+    * (chunk-walking header parse, LE sample decode) end to end.
+    */
+  def wavFromText(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val wav = WavCodec.encode(bytes, sampleRate)
+        MediaRecord(id, "audio", wav, 0, 0, bytes.length.toLong * 1000 / sampleRate)
+      }
+  }
+
+  /** Per-clip integer audio statistics from REAL decode: sample count
+    * and rate from the parsed WAV header, exact sum of absolute
+    * amplitudes, peak amplitude, and zero crossings (sign flips
+    * between consecutive samples, zero counted as non-negative) over
+    * the decoded PCM array. All-integer output so a SQL oracle can
+    * reproduce it exactly from the source bytes (q131).
+    */
+  final case class AudioStats(
+      media_id: Long, n_samples: Long, sample_rate: Long, duration_ms: Long,
+      sum_abs: Long, peak_abs: Long, zero_cross: Long)
+
+  def audioStats(records: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val audio = WavCodec.decode(r.payload)
+        var sumAbs = 0L; var peak = 0L; var zc = 0L
+        var i = 0
+        var prevNeg = false
+        while (i < audio.samples.length) {
+          val s = audio.samples(i).toLong
+          val a = math.abs(s)
+          sumAbs += a
+          if (a > peak) peak = a
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        AudioStats(r.media_id, audio.samples.length.toLong, audio.sampleRate.toLong,
+          audio.samples.length.toLong * 1000 / audio.sampleRate, sumAbs, peak, zc)
+      }
+    }
+  }
+
   /** Per-image integer pixel statistics from REAL decode: width and
     * height read from the parsed BMP header, and exact per-channel
     * byte sums (BMP pixel order is B,G,R) over the decoded pixel

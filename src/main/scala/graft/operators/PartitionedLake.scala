@@ -42,4 +42,33 @@ object PartitionedLake {
     df.queryExecution.executedPlan.collectLeaves().collect {
       case f: FileSourceScanExec => f.selectedPartitions.totalNumberOfFiles
     }.sum
+
+  /** Small-file compaction — the lake-maintenance pass every
+    * incremental zone needs: streaming/micro-batch appends mint one
+    * file per trigger per partition, and a 100 TB table accretes
+    * millions of KB-sized files whose open/list overhead dominates
+    * scans. Rewrites `src` into exactly `targetFiles` range-clustered
+    * files (`repartitionByRange` on `sortCols`, then
+    * `sortWithinPartitions`), so each output file additionally carries
+    * tight min/max stats on the sort key for [[DataSkipping]]-style
+    * pruning. Content is preserved bit-for-bit (same rows, only
+    * layout changes) — q129 proves it against an oracle that reads
+    * the ORIGINAL files.
+    */
+  def compact(src: DataFrame, outPath: String, targetFiles: Int,
+      sortCols: String*): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    require(sortCols.nonEmpty, "compaction needs at least one range key")
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    src.repartitionByRange(targetFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Leaf parquet data files under `path` (post-compaction audit). */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val dir = new java.io.File(path)
+    if (!dir.isDirectory) 0L
+    else dir.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+  }
 }

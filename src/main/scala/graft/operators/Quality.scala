@@ -43,4 +43,30 @@ object Quality {
         lit(sigmas.toLong * sigmas) * (col("__n") * col("__ss") - col("__s") * col("__s")))
       .drop("__xc", "__n", "__s", "__ss")
   }
+
+  /** Composition drift between two corpus snapshots — the
+    * population-stability check a continuously-ingesting training
+    * pipeline runs before every retrain: per category-key, each
+    * snapshot's share in exact parts-per-million (integer floor
+    * division against the snapshot total, no IEEE ratio anywhere) and
+    * the absolute ppm delta. A full outer join keeps categories that
+    * appear in only one snapshot (share 0 on the other side) — exactly
+    * the rows a drift monitor must not drop. Two aggregate shuffles
+    * over (key, count) pairs + two broadcast scalars; corpus size
+    * never crosses the network.
+    */
+  def snapshotDrift(prev: DataFrame, cur: DataFrame, keyCol: String): DataFrame = {
+    def shares(df: DataFrame, n: String, ppm: String): DataFrame = {
+      val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as(n))
+      val total = counts.agg(sum(col(n)).as("__t"))
+      counts.join(broadcast(total))
+        .withColumn(ppm, expr(s"CAST(($n * 1000000L) DIV __t AS BIGINT)"))
+        .drop("__t")
+    }
+    val a = shares(prev, "n_prev", "ppm_prev")
+    val b = shares(cur, "n_cur", "ppm_cur")
+    a.join(b, Seq(keyCol), "full_outer")
+      .na.fill(0L, Seq("n_prev", "ppm_prev", "n_cur", "ppm_cur"))
+      .withColumn("drift_ppm", abs(col("ppm_cur") - col("ppm_prev")))
+  }
 }

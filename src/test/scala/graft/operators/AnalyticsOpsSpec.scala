@@ -242,4 +242,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(m("nulls_s") === 2L)
     assert(m("nulls_v") === 2L)
   }
+
+  test("Quality.snapshotDrift: exact ppm shares, one-sided categories kept") {
+    val prev = Seq("en", "en", "en", "fr").toDF("lang")
+    val cur = Seq("en", "en", "de", "de").toDF("lang")
+    val d = Quality.snapshotDrift(prev, cur, "lang")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // de: absent from prev → share 0 there; 2/4 = 500000 ppm in cur
+    assert(d(0) === (("de", 0L, 0L, 2L, 500000L, 500000L)))
+    // en: 3/4 = 750000 → 2/4 = 500000, drift 250000
+    assert(d(1) === (("en", 3L, 750000L, 2L, 500000L, 250000L)))
+    // fr: dropped out entirely
+    assert(d(2) === (("fr", 1L, 250000L, 0L, 0L, 250000L)))
+    // floor-division shares sum to ≤ 1e6 per snapshot
+    assert(d.map(_._3).sum <= 1000000L && d.map(_._5).sum <= 1000000L)
+  }
+
+  test("Funnel.transitions: counts reconcile and first events start from (start)") {
+    val ev = Seq(
+      // user 1: view → click → purchase
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 10:01:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 10:02:00")),
+      // user 2: view → view; same-ts tie broken by event_id
+      (4L, 2L, "view", ts("2024-01-01 11:00:00")),
+      (5L, 2L, "view", ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val tr = Funnel.transitions(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tr(("(start)", "view")) === 2L) // both users start with a view
+    assert(tr(("view", "click")) === 1L)
+    assert(tr(("click", "purchase")) === 1L)
+    assert(tr(("view", "view")) === 1L)
+    assert(tr.values.sum === 5L, "every event contributes exactly one transition")
+  }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }

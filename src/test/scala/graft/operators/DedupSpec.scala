@@ -256,4 +256,32 @@ class DedupSpec extends SparkSpec {
         !l.getClass.getSimpleName.startsWith("LocalRelation")),
       s"expected file-relation leaves, got: ${leaves.map(_.getClass.getSimpleName)}")
   }
+
+  test("fuzzyPairs: finds typo-distance keys inside a block, never across blocks") {
+    val docs = Seq(
+      (1L, "spark engine tuning"),
+      (2L, "spark engiine tuning"), // 1 insertion from doc 1
+      (3L, "spark en"),             // shares the block, too far (dist > 3)
+      (4L, "kafka engine tuning"),  // different 6-char prefix → never compared
+      (5L, "spark emgine tunin")    // 2 edits from doc 1
+    ).toDF("doc_id", "key")
+    val pairs = Dedup.fuzzyPairs(docs, "doc_id", "key", maxDist = 3, prefixLen = 6)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1L), (1L, 5L, 2L), (2L, 5L, 3L)))
+  }
+
+  test("fuzzyPairs: length prefilter is lossless at the threshold boundary") {
+    val docs = Seq(
+      (1L, "abcdef"),
+      (2L, "abcdefgh"),  // len diff 2, dist 2 → kept
+      (3L, "abcdefghij") // len diff 4 > maxDist → pruned without computing
+    ).toDF("doc_id", "key")
+    val pairs = Dedup.fuzzyPairs(docs, "doc_id", "key", maxDist = 3, prefixLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 2L)))
+    assert(!pairs.exists(p => p._2 === 3L && p._1 === 1L),
+      "len-gap 4 cannot be within edit distance 3")
+    assert(pairs.contains((2L, 3L, 2L)))
+  }
 }

@@ -103,4 +103,69 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.decode(black).forall(_ === 0.0f))
     assert(dec.decode(white).forall(v => math.abs(v - 1.0f) < 1e-6))
   }
+
+  test("WavCodec: encode/decode round-trips samples exactly") {
+    val content = Array.tabulate[Byte](100)(i => (i * 11 + 5).toByte)
+    val wav = WavCodec.encode(content, sampleRate = 8000)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val audio = WavCodec.decode(wav)
+    assert(audio.sampleRate === 8000)
+    assert(audio.samples.length === 100)
+    content.zip(audio.samples).foreach { case (b, s) =>
+      assert(s === (((b & 0xFF) - 128) * 256).toShort)
+    }
+  }
+
+  test("WavCodec: chunk walk skips unknown chunks, rejects corrupt payloads") {
+    val wav = WavCodec.encode(Array[Byte](10, 20, 30), sampleRate = 4000)
+    // splice an unknown 5-byte LIST chunk (odd length → 1 pad byte)
+    // between the fmt and data chunks; decode must skip it
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = wav.take(36) ++ extra ++ wav.drop(36)
+    val buf = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(4, spliced.length - 8) // patch RIFF chunk size
+    val audio = WavCodec.decode(spliced)
+    assert(audio.sampleRate === 4000 && audio.samples.length === 3)
+    intercept[IllegalArgumentException](WavCodec.decode("not audio at all, nope, still not".getBytes))
+    val truncated = wav.dropRight(2)
+    intercept[IllegalArgumentException](WavCodec.decode(truncated))
+  }
+
+  test("WavCodec: empty content yields a valid zero-sample file") {
+    val audio = WavCodec.decode(WavCodec.encode(Array.emptyByteArray))
+    assert(audio.samples.isEmpty && audio.sampleRate === 8000)
+  }
+
+  test("audioStats: amplitude sums and zero crossings from real decode") {
+    // 'a'=97<128 (neg), 'z'=122<128 (neg), 0xC8=200>=128 (pos):
+    // signs n,n,p,n → 2 crossings
+    val bytes = Array[Byte]('a', 'z', 200.toByte, 'a')
+    // build payloads directly (string round-trip of byte 200 is
+    // charset-dependent; the operator path is bytes in, bytes out)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", WavCodec.encode(bytes), 0, 0, 0L),
+      Multimodal.MediaRecord(2L, "audio", WavCodec.encode(Array.emptyByteArray), 0, 0, 0L)
+    ).toDS()
+    val stats = Multimodal.audioStats(recs).collect().sortBy(_.media_id)
+    val expSum = (Seq(97, 122, 200, 97).map(v => math.abs(v - 128)).sum * 256).toLong
+    assert(stats(0).n_samples === 4L)
+    assert(stats(0).sum_abs === expSum)
+    assert(stats(0).peak_abs === (200 - 128) * 256L)
+    assert(stats(0).zero_cross === 2L)
+    assert(stats(0).duration_ms === 0L) // 4 samples @8 kHz < 1 ms
+    assert(stats(1).n_samples === 0L && stats(1).sum_abs === 0L &&
+      stats(1).zero_cross === 0L)
+  }
+
+  test("wavFromText: records carry real WAV payloads and duration metadata") {
+    val docs = Seq((9L, "x" * 8000)).toDF("doc_id", "text")
+    val r = Multimodal.wavFromText(spark, docs, "doc_id", "text").head()
+    assert(r.media_type === "audio")
+    assert(r.duration_ms === 1000L)
+    val audio = WavCodec.decode(r.payload)
+    assert(audio.samples.length === 8000)
+    assert(audio.samples.forall(_ === ('x' - 128) * 256))
+  }
 }

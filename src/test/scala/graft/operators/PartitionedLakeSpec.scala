@@ -43,6 +43,31 @@ class PartitionedLakeSpec extends SparkSpec {
     assert(counts.values.forall(_ === 365L))
   }
 
+  test("compact: collapses a fragmented zone losslessly into range-clustered files") {
+    val frag = Files.createTempDirectory("graft_frag_spec").toString
+    val out = Files.createTempDirectory("graft_compact_spec").toString
+    val df = (0L until 1000L).map(i => (i, s"row_$i")).toDF("id", "payload")
+    df.repartition(32).write.mode("overwrite").parquet(frag)
+    assert(PartitionedLake.dataFileCount(spark, frag) === 32L)
+    PartitionedLake.compact(spark.read.parquet(frag), out, targetFiles = 4, "id")
+    assert(PartitionedLake.dataFileCount(spark, out) === 4L)
+    // lossless: identical row set
+    val back = spark.read.parquet(out)
+    assert(back.count() === 1000L)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // range-clustered: per-file id ranges must not overlap (tight
+    // min/max stats are the point of compacting by range)
+    val ranges = back
+      .select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA < loB,
+        s"file ranges overlap: $hiA >= $loB")
+      case _ => ()
+    }
+  }
+
   test("orc round-trip preserves longs, strings, and timestamps exactly") {
     val dir = Files.createTempDirectory("graft_orc_spec").toString
     val df = Seq(
