@@ -2013,6 +2013,56 @@ object QueryCatalog {
           "event_type")
         .orderBy(col("from_type"), col("to_type"))
     }),
+
+    // LM-style quality scoring: per-doc coverage of the corpus's
+    // top-200 bigram vocabulary, in exact ppm — the integer-arithmetic
+    // proxy for the perplexity filters LLM pipelines run (a doc whose
+    // bigrams rarely appear in the corpus LM's head is an outlier).
+    // One explode + one global top-k (broadcast-small) + one per-doc
+    // agg; the q122 bigram construction, so both engines tokenize
+    // identically.
+    "q133_docs_lm_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ws = split(trim(col("text")), "\\s+")
+      val bigrams = when(size(col("ws")) >= 2,
+        expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .otherwise(expr("array()").cast("array<string>"))
+      val exploded = docs.withColumn("ws", ws)
+        .select(col("doc_id"), explode(bigrams).as("bigram"))
+      val vocab = exploded.groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(200)
+        .select(col("bigram"), lit(1L).as("__hit"))
+      val perDoc = exploded
+        .join(broadcast(vocab), Seq("bigram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_in_vocab"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_bigrams", "n_in_vocab"))
+        .withColumn("coverage_ppm",
+          when(col("n_bigrams") === 0L, 0L)
+            .otherwise(expr("CAST((n_in_vocab * 1000000L) DIV n_bigrams AS BIGINT)")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental ANN index maintenance: build the sign-IVF index on
+    // two thirds of the corpus, APPEND the rest batch-wise (structural
+    // quantizer → assignment never drifts, lists only gain files),
+    // then serve. Oracle = the one-shot full-corpus sign-IVF oracle:
+    // maintenance must be invisible to queries.
+    "q134_emb_ann_ivf_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+      Similarity.buildSignIvfIndex(e.filter(col("vec_id") % 3 =!= 0), path,
+        dim = 64, bits = 5)
+      Similarity.appendSignIvfIndex(e.filter(col("vec_id") % 3 === 0), path,
+        dim = 64, bits = 5)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64,
+          bits = 5, nProbe = 12)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3641,6 +3691,37 @@ object QueryCatalog {
         |                                   ORDER BY ts, event_id) AS prev
         |      FROM events)
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    // q133: q122's bigram construction; top-200 vocabulary with the
+    // same (count desc, bigram asc) deterministic boundary; integer
+    // ppm coverage.
+    "q133_docs_lm_coverage" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |), v AS (
+        |  SELECT bigram FROM (
+        |    SELECT bigram, count(*) AS n FROM b GROUP BY 1
+        |  ) ORDER BY n DESC, bigram LIMIT 200
+        |), pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(CASE WHEN bigram IN (SELECT bigram FROM v)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+        |  FROM b GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(pd.n_in_vocab, 0) AS n_in_vocab,
+        |       CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 0
+        |            ELSE CAST(pd.n_in_vocab * 1000000 // pd.n_bigrams AS BIGINT)
+        |       END AS coverage_ppm
+        |FROM d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q134: build(two thirds) + append(rest) must serve exactly like
+    // the one-shot full-corpus index.
+    "q134_emb_ann_ivf_append" -> signIvfOracle,
   )
   // Rows-only (no portable SQL equivalent): q25 lang-id heuristic,
   // q26–q28 MinHash/SimHash/n-gram banding, q31 LSH ANN, q32

@@ -455,6 +455,26 @@ object Similarity {
       signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
 
+  /** Incrementally add a batch to a persisted sign-IVF index. The
+    * quantizer is STRUCTURAL (sign tests on fixed dimensions), so new
+    * vectors are assigned with exactly the same tests and appended
+    * into their `list_id` partitions — no retraining, no rewrite of
+    * existing lists, and the result is bit-identical to rebuilding
+    * from scratch (q134 value-checks build(A)+append(B) against the
+    * one-shot full-corpus oracle). This is the 100 TB maintenance
+    * posture: daily index cost is batch-sized, not corpus-sized — a
+    * k-means IVF gets the same append path only until centroid drift
+    * forces a retrain, which is why the serving index uses the
+    * structural quantizer. Appended files accumulate per partition;
+    * [[PartitionedLake.compact]] is the companion pass when they do.
+    */
+  def appendSignIvfIndex(
+      batch: DataFrame, path: String, dim: Int, bits: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    batch.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+
   /** Serve from a persisted sign-IVF index: probe lists via
     * [[signProbe]], scan only the probed partitions (list_id reaches
     * the scan as a partition filter), exact-cosine rank. Result is

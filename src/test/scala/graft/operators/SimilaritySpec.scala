@@ -181,4 +181,31 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
       s"probed sign-list scan should carry a partition filter:\n$plan")
   }
+
+  test("appendSignIvfIndex: incremental maintenance ≡ one-shot rebuild") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_ivf_one").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+    Similarity.buildSignIvfIndex(e, oneShot, dim = 64, bits = 5)
+    Similarity.buildSignIvfIndex(e.filter($"vec_id" % 3 =!= 0), incr, dim = 64, bits = 5)
+    // two append batches: maintenance is repeatable, not one-shot-only
+    Similarity.appendSignIvfIndex(
+      e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 === 0), incr, dim = 64, bits = 5)
+    Similarity.appendSignIvfIndex(
+      e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 =!= 0), incr, dim = 64, bits = 5)
+    // identical index CONTENT per list...
+    def content(p: String) = spark.read.parquet(s"$p/lists")
+      .select($"vec_id", $"list_id".cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val a = content(oneShot)
+    val b = content(incr)
+    assert(a === b, "appended index must hold the same (vector, list) assignment")
+    // ...and identical serving results
+    val servedA = Similarity.querySignIvfIndex(spark, oneShot, q, k = 5, dim = 64,
+      bits = 5, nProbe = 12).orderBy("query_id", "rank").collect().toSeq
+    val servedB = Similarity.querySignIvfIndex(spark, incr, q, k = 5, dim = 64,
+      bits = 5, nProbe = 12).orderBy("query_id", "rank").collect().toSeq
+    assert(servedA === servedB)
+  }
 }
