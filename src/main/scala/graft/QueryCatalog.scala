@@ -2063,6 +2063,53 @@ object QueryCatalog {
           bits = 5, nProbe = 12)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // bag-of-words canonical dedup: docs grouped by their sorted
+    // distinct-token set — catches the permuted/reordered boilerplate
+    // that byte-exact dedup (q23) misses while staying fully
+    // deterministic (no hashing, no banding; the canonical string IS
+    // the key). One window over the canonical key.
+    "q135_docs_bow_dedup" -> ((s, dir) => {
+      val bow = concat_ws(" ",
+        array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))))
+      val w = Window.partitionBy(col("bow_key"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), bow.as("bow_key"))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("group_size"), col("keep_id"),
+          when(col("doc_id") === col("keep_id"), 0L).otherwise(1L).as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // compression-ratio quality signal (Gopher/FineWeb heuristic):
+    // deflate-per-mille per doc — repetitive machine text compresses
+    // far below prose. One Deflater per partition; rows-only at the
+    // driver (no SQL zlib), value-grounded by specs.
+    "q136_docs_compress_ratio" -> ((s, dir) => {
+      Quality.compressionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // composition drift over time: daily event-type ppm shares and the
+    // signed day-over-day delta — the continuous-monitoring form of
+    // q130 (which compares two static snapshots). All integer floor
+    // division; first day's delta is NULL on both engines.
+    "q137_events_type_drift" -> ((s, dir) => {
+      val day = date_format(col("ts"), "yyyy-MM-dd")
+      val wDay = Window.partitionBy(col("day"))
+      val wSeries = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      t(s, dir, "events")
+        .select(day.as("day"), col("event_type"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("day_total", sum(col("n")).over(wDay))
+        .withColumn("ppm", expr("CAST((n * 1000000L) DIV day_total AS BIGINT)"))
+        .withColumn("delta_ppm", col("ppm") - lag(col("ppm"), 1).over(wSeries))
+        .select(col("day"), col("event_type"), col("n"), col("ppm"),
+          col("delta_ppm"))
+        .orderBy(col("day"), col("event_type"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3722,12 +3769,44 @@ object QueryCatalog {
     // q134: build(two thirds) + append(rest) must serve exactly like
     // the one-shot full-corpus index.
     "q134_emb_ann_ivf_append" -> signIvfOracle,
+    // q135: the canonical sorted-distinct-token string is the group
+    // key on both engines (binary sort order on ASCII tokens).
+    "q135_docs_bow_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_sort(list_distinct(
+        |           regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')
+        |           AS bow_key
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) OVER (PARTITION BY bow_key) AS BIGINT) AS group_size,
+        |       CAST(MIN(doc_id) OVER (PARTITION BY bow_key) AS BIGINT) AS keep_id,
+        |       CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY bow_key)
+        |                 THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // q137: same integer ppm shares as q130, LAG'd per type across days.
+    "q137_events_type_drift" ->
+      """WITH c AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT day, event_type, n,
+        |         CAST(n * 1000000 // SUM(n) OVER (PARTITION BY day) AS BIGINT)
+        |           AS ppm
+        |  FROM c
+        |)
+        |SELECT day, event_type, n, ppm,
+        |       ppm - LAG(ppm) OVER (PARTITION BY event_type ORDER BY day)
+        |         AS delta_ppm
+        |FROM s ORDER BY day, event_type""".stripMargin,
   )
-  // Rows-only (no portable SQL equivalent): q25 lang-id heuristic,
-  // q26–q28 MinHash/SimHash/n-gram banding, q31 LSH ANN, q32
-  // fingerprints, q33/q43 multimodal, q37 embedding near-dup pairs,
-  // q44 IVF ANN, q49 MinHash-union agg, q58–q60 near-dup resolution &
-  // fingerprint overlap, q67 decontamination, q68 incremental dedup
-  // (all hash-/banding-dependent candidates; their exact baselines are
-  // oracle-verified — q29 cosine, q70 token-Jaccard, q23 exact hash).
+  // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
+  // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
+  // q49 MinHash-union agg, q58–q60 near-dup resolution & fingerprint
+  // overlap, q68 incremental near-dup (all hash-/banding-dependent
+  // candidates; their exact baselines are oracle-verified — q29
+  // cosine, q70 token-Jaccard, q23 exact hash), and q136 deflate
+  // ratio (no SQL zlib; value-grounded by specs).
 }

@@ -69,4 +69,39 @@ object Quality {
       .na.fill(0L, Seq("n_prev", "ppm_prev", "n_cur", "ppm_cur"))
       .withColumn("drift_ppm", abs(col("ppm_cur") - col("ppm_prev")))
   }
+
+  /** Compression-ratio quality signal (the Gopher/FineWeb heuristic):
+    * highly repetitive machine-generated text deflates far below
+    * natural prose, so `deflate_len·1000 div raw_len` separates the
+    * two with zero linguistic knowledge. Runs in `mapPartitions` so
+    * ONE `java.util.zip.Deflater` (fixed level, reset between rows)
+    * serves the whole partition — per-row construction would dominate
+    * at 100 TB. Per-row compute, no shuffle; deterministic for a fixed
+    * JVM zlib, but not reproducible in a SQL engine → rows-only at the
+    * driver, value-grounded by specs (repetitive < prose ratio,
+    * partitioning-invariant).
+    */
+  def compressionSignals(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed,
+            compressed * 1000L / math.max(raw.length.toLong, 1L))
+        }
+      }
+      .toDF(idCol, "raw_len", "deflate_len", "ratio_permille")
+  }
 }

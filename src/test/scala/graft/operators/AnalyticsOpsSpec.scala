@@ -280,4 +280,26 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("Quality.compressionSignals: repetitive text compresses below prose, stable under repartitioning") {
+    val prose = "the quarterly report outlines revenue growth across distinct " +
+      "market segments with varied supplier dynamics and region-specific notes"
+    val docs = Seq(
+      (1L, "spam spam " * 200),  // highly repetitive
+      (2L, prose * 3),           // natural-ish prose
+      (3L, "")                   // empty guard
+    ).toDF("doc_id", "text")
+    val sig = Quality.compressionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sig(1L)._3 < sig(2L)._3,
+      s"repetitive ratio ${sig(1L)._3} must be below prose ${sig(2L)._3}")
+    assert(sig(1L)._3 < 100L, "200x-repeated text should deflate below 10%")
+    assert(sig(3L) === ((0L, sig(3L)._2, sig(3L)._2 * 1000)),
+      "empty doc: raw_len 0, ratio = deflate_len*1000 (div-by-zero guard)")
+    // partitioning must not change a per-row signal (one Deflater per
+    // partition, reset between rows)
+    val repart = Quality.compressionSignals(docs.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(repart === sig)
+  }
 }
