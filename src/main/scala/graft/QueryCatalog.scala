@@ -2110,6 +2110,33 @@ object QueryCatalog {
           col("delta_ppm"))
         .orderBy(col("day"), col("event_type"))
     }),
+
+    // robust anomaly detection: median-absolute-deviation screen over
+    // daily event-type volumes — the ops-monitoring twin of the
+    // z-score screen (q100), immune to the outliers it hunts. The
+    // rational medians are carried SCALED to integers (med2 = 2·median
+    // of ints, mad4 = 4·MAD — exact in both engines since interpolated
+    // medians are half-/quarter-integers), and the 3σ-equivalent test
+    // |n−med| > 3·MAD is cross-multiplied to 2·dev2 > 3·mad4 — zero
+    // IEEE comparisons anywhere near a boundary.
+    "q138_events_anomaly_mad" -> ((s, dir) => {
+      val day = date_format(col("ts"), "yyyy-MM-dd")
+      val daily = t(s, dir, "events")
+        .groupBy(day.as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy(col("event_type"))
+        .agg(expr("CAST(2 * percentile(n, 0.5D) AS BIGINT)").as("med2"))
+      val withDev = daily.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev2", abs(col("n") * 2 - col("med2")))
+      val mad = withDev.groupBy(col("event_type"))
+        .agg(expr("CAST(2 * percentile(dev2, 0.5D) AS BIGINT)").as("mad4"))
+      withDev.join(broadcast(mad), Seq("event_type"))
+        .select(col("day"), col("event_type"), col("n"), col("dev2"),
+          col("mad4"),
+          when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L)
+            .as("is_anomaly"))
+        .orderBy(col("day"), col("event_type"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3801,6 +3828,30 @@ object QueryCatalog {
         |       ppm - LAG(ppm) OVER (PARTITION BY event_type ORDER BY day)
         |         AS delta_ppm
         |FROM s ORDER BY day, event_type""".stripMargin,
+    // q138: interpolated medians of integers are half-integers (exact
+    // doubles); scaling to med2/mad4 BIGINTs before anything is
+    // compared or hashed keeps both engines bit-identical.
+    "q138_events_anomaly_mad" ->
+      """WITH c AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(2 * quantile_cont(n, 0.5) AS BIGINT) AS med2
+        |  FROM c GROUP BY 1
+        |), d AS (
+        |  SELECT c.day, c.event_type, c.n,
+        |         CAST(abs(2 * c.n - m.med2) AS BIGINT) AS dev2
+        |  FROM c JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.day, d.event_type, d.n, d.dev2, md.mad4,
+        |       CAST(CASE WHEN 2 * d.dev2 > 3 * md.mad4 THEN 1 ELSE 0 END
+        |         AS BIGINT) AS is_anomaly
+        |FROM d JOIN md USING (event_type)
+        |ORDER BY day, event_type""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,

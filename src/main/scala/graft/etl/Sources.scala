@@ -73,6 +73,55 @@ object Sources {
       props.foldLeft(parted) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 
+  /** Permissive CSV ingest with a quarantine lane — the malformed-row
+    * posture a 100 TB ingest needs: a single bad line must neither
+    * kill the job (FAILFAST) nor silently vanish (DROPMALFORMED).
+    * PERMISSIVE mode nulls the typed columns of an unparseable row and
+    * preserves its raw text in `_corrupt_record`; the caller gets
+    * (clean, quarantined) frames split on that column — clean rows
+    * flow into the raw zone, quarantined raw lines land in a
+    * dead-letter table with full fidelity for replay after a parser
+    * fix. The source is read ONCE per output (no double-scan of good
+    * data paths: each side is one scan with a pushed filter).
+    *
+    * Caveat baked into the split: Spark only materializes
+    * `_corrupt_record` when the column appears in the declared schema,
+    * so this wraps the user schema rather than asking callers to
+    * remember that.
+    */
+  def readCsvQuarantined(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "user schema must not declare _corrupt_record; it is added here")
+    val wrapped = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    // Parse with from_csv over a TEXT scan, not spark.read.csv: a
+    // filter on the CSV source's corrupt column gets pushed into the
+    // scan and evaluated BEFORE the parser populates it (measured:
+    // every malformed row sails into the clean lane), and the
+    // documented workaround is caching the whole batch — a non-answer
+    // at 100 TB. from_csv parses per row as an expression, so the
+    // corrupt field exists before any filter runs, and the raw line is
+    // preserved by construction rather than reconstructed.
+    val lines = spark.read.textFile(path).toDF("raw_line")
+    val body = if (header) {
+      // the header contract is the schema's field names; matching
+      // exactly also drops repeated headers in concatenated dumps,
+      // and a DIFFERENT header line lands visibly in quarantine
+      // instead of being silently swallowed
+      lines.filter(col("raw_line") =!= lit(schema.fieldNames.mkString(",")))
+    } else lines
+    val parsed = body.select(col("raw_line"),
+      from_csv(col("raw_line"), wrapped,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    val dataCols = schema.fieldNames.toSeq.map(n => col(s"r.`$n`").as(n))
+    val clean = parsed.filter(col("r._corrupt_record").isNull).select(dataCols: _*)
+    val quarantined = parsed.filter(col("r._corrupt_record").isNotNull)
+      .select(dataCols :+ col("raw_line"): _*)
+    (clean, quarantined)
+  }
+
   /** Incremental source: appends `WHERE <tsCol> > watermark` to a JDBC
     * query (predicate evaluated by the database), or filters files
     * post-scan (Catalyst pushes it into the parquet/CSV scan).

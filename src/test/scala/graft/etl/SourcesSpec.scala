@@ -65,6 +65,32 @@ class SourcesSpec extends SparkSpec {
     assert(rewritten.query.contains("WHERE date > '2023-02-01'"))
   }
 
+  test("readCsvQuarantined: clean rows flow, malformed lines land whole in the dead-letter lane") {
+    val dir = Files.createTempDirectory("src_quar").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      """id,qty,day
+        |1,5,2023-01-01
+        |2,not_a_number,2023-01-02
+        |3,7,2023-01-03
+        |4,8
+        |""".stripMargin)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("qty", "long").add("day", "string")
+    val (clean, quarantined) = Sources.readCsvQuarantined(spark, s"$dir/in.csv", schema)
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L),
+      "rows 2 (bad long) and 4 (missing column) must not reach the clean lane")
+    val bad = quarantined.collect()
+    assert(bad.length === 2)
+    // the raw line is preserved byte-for-byte for replay
+    assert(bad.map(_.getAs[String]("raw_line")).toSet ===
+      Set("2,not_a_number,2023-01-02", "4,8"))
+    // schema contract: caller must not pre-declare the corrupt column
+    intercept[IllegalArgumentException] {
+      Sources.readCsvQuarantined(spark, s"$dir/in.csv",
+        schema.add("_corrupt_record", "string"))
+    }
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("src_sink").toString
     val df = Seq(("a", "2023-01-01"), ("b", "2023-02-01")).toDF("id", "day")
