@@ -2137,6 +2137,69 @@ object QueryCatalog {
             .as("is_anomaly"))
         .orderBy(col("day"), col("event_type"))
     }),
+
+    // dedup-report analytics: the cluster-size DISTRIBUTION of exact
+    // duplicates (how much of the corpus is 1×, 2×, k×-replicated) —
+    // the number a curation run reports before dropping anything.
+    // Duplicates planted by re-keying every 25th doc (the q37
+    // discipline: the base corpus is exact-dup-free). Clusters keyed
+    // by the text itself (no hash-function parity to defend); two
+    // stacked aggs, both shuffle (key, count) pairs only.
+    "q139_docs_cluster_sizes" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dupes = d.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      d.unionByName(dupes)
+        .groupBy(col("text"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // sequence/path mining: the global top-10 3-step behavior paths —
+    // per-user ordered event-type trigrams via two LAGs (the q132
+    // transition matrix extended one step), then one count and a
+    // deterministic (n desc, path) top-k.
+    "q140_events_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(
+          lag(col("event_type"), 2).over(w).as("s0"),
+          lag(col("event_type"), 1).over(w).as("s1"),
+          col("event_type").as("s2"))
+        .filter(col("s0").isNotNull)
+        .select(concat_ws(">", col("s0"), col("s1"), col("s2")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
+    // backfill detection: partition-level reconciliation between a
+    // source and a derived copy with a PLANTED gap (1997-06 missing) —
+    // the audit that tells an incremental pipeline which partitions to
+    // recompute, without comparing any row content. Emits only the
+    // stale partitions; both sides aggregate to |partitions| rows
+    // before the full-outer diff.
+    "q141_partition_reconcile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def counts(df: DataFrame, n: String) =
+        df.groupBy(year(col("l_shipdate")).cast("long").as("ship_year"),
+            month(col("l_shipdate")).cast("long").as("ship_month"))
+          .agg(count(lit(1)).as(n))
+      val src = counts(li, "n_src")
+      val cur = counts(li.filter(
+        !(year(col("l_shipdate")) === 1997 && month(col("l_shipdate")) === 6)),
+        "n_cur")
+      src.join(cur, Seq("ship_year", "ship_month"), "full_outer")
+        .na.fill(0L, Seq("n_src", "n_cur"))
+        .filter(col("n_src") =!= col("n_cur"))
+        .select(col("ship_year"), col("ship_month"), col("n_src"), col("n_cur"),
+          (col("n_src") - col("n_cur")).as("missing_rows"))
+        .orderBy(col("ship_year"), col("ship_month"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3852,6 +3915,58 @@ object QueryCatalog {
         |         AS BIGINT) AS is_anomaly
         |FROM d JOIN md USING (event_type)
         |ORDER BY day, event_type""".stripMargin,
+    "q139_docs_cluster_sizes" ->
+      """SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM (
+        |  SELECT text, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM (
+        |    SELECT text FROM documents
+        |    UNION ALL
+        |    SELECT text FROM documents WHERE doc_id % 25 = 0
+        |  ) GROUP BY text
+        |)
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // q140: two LAGs over the same engine-independent (ts, event_id)
+    // ordering as q132.
+    "q140_events_paths" ->
+      """SELECT path, n FROM (
+        |  SELECT s0 || '>' || s1 || '>' || s2 AS path,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT LAG(event_type, 2) OVER w AS s0,
+        |           LAG(event_type, 1) OVER w AS s1,
+        |           event_type AS s2
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  )
+        |  WHERE s0 IS NOT NULL
+        |  GROUP BY 1
+        |  ORDER BY n DESC, path LIMIT 10
+        |) t ORDER BY n DESC, path""".stripMargin,
+    "q141_partition_reconcile" ->
+      """WITH src AS (
+        |  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        |         CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
+        |         CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM lineitem GROUP BY 1, 2
+        |), cur AS (
+        |  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        |         CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cur
+        |  FROM lineitem
+        |  WHERE NOT (EXTRACT(year FROM l_shipdate) = 1997
+        |             AND EXTRACT(month FROM l_shipdate) = 6)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT COALESCE(src.ship_year, cur.ship_year) AS ship_year,
+        |       COALESCE(src.ship_month, cur.ship_month) AS ship_month,
+        |       COALESCE(n_src, 0) AS n_src,
+        |       COALESCE(n_cur, 0) AS n_cur,
+        |       COALESCE(n_src, 0) - COALESCE(n_cur, 0) AS missing_rows
+        |FROM src FULL OUTER JOIN cur
+        |  ON src.ship_year = cur.ship_year AND src.ship_month = cur.ship_month
+        |WHERE COALESCE(n_src, 0) <> COALESCE(n_cur, 0)
+        |ORDER BY ship_year, ship_month""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
