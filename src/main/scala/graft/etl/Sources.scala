@@ -122,6 +122,31 @@ object Sources {
     (clean, quarantined)
   }
 
+  /** NDJSON twin of [[readCsvQuarantined]]: one JSON object per line,
+    * parsed per row with from_json (same rationale — the JSON source's
+    * corrupt-column filter has the same pushdown trap), malformed
+    * lines preserved verbatim in the dead-letter lane. A line that is
+    * valid JSON but the wrong shape (e.g. a scalar or array) parses to
+    * all-null fields rather than corrupt — callers screening for that
+    * add a not-all-null contract on required fields.
+    */
+  def readJsonQuarantined(
+      spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "user schema must not declare _corrupt_record; it is added here")
+    val wrapped = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.textFile(path).toDF("raw_line")
+      .select(col("raw_line"),
+        from_json(col("raw_line"), wrapped,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    val dataCols = schema.fieldNames.toSeq.map(n => col(s"r.`$n`").as(n))
+    val clean = parsed.filter(col("r._corrupt_record").isNull).select(dataCols: _*)
+    val quarantined = parsed.filter(col("r._corrupt_record").isNotNull)
+      .select(dataCols :+ col("raw_line"): _*)
+    (clean, quarantined)
+  }
+
   /** Incremental source: appends `WHERE <tsCol> > watermark` to a JDBC
     * query (predicate evaluated by the database), or filters files
     * post-scan (Catalyst pushes it into the parquet/CSV scan).

@@ -98,4 +98,24 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("codegen id"),
       s"custom expressions must run inside whole-stage codegen:\n$p")
   }
+
+  test("q128: fuzzy match is an equi-join on the block key, never a cross join") {
+    val p = plan("q128_docs_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix blocking must plan as an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "expected a hash/merge join on the block key")
+  }
+
+  test("q133: the top-200 vocabulary joins broadcast, the corpus never re-shuffles for it") {
+    val p = plan("q133_docs_lm_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"fixed-size vocabulary must broadcast:\n$p")
+  }
+
+  test("q140: top-10 paths plan TakeOrdered, not a global sort") {
+    val p = plan("q140_events_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy().limit(10) must compile to per-partition top-N:\n$p")
+  }
 }

@@ -91,6 +91,22 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("readJsonQuarantined: NDJSON split mirrors the CSV lane semantics") {
+    val dir = Files.createTempDirectory("src_jquar").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id": 1, "qty": 5}
+        |{"id": 2, "qty": "not_a_number"}
+        |not json at all
+        |{"id": 4, "qty": 8}
+        |""".stripMargin)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("qty", "long")
+    val (clean, quarantined) = Sources.readJsonQuarantined(spark, s"$dir/in.json", schema)
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    assert(quarantined.collect().map(_.getAs[String]("raw_line")).toSet ===
+      Set("""{"id": 2, "qty": "not_a_number"}""", "not json at all"))
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("src_sink").toString
     val df = Seq(("a", "2023-01-01"), ("b", "2023-02-01")).toDF("id", "day")
