@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Scd2
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, IncrementalAgg, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, ZOrder}
+import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, IncrementalAgg, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -2200,6 +2200,25 @@ object QueryCatalog {
           (col("n_src") - col("n_cur")).as("missing_rows"))
         .orderBy(col("ship_year"), col("ship_month"))
     }),
+
+    // atomic versioned publish: v1 is a mid-backfill partial state, v2
+    // the complete aggregate; readers resolve the pointer and must see
+    // exactly v2 — the oracle is the direct aggregate, so a reader
+    // glimpsing v1 (or a half-written directory) hash-fails. Crash
+    // isolation and time travel are spec-gated (VersionedTableSpec).
+    "q142_versioned_publish" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_vt_q").toString
+      val li = t(s, dir, "lineitem")
+      def agg(df: DataFrame) = df
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(expr("floor(l_extendedprice * 100 + 0.5)").cast("long")).as("sum_ep_cents"),
+          count(lit(1)).as("n_lines"))
+      VersionedTable.publish(agg(li.filter(year(col("l_shipdate")) < 1997)), root)
+      VersionedTable.publish(agg(li), root)
+      VersionedTable.read(s, root)
+        .orderBy(col("l_returnflag"), col("ship_year"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3967,6 +3986,17 @@ object QueryCatalog {
         |  ON src.ship_year = cur.ship_year AND src.ship_month = cur.ship_month
         |WHERE COALESCE(n_src, 0) <> COALESCE(n_cur, 0)
         |ORDER BY ship_year, ship_month""".stripMargin,
+    // q142: the pointer-resolved read must equal the direct aggregate.
+    "q142_versioned_publish" ->
+      """SELECT l_returnflag,
+        |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS sum_ep_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag, ship_year""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
