@@ -7,9 +7,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.etl.Scd2
+import graft.etl.{RawLayer, Scd2}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, IncrementalAgg, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
+import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -2219,6 +2219,35 @@ object QueryCatalog {
       VersionedTable.read(s, root)
         .orderBy(col("l_returnflag"), col("ship_year"))
     }),
+
+    // CDC apply with DELETE tombstones: the event stream read as a
+    // change log — per user the latest change wins, and a winning
+    // 'error' event is the tombstone that removes the key. The half of
+    // CDC the reference's upsert-only merge cannot express. One window
+    // shuffle on the key, (ts, event_id)-total-ordered.
+    "q143_cdc_apply" -> ((s, dir) => {
+      RawLayer.applyCdcLatest(
+          t(s, dir, "events"),
+          keyCols = Seq("user_id"),
+          orderCols = Seq(col("ts"), col("event_id")),
+          deleteCol = col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("last_value_cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    // scalable dense global ids: 0..n−1 in doc_id order WITHOUT the
+    // single-partition global-sort window — value-bucketed offsets +
+    // per-bucket ranks (see Ids scaladoc). The oracle is the naive
+    // ROW_NUMBER formulation, proving the parallel plan computes the
+    // identical total order.
+    "q144_docs_global_ids" -> ((s, dir) => {
+      Ids.denseIds(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", bucketWidth = 100L)
+        .select(col("doc_id"), col("lang"), col("global_id"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3997,6 +4026,24 @@ object QueryCatalog {
         |FROM lineitem
         |GROUP BY 1, 2
         |ORDER BY l_returnflag, ship_year""".stripMargin,
+    // q143: latest change per key, tombstone removes the key.
+    "q143_cdc_apply" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_value_cents
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    // q144: the naive single-partition formulation IS the oracle — the
+    // parallel plan must reproduce it exactly.
+    "q144_docs_global_ids" ->
+      """SELECT doc_id, lang,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+        |         AS global_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,

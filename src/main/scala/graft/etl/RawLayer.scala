@@ -158,4 +158,31 @@ object RawLayer {
       n
     } finally increment.unpersist()
   }
+
+  /** CDC apply with DELETE tombstones: reduce a change stream to the
+    * current table state. Per key, the change with the highest
+    * (orderCols) wins; a winning row whose `deleteCol` is true removes
+    * the key entirely (the tombstone). This is the missing half of the
+    * reference's CDC story — its merge (`raw_layer.py:118`) only ever
+    * upserts, so a source-side DELETE lives forever in the lake.
+    *
+    * One window shuffle on the key; `orderCols` must totally order a
+    * key's changes (ts + a unique change id — the q64/q69 discipline)
+    * or "latest" is partition-dependent. Composes with
+    * [[appendIncrement]]: append raw changes cheaply all day, apply
+    * tombstones when publishing the queryable state.
+    */
+  def applyCdcLatest(
+      changes: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      deleteCol: org.apache.spark.sql.Column): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "need key and order columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !deleteCol)
+      .drop("__rn")
+  }
 }

@@ -281,6 +281,33 @@ class AnalyticsOpsSpec extends SparkSpec {
 
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 
+  test("Ids.denseIds: parallel plan reproduces the naive global row_number exactly") {
+    val df = Seq(907L, 3L, 512L, 17L, 2000L, 1999L, 0L, 451L)
+      .toDF("k").withColumn("payload", col("k") * 10)
+    val ids = Ids.denseIds(df, "k", bucketWidth = 500L)
+      .orderBy("global_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expected = Seq(907L, 3L, 512L, 17L, 2000L, 1999L, 0L, 451L)
+      .sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    assert(ids.toSeq === expected, "ids must follow total key order, 0-based, gapless")
+    // partitioning must not change the assignment
+    val repart = Ids.denseIds(df.repartition(5), "k", bucketWidth = 500L)
+      .orderBy("global_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(repart.toSeq === expected)
+  }
+
+  test("RawLayer.applyCdcLatest: latest change wins, tombstones remove keys") {
+    val changes = Seq(
+      (1L, 1L, "upsert", 10L), (1L, 2L, "upsert", 20L),  // u1 → latest 20
+      (2L, 3L, "upsert", 30L), (2L, 4L, "delete", 0L),   // u2 → tombstoned
+      (3L, 5L, "delete", 0L), (3L, 6L, "upsert", 60L)    // u3 → re-created after delete
+    ).toDF("key", "change_id", "op", "v")
+    val state = graft.etl.RawLayer.applyCdcLatest(changes,
+        keyCols = Seq("key"), orderCols = Seq(col("change_id")),
+        deleteCol = col("op") === "delete")
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(state.toSeq === Seq((1L, 20L), (3L, 60L)))
+  }
+
   test("Quality.compressionSignals: repetitive text compresses below prose, stable under repartitioning") {
     val prose = "the quarterly report outlines revenue growth across distinct " +
       "market segments with varied supplier dynamics and region-specific notes"
