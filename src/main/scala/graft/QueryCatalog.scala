@@ -2248,6 +2248,47 @@ object QueryCatalog {
         .select(col("doc_id"), col("lang"), col("global_id"))
         .orderBy(col("doc_id"))
     }),
+
+    // null-safe equality join (<=>): NULL keys MATCH each other — the
+    // semantics dedup on nullable keys needs (a plain equi-join
+    // silently drops every NULL-keyed row into the void via 3VL).
+    // Gap-filled sparse values (click rows carry NULL) joined
+    // null-safely against a per-user reference; the NULL bucket rows
+    // survive with a match where = would discard them.
+    "q145_null_safe_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sparse = ev.select(col("user_id"), col("event_id"),
+        when(col("event_type") =!= "click",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("v_cents"))
+      val refValues = sparse.groupBy(col("user_id").as("r_user"), col("v_cents").as("r_v"))
+        .agg(count(lit(1)).as("n_ref"))
+      sparse.join(refValues,
+          col("user_id") === col("r_user") && col("v_cents") <=> col("r_v"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(when(col("v_cents").isNull, col("n_ref")).otherwise(0L))
+            .as("null_bucket_weight"))
+        .orderBy(col("user_id"))
+    }),
+
+    // unpivot (wide → long): the inverse of q51's pivot — per-user
+    // event-type count columns melted back to (user, type, n) rows via
+    // Spark's native unpivot operator; the round-trip discipline for
+    // feature tables that must feed both BI (wide) and training (long).
+    "q146_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+          ids = Array(col("user_id")),
+          values = Array(col("click"), col("view"), col("purchase")),
+          variableColumnName = "event_type",
+          valueColumnName = "n")
+        .filter(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4044,6 +4085,43 @@ object QueryCatalog {
         |       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
         |         AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q145: IS NOT DISTINCT FROM is SQL's spelling of <=>.
+    "q145_null_safe_join" ->
+      """WITH sparse AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_type <> 'click'
+        |              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v_cents
+        |  FROM events
+        |), refv AS (
+        |  SELECT user_id AS r_user, v_cents AS r_v,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ref
+        |  FROM sparse GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |       CAST(SUM(CASE WHEN v_cents IS NULL THEN n_ref ELSE 0 END)
+        |         AS BIGINT) AS null_bucket_weight
+        |FROM sparse JOIN refv
+        |  ON user_id = r_user AND v_cents IS NOT DISTINCT FROM r_v
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q146: melt the pivoted counts back to long form.
+    "q146_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |         CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |         CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |           AS purchase
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n FROM wide
+        |  UNION ALL
+        |  SELECT user_id, 'view', view FROM wide
+        |  UNION ALL
+        |  SELECT user_id, 'purchase', purchase FROM wide
+        |)
+        |WHERE n > 0
+        |ORDER BY user_id, event_type""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
