@@ -2289,6 +2289,27 @@ object QueryCatalog {
         .filter(col("n") > 0)
         .orderBy(col("user_id"), col("event_type"))
     }),
+
+    // multimodal resize: REAL decode → nearest-neighbor 16→8 downsample
+    // (integer source indexing) → re-encode as a valid BMP → stats from
+    // a SECOND real decode of the resized payload. The oracle
+    // recomputes the sampled-byte sum from the source text (even source
+    // columns only), so the whole decode/resample/encode/decode chain
+    // is value-checked end to end.
+    "q147_multimodal_resize" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val media = Multimodal.bmpFromText(s, t(s, dir, "documents"),
+        "doc_id", "text", width = 16)
+      val resized = Multimodal.resizeNearest(media, outWidth = 8)
+        .map(r => Multimodal.MediaRecord(r.media_id, "image", r.payload,
+          r.out_width, r.out_height, 0L))(
+          Encoders.product[Multimodal.MediaRecord])
+      Multimodal.imageStats(resized).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_pixels"),
+          (col("sum_b") + col("sum_g") + col("sum_r")).as("sum_bytes"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4122,6 +4143,28 @@ object QueryCatalog {
         |)
         |WHERE n > 0
         |ORDER BY user_id, event_type""".stripMargin,
+    // q147: a source byte at 0-based position i sits in pixel i//3,
+    // source column (i//3) % 16; the 16→8 nearest-neighbor downsample
+    // keeps even columns only. Padding bytes are zero and drop out.
+    "q147_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |), bytes AS (
+        |  SELECT doc_id, i, ord(substr(text, CAST(i AS INTEGER), 1)) AS v
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len)) AS i FROM d)
+        |), s AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN (((i - 1) // 3) % 16) % 2 = 0 THEN v ELSE 0 END)
+        |           AS sum_bytes
+        |  FROM bytes GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id,
+        |       CAST(8 AS BIGINT) AS width,
+        |       CAST(GREATEST((d.len + 47) // 48, 1) AS BIGINT) AS height,
+        |       CAST(8 * GREATEST((d.len + 47) // 48, 1) AS BIGINT) AS n_pixels,
+        |       CAST(COALESCE(s.sum_bytes, 0) AS BIGINT) AS sum_bytes
+        |FROM d LEFT JOIN s USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,

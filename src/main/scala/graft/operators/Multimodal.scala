@@ -199,6 +199,49 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor image resize over REAL decoded pixels: output
+    * pixel (x, y) samples input pixel (x·wIn div wOut, y·hIn div hOut)
+    * — pure integer source indexing, so downstream stats stay exactly
+    * reproducible. Returns records re-encoded as valid BMPs of the new
+    * geometry (decode → sample → encode round trip, not a metadata
+    * edit). Runs in the same mapPartitions position as decode — a real
+    * resampler (area/bilinear) swaps in per partition.
+    */
+  final case class ResizedImage(
+      media_id: Long, out_width: Int, out_height: Int, payload: Array[Byte])
+
+  def resizeNearest(
+      records: Dataset[MediaRecord], outWidth: Int,
+      outHeight: Int = -1): Dataset[ResizedImage] = {
+    require(outWidth > 0, "outWidth must be positive")
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val img = BmpCodec.decode(r.payload)
+        val oh = if (outHeight > 0) outHeight else img.height
+        val out = new Array[Byte](outWidth * oh * 3)
+        var y = 0
+        while (y < oh) {
+          val sy = y * img.height / oh
+          var x = 0
+          while (x < outWidth) {
+            val sx = x * img.width / outWidth
+            var c = 0
+            while (c < 3) {
+              out((y * outWidth + x) * 3 + c) = img.pixels((sy * img.width + sx) * 3 + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        // re-encode the sampled rows as a real BMP of the new geometry;
+        // encode pads the last row, so feed it exactly oh rows of data
+        ResizedImage(r.media_id, outWidth, oh, BmpCodec.encode(out, outWidth))
+      }
+    }
+  }
+
   /** Per-image integer pixel statistics from REAL decode: width and
     * height read from the parsed BMP header, and exact per-channel
     * byte sums (BMP pixel order is B,G,R) over the decoded pixel

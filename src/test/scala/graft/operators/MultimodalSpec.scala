@@ -104,6 +104,25 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.decode(white).forall(v => math.abs(v - 1.0f) < 1e-6))
   }
 
+  test("resizeNearest: samples exact source pixels and re-encodes a valid BMP") {
+    // 2 rows × 4 cols, each pixel's 3 channels carry its column index
+    val content = (0 until 2).flatMap(y => (0 until 4).flatMap(x =>
+      Seq.fill(3)((y * 10 + x).toByte))).toArray
+    val rec = Seq(Multimodal.MediaRecord(5L, "image",
+      BmpCodec.encode(content, width = 4), 4, 2, 0L)).toDS()
+    // 4→2 wide: keep columns 0 and 2 of each row
+    val r = Multimodal.resizeNearest(rec, outWidth = 2).head()
+    assert((r.out_width, r.out_height) === ((2, 2)))
+    val img = BmpCodec.decode(r.payload)
+    assert(img.width === 2 && img.height === 2)
+    assert(img.pixels.toSeq === Seq(0, 0, 0, 2, 2, 2, 10, 10, 10, 12, 12, 12)
+      .map(_.toByte))
+    // 2→1 tall as well: row 0 survives
+    val sq = Multimodal.resizeNearest(rec, outWidth = 2, outHeight = 1).head()
+    assert(BmpCodec.decode(sq.payload).pixels.toSeq ===
+      Seq(0, 0, 0, 2, 2, 2).map(_.toByte))
+  }
+
   test("WavCodec: encode/decode round-trips samples exactly") {
     val content = Array.tabulate[Byte](100)(i => (i * 11 + 5).toByte)
     val wav = WavCodec.encode(content, sampleRate = 8000)
