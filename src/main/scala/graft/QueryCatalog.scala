@@ -2310,6 +2310,51 @@ object QueryCatalog {
           (col("sum_b") + col("sum_g") + col("sum_r")).as("sum_bytes"))
         .orderBy(col("media_id"))
     }),
+
+    // end-to-end curation chain, every stage deterministic and the
+    // WHOLE composition value-checked: planted-dup corpus → exact
+    // dedup (min-id per md5) → integer quality gate (q38 thresholds)
+    // → per-lang deterministic quota (q77 ordering) → token chunking
+    // (q66 geometry) → per-lang report. The composability proof: the
+    // stages that pass individually also pass stacked.
+    "q148_curation_e2e" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val keep = corpus
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = corpus.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      val toks = when(length(trim(col("text"))) === 0, 0)
+        .otherwise(size(split(trim(col("text")), "\\s+")))
+      val gated = deduped
+        .withColumn("len", length(col("text")).cast("long"))
+        .withColumn("alpha_chars",
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+        .withColumn("n_tokens", toks.cast("long"))
+        .filter(col("len") >= 100 &&
+          col("alpha_chars") * 100 >= col("len") * 55 &&
+          col("n_tokens") >= 10)
+      val sampled = Sampling.stratifiedQuota(gated, "lang", "doc_id", n = 30)
+      val chunks = Chunking.chunkByTokens(
+        sampled.select(col("doc_id"), col("text")), "doc_id", "text",
+        maxTokens = 200)
+      sampled.select(col("doc_id"), col("lang"))
+        .join(chunks, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("sum_chunk_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // join-skew diagnosis: the report you run BEFORE deciding to salt
+    // (q90) — top keys by row count with exact ppm share and the
+    // integer ×100 ratio vs the mean key. All floor division.
+    "q149_skew_report" -> ((s, dir) => {
+      ScaleJoins.skewReport(t(s, dir, "events"), "user_id", topK = 10)
+        .orderBy(col("n").desc, col("user_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4165,6 +4210,53 @@ object QueryCatalog {
         |       CAST(COALESCE(s.sum_bytes, 0) AS BIGINT) AS sum_bytes
         |FROM d LEFT JOIN s USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+    // q148: the q38/q77/q66 oracle pieces stacked. With zero overlap,
+    // per-doc chunk tokens sum back to the doc's token count, so the
+    // chunk stage needs no explode here: n_chunks = ceil(ntok/200).
+    "q148_curation_e2e" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
+        |), deduped AS (
+        |  SELECT a.* FROM all_docs a JOIN keep USING (doc_id)
+        |), gated AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+        |           AS n_tokens
+        |  FROM deduped
+        |  WHERE length(text) >= 100
+        |    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100
+        |        >= 55 * length(text)
+        |    AND (CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END) >= 10
+        |), sampled AS (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+        |               doc_id) AS rk
+        |    FROM gated
+        |  ) t WHERE rk <= 30
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM((n_tokens + 199) // 200) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_chunk_tokens
+        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+    "q149_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |         CAST(COUNT(*) AS BIGINT) AS nkeys FROM c
+        |)
+        |SELECT user_id, n,
+        |       CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+        |       CAST((n * 100 * nkeys) // total AS BIGINT) AS vs_mean_x100
+        |FROM c, s
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,

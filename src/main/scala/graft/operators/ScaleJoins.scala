@@ -53,4 +53,28 @@ object ScaleJoins {
       spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Join-skew diagnosis — the report to run BEFORE reaching for
+    * [[saltedInnerJoin]] or trusting AQE's skew split: the top keys by
+    * row count with their exact ppm share and the ×100 ratio against
+    * the mean key (all integer floor division, engine-portable). At
+    * 100 TB the decision rule of thumb: a key at vs_mean_x100 in the
+    * thousands with share_ppm past ~10⁴ is the partition-killer worth
+    * salting; long-tail skew below that is AQE's job. One count
+    * aggregate + a 1-row broadcast; the corpus itself never
+    * re-shuffles for the diagnosis.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.join(broadcast(stats))
+      .withColumn("share_ppm", expr("CAST((n * 1000000L) DIV __total AS BIGINT)"))
+      .withColumn("vs_mean_x100",
+        expr("CAST((n * 100L * __nkeys) DIV __total AS BIGINT)"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+      .drop("__total", "__nkeys")
+  }
 }
