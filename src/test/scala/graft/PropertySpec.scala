@@ -170,4 +170,55 @@ class PropertySpec extends SparkSpec {
     assert(counts.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
       s"funnel widened: ${counts.toSeq}")
   }
+
+  test("WavCodec: encode∘decode is the identity on arbitrary byte payloads") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte)),
+        Gen.choose(1000, 48000)) { (bytes, rate) =>
+      val content = bytes.toArray
+      val audio = graft.operators.WavCodec.decode(
+        graft.operators.WavCodec.encode(content, rate))
+      audio.sampleRate == rate &&
+        audio.samples.length == content.length &&
+        content.indices.forall(i =>
+          audio.samples(i) == (((content(i) & 0xFF) - 128) * 256).toShort)
+    }, n = 30)
+  }
+
+  test("denseIds: gapless 0..n−1 bijection in key order on random key sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { _ =>
+      val keys = (0 until 400).map(_ => rnd.nextInt(100000).toLong).distinct
+      val out = graft.operators.Ids.denseIds(
+          keys.toDF("k").repartition(7), "k", bucketWidth = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.map(_._2).sorted.toSeq === out.indices.map(_.toLong),
+        "ids must be exactly 0..n−1")
+      assert(out.sortBy(_._1).map(_._2).toSeq === out.indices.map(_.toLong),
+        "id order must equal key order")
+    }
+  }
+
+  test("applyCdcLatest: idempotent and input-order independent on random change logs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val changes = (0 until 500).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong,
+        if (rnd.nextInt(4) == 0) "delete" else "upsert", rnd.nextInt(1000).toLong)
+    }
+    def state(df: org.apache.spark.sql.DataFrame) =
+      graft.etl.RawLayer.applyCdcLatest(df, Seq("key"),
+          Seq(org.apache.spark.sql.functions.col("change_id")),
+          org.apache.spark.sql.functions.col("op") === "delete")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val df = changes.toDF("key", "change_id", "op", "v")
+    val once = state(df)
+    assert(state(df.repartition(9)) === once,
+      "current state must not depend on input partitioning")
+    // applying the reduction to its own output changes nothing
+    val reduced = graft.etl.RawLayer.applyCdcLatest(df, Seq("key"),
+      Seq(org.apache.spark.sql.functions.col("change_id")),
+      org.apache.spark.sql.functions.col("op") === "delete")
+    assert(state(reduced) === once, "reduction must be idempotent")
+  }
 }
