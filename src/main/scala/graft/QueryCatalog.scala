@@ -2355,6 +2355,32 @@ object QueryCatalog {
       ScaleJoins.skewReport(t(s, dir, "events"), "user_id", topK = 10)
         .orderBy(col("n").desc, col("user_id"))
     }),
+
+    // MERGE INTO (lakehouse upsert verb): a source batch of price
+    // updates, deletes, and brand-new keys applied to the part
+    // snapshot in one pass — matched+delete removes, matched replaces,
+    // unmatched source inserts, unmatched target survives. Built on
+    // the CDC reducer (one keyed window), so both verbs share one
+    // tested path. Emitted as a per-status reconciliation.
+    "q150_merge_upsert" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val cents = expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+      val target = part.select(col("p_partkey"), cents.as("price_cents"),
+        lit("current").as("status"), lit(false).as("is_del"))
+      val updates = part.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"), (cents + 1000L).as("price_cents"),
+          lit("updated").as("status"), (col("p_partkey") % 30 === 0).as("is_del"))
+      val inserts = part.filter(col("p_partkey") % 7 === 0)
+        .select((col("p_partkey") + 1000000L).as("p_partkey"),
+          lit(9999L).as("price_cents"), lit("new").as("status"),
+          lit(false).as("is_del"))
+      RawLayer.mergeInto(target, updates.unionByName(inserts),
+          Seq("p_partkey"), deleteCond = col("is_del"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("sum_cents"),
+          min(col("p_partkey")).as("min_key"), max(col("p_partkey")).as("max_key"))
+        .orderBy(col("status"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4257,6 +4283,31 @@ object QueryCatalog {
         |       CAST((n * 100 * nkeys) // total AS BIGINT) AS vs_mean_x100
         |FROM c, s
         |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    // q150: merged state expressed directly — deletes are matched
+    // keys with p_partkey % 30 = 0; updated keys (% 10, not deleted)
+    // carry price+1000; inserts are shifted keys; everything else
+    // survives unchanged.
+    "q150_merge_upsert" ->
+      """WITH merged AS (
+        |  SELECT p_partkey,
+        |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) + 1000
+        |           AS price_cents,
+        |         'updated' AS status
+        |  FROM part
+        |  WHERE p_partkey % 10 = 0 AND p_partkey % 30 <> 0
+        |  UNION ALL
+        |  SELECT p_partkey,
+        |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT),
+        |         'current'
+        |  FROM part WHERE p_partkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000, 9999, 'new'
+        |  FROM part WHERE p_partkey % 7 = 0
+        |)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+        |       MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,

@@ -185,4 +185,33 @@ object RawLayer {
       .filter(col("__rn") === 1 && !deleteCol)
       .drop("__rn")
   }
+
+  /** MERGE INTO semantics (the lakehouse upsert verb): apply a source
+    * batch to a target snapshot in one pass —
+    *  - key matched, `deleteCond` true  → row removed,
+    *  - key matched, `deleteCond` false → source row replaces target,
+    *  - source key unmatched            → inserted (unless deleting),
+    *  - target key unmatched            → kept as-is.
+    * Schemas must align (`unionByName`). Implemented as
+    * [[applyCdcLatest]] over target∪source ordered by origin — MERGE
+    * *is* a two-change CDC log per key, which keeps one tested
+    * code path for both verbs. One keyed window shuffle; at 100 TB
+    * pair with partition pruning so only touched partitions of the
+    * target participate (the source's key range bounds them).
+    *
+    * `deleteCond` is evaluated on SOURCE rows only — a target row
+    * matching the predicate is not self-deleting. The source must
+    * carry at most ONE row per key (the standard MERGE precondition;
+    * Delta/Iceberg error on it too) — pre-reduce a multi-change batch
+    * with [[applyCdcLatest]] first, or "latest" ties on origin.
+    */
+  def mergeInto(
+      target: DataFrame, source: DataFrame, keyCols: Seq[String],
+      deleteCond: org.apache.spark.sql.Column): DataFrame = {
+    val t = target.withColumn("__origin", lit(0))
+    val s = source.withColumn("__origin", lit(1))
+    applyCdcLatest(t.unionByName(s), keyCols, Seq(col("__origin")),
+        deleteCond && col("__origin") === 1)
+      .drop("__origin")
+  }
 }

@@ -308,6 +308,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(state.toSeq === Seq((1L, 20L), (3L, 60L)))
   }
 
+  test("RawLayer.mergeInto: matched-delete, matched-replace, insert, and keep in one pass") {
+    val target = Seq((1L, 10L, false), (2L, 20L, false), (3L, 30L, false))
+      .toDF("key", "v", "del")
+    val source = Seq((2L, 99L, false), (3L, 0L, true), (4L, 40L, false))
+      .toDF("key", "v", "del")
+    val merged = graft.etl.RawLayer.mergeInto(target, source, Seq("key"),
+        deleteCond = col("del"))
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 1 kept, 2 replaced, 3 deleted, 4 inserted
+    assert(merged.toSeq === Seq((1L, 10L), (2L, 99L), (4L, 40L)))
+    // a target row matching deleteCond must NOT self-delete
+    val t2 = Seq((7L, 70L, true)).toDF("key", "v", "del")
+    val m2 = graft.etl.RawLayer.mergeInto(t2,
+      Seq.empty[(Long, Long, Boolean)].toDF("key", "v", "del"),
+      Seq("key"), deleteCond = col("del"))
+    assert(m2.count() === 1L)
+  }
+
   test("Quality.compressionSignals: repetitive text compresses below prose, stable under repartitioning") {
     val prose = "the quarterly report outlines revenue growth across distinct " +
       "market segments with varied supplier dynamics and region-specific notes"
