@@ -92,9 +92,6 @@ object Sources {
   def readCsvQuarantined(
       spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): (DataFrame, DataFrame) = {
-    require(!schema.fieldNames.contains("_corrupt_record"),
-      "user schema must not declare _corrupt_record; it is added here")
-    val wrapped = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
     // Parse with from_csv over a TEXT scan, not spark.read.csv: a
     // filter on the CSV source's corrupt column gets pushed into the
     // scan and evaluated BEFORE the parser populates it (measured:
@@ -111,7 +108,23 @@ object Sources {
       // instead of being silently swallowed
       lines.filter(col("raw_line") =!= lit(schema.fieldNames.mkString(",")))
     } else lines
-    val parsed = body.select(col("raw_line"),
+    quarantineCsvLines(body, schema)
+  }
+
+  /** The parse+split core of [[readCsvQuarantined]], over any frame
+    * with a `raw_line` string column — INCLUDING a streaming one
+    * (from_csv is a per-row expression, so the same function serves
+    * `readStream.text` micro-batches unchanged; spec-gated). Batch
+    * callers normally use [[readCsvQuarantined]]; streaming ingest
+    * wires `spark.readStream.text(dir).toDF("raw_line")` straight in
+    * and writes each lane to its own sink.
+    */
+  def quarantineCsvLines(
+      lines: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "user schema must not declare _corrupt_record; it is added here")
+    val wrapped = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = lines.select(col("raw_line"),
       from_csv(col("raw_line"), wrapped,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))

@@ -91,6 +91,33 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("quarantineCsvLines works unchanged on a STREAMING text source") {
+    val dir = Files.createTempDirectory("src_squar").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/batch1.txt"),
+      """1,5
+        |2,oops
+        |3,7
+        |""".stripMargin)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("qty", "long")
+    val lines = spark.readStream.text(s"$dir/in").toDF("raw_line")
+    assert(lines.isStreaming)
+    val (clean, quarantined) = Sources.quarantineCsvLines(lines, schema)
+    val q1 = clean.writeStream.format("memory").queryName("sq_clean")
+      .option("checkpointLocation", s"$dir/ck1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000)
+    val q2 = quarantined.writeStream.format("memory").queryName("sq_dlq")
+      .option("checkpointLocation", s"$dir/ck2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.table("sq_clean").select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(spark.table("sq_dlq").select("raw_line").collect()
+      .map(_.getString(0)).toSeq === Seq("2,oops"))
+  }
+
   test("readJsonQuarantined: NDJSON split mirrors the CSV lane semantics") {
     val dir = Files.createTempDirectory("src_jquar").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
