@@ -3862,9 +3862,9 @@ object QueryCatalog {
         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
     "q51_pivot" ->
       """SELECT user_id,
-        |       COUNT(*) FILTER (event_type = 'click') AS click,
-        |       COUNT(*) FILTER (event_type = 'view') AS view,
-        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
         |       COUNT(*) FILTER (event_type = 'signup') AS signup,
         |       COUNT(*) FILTER (event_type = 'error') AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -4199,9 +4199,9 @@ object QueryCatalog {
     "q146_unpivot" ->
       """WITH wide AS (
         |  SELECT user_id,
-        |         CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
-        |         CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
-        |         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
         |           AS purchase
         |  FROM events GROUP BY user_id
         |)
