@@ -76,6 +76,43 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(s"$root/v=$version")
 
+  /** Atomic MULTI-TABLE snapshot publish: all tables of a derived
+    * schema (fact + dims) written under one `v=N/<table>/` tree and
+    * exposed by the same single pointer flip — a reader can never see
+    * fact v2 joined against dim v1, the torn-star hazard the
+    * reference's four independent in-place overwrites
+    * (`curated_layer.py:88-144`) leave open. Same crash semantics as
+    * [[publish]]: an interrupted multi-table write leaves an orphan
+    * version invisible to readers.
+    */
+  def publishAll(tables: Map[String, DataFrame], root: String): Long = {
+    require(tables.nonEmpty, "nothing to publish")
+    require(tables.keys.forall(n => !n.contains("/") && !n.startsWith("_") && !n.startsWith("v=")),
+      s"bad table names: ${tables.keys.mkString(", ")}")
+    val maxDir = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .maxOption.getOrElse(0L)
+    val next = math.max(latestVersion(root).getOrElse(0L), maxDir) + 1L
+    tables.foreach { case (name, df) =>
+      df.write.mode("errorifexists").parquet(s"$root/v=$next/$name")
+    }
+    val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.$next")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp, pointerPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Read one table of the current multi-table snapshot. */
+  def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    spark.read.parquet(s"$root/v=$v/$table")
+  }
+
   /** Drop version directories older than the newest `keepLast`
     * (pointer target always survives). Returns dropped versions.
     */

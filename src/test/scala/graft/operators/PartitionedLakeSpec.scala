@@ -84,6 +84,23 @@ class PartitionedLakeSpec extends SparkSpec {
       keep = v => v.toInt >= 2023).isEmpty)
   }
 
+  test("parquet codec choice: zstd beats snappy on redundant text, content identical") {
+    // the storage knob that matters at 100 TB: a cold/archive zone on
+    // zstd, hot zones on snappy; either way the DATA is identical
+    val dir = Files.createTempDirectory("graft_codec").toString
+    val df = (0L until 2000L)
+      .map(i => (i, s"a moderately repetitive payload body number ${i % 50}"))
+      .toDF("id", "text")
+    df.coalesce(1).write.option("compression", "snappy").parquet(s"$dir/snappy")
+    df.coalesce(1).write.option("compression", "zstd").parquet(s"$dir/zstd")
+    def bytes(p: String): Long = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(bytes(s"$dir/zstd") < bytes(s"$dir/snappy"),
+      s"zstd ${bytes(s"$dir/zstd")} should be smaller than snappy ${bytes(s"$dir/snappy")}")
+    assert(spark.read.parquet(s"$dir/zstd").orderBy("id").collect().toSeq ===
+      spark.read.parquet(s"$dir/snappy").orderBy("id").collect().toSeq)
+  }
+
   test("orc round-trip preserves longs, strings, and timestamps exactly") {
     val dir = Files.createTempDirectory("graft_orc_spec").toString
     val df = Seq(
