@@ -3865,8 +3865,8 @@ object QueryCatalog {
         |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
         |       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
         |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
-        |       COUNT(*) FILTER (event_type = 'error') AS error
+        |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q48_interval_join" ->
       """SELECT l.user_id, COUNT(*) AS n_pairs,

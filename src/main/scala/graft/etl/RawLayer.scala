@@ -171,6 +171,11 @@ object RawLayer {
     * or "latest" is partition-dependent. Composes with
     * [[appendIncrement]]: append raw changes cheaply all day, apply
     * tombstones when publishing the queryable state.
+    *
+    * A NULL `deleteCol` value means NOT deleted: without the coalesce,
+    * `!delete` is NULL under 3VL and the filter would silently drop
+    * the key — an upsert with a missing flag must never read as a
+    * tombstone.
     */
   def applyCdcLatest(
       changes: DataFrame, keyCols: Seq[String],
@@ -182,7 +187,7 @@ object RawLayer {
       .orderBy(orderCols.map(_.desc): _*)
     changes
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !deleteCol)
+      .filter(col("__rn") === 1 && !coalesce(deleteCol, lit(false)))
       .drop("__rn")
   }
 
@@ -200,10 +205,12 @@ object RawLayer {
     * target participate (the source's key range bounds them).
     *
     * `deleteCond` is evaluated on SOURCE rows only — a target row
-    * matching the predicate is not self-deleting. The source must
-    * carry at most ONE row per key (the standard MERGE precondition;
-    * Delta/Iceberg error on it too) — pre-reduce a multi-change batch
-    * with [[applyCdcLatest]] first, or "latest" ties on origin.
+    * matching the predicate is not self-deleting. BOTH sides must
+    * carry at most ONE row per key: for the source it is the standard
+    * MERGE precondition (Delta/Iceberg error on it too) — pre-reduce a
+    * multi-change batch with [[applyCdcLatest]] first; for the target
+    * it is what makes it a mergeable snapshot — duplicate target keys
+    * would tie on origin and collapse to one arbitrary row.
     */
   def mergeInto(
       target: DataFrame, source: DataFrame, keyCols: Seq[String],

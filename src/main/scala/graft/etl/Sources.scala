@@ -120,14 +120,24 @@ object Sources {
     * and writes each lane to its own sink.
     */
   def quarantineCsvLines(
-      lines: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
+      lines: DataFrame, schema: StructType): (DataFrame, DataFrame) =
+    quarantineLines(lines, schema,
+      (wrapped: StructType) => from_csv(col("raw_line"), wrapped,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+
+  /** The one split implementation both formats (and both execution
+    * modes) share: parse per row with the given expression, route on
+    * the corrupt column. Any future change to the lane semantics lands
+    * here once.
+    */
+  private def quarantineLines(
+      lines: DataFrame, schema: StructType,
+      parse: StructType => org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains("_corrupt_record"),
       "user schema must not declare _corrupt_record; it is added here")
     val wrapped = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
-    val parsed = lines.select(col("raw_line"),
-      from_csv(col("raw_line"), wrapped,
-        Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    val parsed = lines.select(col("raw_line"), parse(wrapped).as("r"))
     val dataCols = schema.fieldNames.toSeq.map(n => col(s"r.`$n`").as(n))
     val clean = parsed.filter(col("r._corrupt_record").isNull).select(dataCols: _*)
     val quarantined = parsed.filter(col("r._corrupt_record").isNotNull)
@@ -144,21 +154,16 @@ object Sources {
     * add a not-all-null contract on required fields.
     */
   def readJsonQuarantined(
-      spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
-    require(!schema.fieldNames.contains("_corrupt_record"),
-      "user schema must not declare _corrupt_record; it is added here")
-    val wrapped = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
-    val parsed = spark.read.textFile(path).toDF("raw_line")
-      .select(col("raw_line"),
-        from_json(col("raw_line"), wrapped,
-          Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
-    val dataCols = schema.fieldNames.toSeq.map(n => col(s"r.`$n`").as(n))
-    val clean = parsed.filter(col("r._corrupt_record").isNull).select(dataCols: _*)
-    val quarantined = parsed.filter(col("r._corrupt_record").isNotNull)
-      .select(dataCols :+ col("raw_line"): _*)
-    (clean, quarantined)
-  }
+      spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) =
+    quarantineJsonLines(spark.read.textFile(path).toDF("raw_line"), schema)
+
+  /** Streaming-capable NDJSON core, mirroring [[quarantineCsvLines]]. */
+  def quarantineJsonLines(
+      lines: DataFrame, schema: StructType): (DataFrame, DataFrame) =
+    quarantineLines(lines, schema,
+      (wrapped: StructType) => from_json(col("raw_line"), wrapped,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
 
   /** Incremental source: appends `WHERE <tsCol> > watermark` to a JDBC
     * query (predicate evaluated by the database), or filters files

@@ -65,8 +65,11 @@ object PartitionedLake {
       .write.mode("overwrite").parquet(outPath)
   }
 
-  /** Leaf parquet data files under `path` (post-compaction audit). */
-  def dataFileCount(spark: SparkSession, path: String): Long = {
+  /** Leaf parquet data files under `path` (post-compaction audit).
+    * Local-FS only, like [[vacuumPartitions]] — on a cluster store,
+    * route both through the Hadoop FileSystem API instead.
+    */
+  def dataFileCount(path: String): Long = {
     val dir = new java.io.File(path)
     if (!dir.isDirectory) 0L
     else dir.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
@@ -81,7 +84,7 @@ object PartitionedLake {
     * unknown files at the root (e.g. `_SUCCESS`) are left alone.
     */
   def vacuumPartitions(
-      spark: SparkSession, path: String, key: String,
+      path: String, key: String,
       keep: String => Boolean): Seq[String] = {
     val root = new java.io.File(path)
     require(root.isDirectory, s"no partitioned table at $path")

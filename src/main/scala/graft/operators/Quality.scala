@@ -89,6 +89,11 @@ object Quality {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
+        // native zlib state is off-heap: release it when the task ends
+        // (not just when the iterator drains — a downstream limit() may
+        // never exhaust it)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](8192)
         it.map { case (id, text) =>
           val raw = if (text == null) Array.emptyByteArray

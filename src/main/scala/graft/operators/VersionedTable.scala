@@ -50,19 +50,34 @@ object VersionedTable {
     * publish must step over it, not collide with it.
     */
   def publish(df: DataFrame, root: String): Long = {
+    val next = nextVersion(root)
+    df.write.mode("errorifexists").parquet(s"$root/v=$next")
+    flipPointer(root, next)
+    next
+  }
+
+  /** Next version number, stepping over BOTH the pointer target and
+    * any orphan `v=` directory a crash left behind.
+    */
+  private def nextVersion(root: String): Long = {
     val maxDir = Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       .map(_.getName.stripPrefix("v=").toLong)
       .maxOption.getOrElse(0L)
-    val next = math.max(latestVersion(root).getOrElse(0L), maxDir) + 1L
-    df.write.mode("errorifexists").parquet(s"$root/v=$next")
-    val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.$next")
+    math.max(latestVersion(root).getOrElse(0L), maxDir) + 1L
+  }
+
+  /** The single commit point: write-temp + atomic rename. Shared by
+    * both publish paths so the crash/atomicity protocol can never
+    * fork between them.
+    */
+  private def flipPointer(root: String, version: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.$version")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.writeString(tmp, version.toString)
     java.nio.file.Files.move(tmp, pointerPath(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    next
   }
 
   /** Read the current version (pointer-resolved snapshot). */
@@ -87,27 +102,26 @@ object VersionedTable {
     */
   def publishAll(tables: Map[String, DataFrame], root: String): Long = {
     require(tables.nonEmpty, "nothing to publish")
-    require(tables.keys.forall(n => !n.contains("/") && !n.startsWith("_") && !n.startsWith("v=")),
-      s"bad table names: ${tables.keys.mkString(", ")}")
-    val maxDir = Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-      .maxOption.getOrElse(0L)
-    val next = math.max(latestVersion(root).getOrElse(0L), maxDir) + 1L
+    tables.keys.foreach(requireSafeTableName)
+    val next = nextVersion(root)
     tables.foreach { case (name, df) =>
       df.write.mode("errorifexists").parquet(s"$root/v=$next/$name")
     }
-    val tmp = java.nio.file.Paths.get(root, s"_latest.tmp.$next")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    java.nio.file.Files.writeString(tmp, next.toString)
-    java.nio.file.Files.move(tmp, pointerPath(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    flipPointer(root, next)
     next
   }
 
+  // a table name is one PLAIN path segment inside the version dir —
+  // '..' (or a '/'/'\\') would escape the snapshot tree and write
+  // next to the pointer itself
+  private def requireSafeTableName(n: String): Unit =
+    require(n.nonEmpty && n.matches("[A-Za-z0-9][A-Za-z0-9_.-]*") &&
+      n != "." && n != ".." && !n.startsWith("v="),
+      s"unsafe table name '$n': must be a plain identifier segment")
+
   /** Read one table of the current multi-table snapshot. */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
+    requireSafeTableName(table)
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     spark.read.parquet(s"$root/v=$v/$table")

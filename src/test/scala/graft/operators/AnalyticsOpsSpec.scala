@@ -308,6 +308,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(state.toSeq === Seq((1L, 20L), (3L, 60L)))
   }
 
+  test("applyCdcLatest: a NULL delete flag is an upsert, never a tombstone") {
+    // 3VL trap: !NULL is NULL — without the coalesce the winning row
+    // with a missing flag would be silently filtered out (data loss)
+    val changes = Seq(
+      (1L, 1L, Some(false), 10L),
+      (1L, 2L, None, 20L), // latest change, flag missing
+      (2L, 3L, Some(true), 0L)
+    ).toDF("key", "change_id", "is_del", "v")
+    val state = graft.etl.RawLayer.applyCdcLatest(changes,
+        Seq("key"), Seq(col("change_id")), deleteCol = col("is_del"))
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(state.toSeq === Seq((1L, 20L)),
+      "NULL-flag latest change must survive as an upsert; true flag still deletes")
+  }
+
   test("RawLayer.mergeInto: matched-delete, matched-replace, insert, and keep in one pass") {
     val target = Seq((1L, 10L, false), (2L, 20L, false), (3L, 30L, false))
       .toDF("key", "v", "del")

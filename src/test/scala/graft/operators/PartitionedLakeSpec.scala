@@ -48,9 +48,9 @@ class PartitionedLakeSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_compact_spec").toString
     val df = (0L until 1000L).map(i => (i, s"row_$i")).toDF("id", "payload")
     df.repartition(32).write.mode("overwrite").parquet(frag)
-    assert(PartitionedLake.dataFileCount(spark, frag) === 32L)
+    assert(PartitionedLake.dataFileCount(frag) === 32L)
     PartitionedLake.compact(spark.read.parquet(frag), out, targetFiles = 4, "id")
-    assert(PartitionedLake.dataFileCount(spark, out) === 4L)
+    assert(PartitionedLake.dataFileCount(out) === 4L)
     // lossless: identical row set
     val back = spark.read.parquet(out)
     assert(back.count() === 1000L)
@@ -70,7 +70,7 @@ class PartitionedLakeSpec extends SparkSpec {
 
   test("vacuumPartitions: expires whole directories, keeps survivors intact") {
     val dir = writeLake()
-    val dropped = PartitionedLake.vacuumPartitions(spark, dir, "yr",
+    val dropped = PartitionedLake.vacuumPartitions(dir, "yr",
       keep = v => v.toInt >= 2023)
     assert(dropped.map(_.toInt).sorted === Seq(2020, 2021, 2022))
     val back = PartitionedLake.read(spark, dir)
@@ -80,7 +80,7 @@ class PartitionedLakeSpec extends SparkSpec {
     // surviving rows untouched — not a rewrite
     assert(back.count() === 7 * 365L)
     // idempotent: nothing more to drop on re-run
-    assert(PartitionedLake.vacuumPartitions(spark, dir, "yr",
+    assert(PartitionedLake.vacuumPartitions(dir, "yr",
       keep = v => v.toInt >= 2023).isEmpty)
   }
 

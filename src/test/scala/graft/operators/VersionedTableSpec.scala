@@ -60,6 +60,11 @@ class VersionedTableSpec extends SparkSpec {
     assert((j2.getLong(0), j2.getString(1)) === ((300L, "new_name")))
     intercept[IllegalArgumentException](
       VersionedTable.publishAll(Map("v=9" -> Seq(1).toDF("x")), root))
+    // '..' would write OUTSIDE the version tree, next to the pointer
+    intercept[IllegalArgumentException](
+      VersionedTable.publishAll(Map(".." -> Seq(1).toDF("x")), root))
+    intercept[IllegalArgumentException](
+      VersionedTable.readTable(spark, root, "../fact"))
   }
 
   test("vacuumVersions drops superseded snapshots, never the live one") {
