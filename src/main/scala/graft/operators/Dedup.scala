@@ -439,7 +439,8 @@ object Dedup {
   def dedupeIncrement(
       batchArt: DataFrame, historyArt: DataFrame,
       threshold: Double, k: Int = 16, bands: Int = 4,
-      neighborCap: Option[Int] = Some(8)): DataFrame = {
+      neighborCap: Option[Int] = Some(8),
+      historyBands: Option[DataFrame] = None): DataFrame = {
     def banded(art: DataFrame) =
       bandedSignatures(art.select(col("doc_id"), col("sig")), bands, k)
     // 1. exact-vs-history. The surviving-batch frames are materialized
@@ -450,9 +451,11 @@ object Dedup {
     val noExact = batchArt.join(
       historyArt.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
       .localCheckpoint()
-    // 2. near-vs-history: banded equi-join, Jaccard verify on sets
+    // 2. near-vs-history: banded equi-join, Jaccard verify on sets.
+    // With a persisted banded index (historyBands), history is NOT
+    // re-banded per batch — only the batch side computes signatures.
     val cands = banded(noExact).as("b")
-      .join(banded(historyArt).as("h"), Seq("band", "bh"))
+      .join(historyBands.getOrElse(banded(historyArt)).as("h"), Seq("band", "bh"))
       .select(col("b.doc_id").as("batch_id"), col("h.doc_id").as("hist_id"))
       .distinct()
     val contaminated = cands
@@ -477,6 +480,47 @@ object Dedup {
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .drop("component")
   }
+
+  /** Persist the incremental-dedup history as a QUERYABLE INDEX:
+    * artifact rows (id, hash, set, signature) plus the signatures
+    * PRE-EXPLODED by LSH band, Hive-partitioned by `band` — the
+    * materialized form of [[dedupeIncrement]]'s step-2 join key. With
+    * this on disk, a daily batch shuffles ONLY itself: the history
+    * side arrives already banded, and the band partition directories
+    * prune at listing time. Same maintenance posture as
+    * [[graft.operators.Similarity.appendSignIvfIndex]]: appends are
+    * batch-sized, never a rewrite ([[appendBandedIndex]]).
+    */
+  def writeBandedIndex(historyArt: DataFrame, path: String,
+      k: Int = 16, bands: Int = 4): Unit = {
+    historyArt.select(col("doc_id"), col("text_hash"), col("sh"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/artifacts")
+    bandedSignatures(historyArt.select(col("doc_id"), col("sig")), bands, k)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** Add a survivor batch to the persisted index (run after each
+    * [[dedupeIncrementIndexed]] round with its survivors).
+    */
+  def appendBandedIndex(newArt: DataFrame, path: String,
+      k: Int = 16, bands: Int = 4): Unit = {
+    newArt.select(col("doc_id"), col("text_hash"), col("sh"), col("sig"))
+      .write.mode("append").parquet(s"$path/artifacts")
+    bandedSignatures(newArt.select(col("doc_id"), col("sig")), bands, k)
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** [[dedupeIncrement]] served from the persisted index — identical
+    * survivors (spec-proven), with history read as stored artifacts +
+    * stored bands instead of being re-derived and re-banded per batch.
+    */
+  def dedupeIncrementIndexed(
+      spark: org.apache.spark.sql.SparkSession, batchArt: DataFrame,
+      path: String, threshold: Double, k: Int = 16, bands: Int = 4,
+      neighborCap: Option[Int] = Some(8)): DataFrame =
+    dedupeIncrement(batchArt, spark.read.parquet(s"$path/artifacts"),
+      threshold, k, bands, neighborCap,
+      historyBands = Some(spark.read.parquet(s"$path/bands")))
 
   /** Winnowing-fingerprint overlap join (the plagiarism-detection /
     * partial-copy shape): docs sharing at least `minShared` selected

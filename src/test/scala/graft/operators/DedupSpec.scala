@@ -206,6 +206,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupeIncrement(batch, grown, threshold = 0.5).count() === 0)
   }
 
+  test("dedupeIncrementIndexed: persisted banded index serves identical survivors, appends stay equivalent") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val history = Dedup.artifacts(docs(1L -> base, 2L -> other), "doc_id", "text")
+    val batch = Dedup.artifacts(docs(
+      10L -> base,
+      11L -> (base + " lambda"),
+      12L -> "a genuinely new document about completely fresh material",
+      14L -> "another new piece of text with its own unique words entirely"
+    ), "doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    Dedup.writeBandedIndex(history, idx)
+    val direct = Dedup.dedupeIncrement(batch, history, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val indexed = Dedup.dedupeIncrementIndexed(spark, batch, idx, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === direct, "index-served dedup must equal the direct path")
+    assert(indexed === Set(12L, 14L))
+    // grow the index with the survivors; a near-dup of a survivor in
+    // the NEXT batch must now be caught from the index
+    Dedup.appendBandedIndex(
+      Dedup.dedupeIncrementIndexed(spark, batch, idx, threshold = 0.5), idx)
+    val batch2 = Dedup.artifacts(docs(
+      20L -> "a genuinely new document about completely fresh material plus",
+      21L -> "totally unrelated subject matter discussed at reasonable length"
+    ), "doc_id", "text")
+    val s2 = Dedup.dedupeIncrementIndexed(spark, batch2, idx, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 === Set(21L), s"doc 20 near-dups an appended survivor: $s2")
+  }
+
   test("exactIncrement: history anti-join + min-id within batch, idempotent") {
     val history = docs(1L -> "alpha beta", 2L -> "gamma delta")
     val batch = docs(
