@@ -2381,6 +2381,17 @@ object QueryCatalog {
           min(col("p_partkey")).as("min_key"), max(col("p_partkey")).as("max_key"))
         .orderBy(col("status"))
     }),
+
+    // SFT data prep: render each doc into a chat-templated training
+    // string and compute the loss-mask boundary (prompt-token count) —
+    // the step between a curated corpus and a fine-tune. The full
+    // rendered string is emitted and value-checked, so template drift
+    // between engines can't hide.
+    "q151_docs_sft_format" -> ((s, dir) => {
+      Chunking.sftFormat(t(s, dir, "documents"), "doc_id", "text",
+          instruction = "Summarize the following passage: ", promptChars = 120)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4308,6 +4319,30 @@ object QueryCatalog {
         |       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
         |       MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
         |FROM merged GROUP BY status ORDER BY status""".stripMargin,
+    // q151: same template, same whitespace token counts.
+    "q151_docs_sft_format" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         'Summarize the following passage: ' || substr(text, 1, 120)
+        |           AS prompt_part,
+        |         substr(text, 121) AS completion
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       '<|user|>' || prompt_part || '<|assistant|>' || completion
+        |         AS rendered,
+        |       CAST(length('<|user|>' || prompt_part || '<|assistant|>'
+        |                   || completion) AS BIGINT) AS n_chars,
+        |       CAST(CASE WHEN length(trim(prompt_part)) = 0 THEN 0
+        |            ELSE length(regexp_split_to_array(trim(prompt_part), '\s+'))
+        |            END AS BIGINT) AS n_prompt_tokens,
+        |       CAST(CASE WHEN length(trim(completion)) = 0 THEN 0
+        |            ELSE length(regexp_split_to_array(trim(completion), '\s+'))
+        |            END AS BIGINT) AS n_completion_tokens,
+        |       CAST(CASE WHEN length(trim(prompt_part)) = 0 THEN 0
+        |            ELSE length(regexp_split_to_array(trim(prompt_part), '\s+'))
+        |            END AS BIGINT) AS mask_from
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,

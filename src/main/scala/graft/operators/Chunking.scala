@@ -130,4 +130,40 @@ object Chunking {
         expr(s"__before DIV $budget").as("pack_id"),
         expr(s"__before % $budget").as("pack_offset"))
   }
+
+  /** SFT example formatting with loss-mask boundaries — the data-prep
+    * step between a curated corpus and a fine-tuning run: each doc is
+    * rendered into a single training string
+    * `<|user|>{instruction}{prompt_body}<|assistant|>{completion}` and
+    * the trainer needs to know WHERE the completion starts so prompt
+    * tokens are masked out of the loss. Emitting the boundary as a
+    * whitespace-token count (`mask_from` = tokens of the rendered
+    * prompt part) keeps it integer and portable; swap the token
+    * counter for a real BPE at the same column position. Pure per-row
+    * column arithmetic — no UDF, no shuffle.
+    *
+    * The prompt body is the first `promptChars` characters, the
+    * completion the rest; docs shorter than `promptChars` get an empty
+    * completion (mask covers everything — the trainer drops them, and
+    * they are flagged via `n_completion_tokens = 0`).
+    */
+  def sftFormat(
+      docs: DataFrame, idCol: String, textCol: String,
+      instruction: String, promptChars: Int): DataFrame = {
+    require(promptChars > 0, s"promptChars must be positive, got $promptChars")
+    def nTokens(c: org.apache.spark.sql.Column) =
+      when(length(trim(c)) === 0, 0L)
+        .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+    val promptBody = substring(col(textCol), 1, promptChars)
+    val completion = substring(col(textCol), promptChars + 1, Int.MaxValue)
+    val rendered = concat(lit("<|user|>"), lit(instruction), promptBody,
+      lit("<|assistant|>"), completion)
+    docs.select(
+      col(idCol).as("doc_id"),
+      rendered.as("rendered"),
+      length(rendered).cast("long").as("n_chars"),
+      nTokens(concat(lit(instruction), promptBody)).as("n_prompt_tokens"),
+      nTokens(completion).as("n_completion_tokens"))
+      .withColumn("mask_from", col("n_prompt_tokens"))
+  }
 }
