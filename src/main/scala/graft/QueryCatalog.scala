@@ -2392,6 +2392,38 @@ object QueryCatalog {
           instruction = "Summarize the following passage: ", promptChars = 120)
         .orderBy(col("doc_id"))
     }),
+
+    // dedup-threshold calibration: the pair-count-per-threshold curve
+    // a curation run consults BEFORE picking its near-dup cutoff —
+    // over the q70 bounded exact subset (planted mutations), with the
+    // Jaccard test cross-multiplied to integers (inter·100 ≥ t·union)
+    // so every bucket boundary is engine-exact. Hashed shingle sets
+    // stand in for literal grams (same sizes — the q70-proven
+    // no-collision regime).
+    "q152_dedup_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val mutated = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" tail token")).as("text"))
+      val sets = d.unionByName(mutated)
+        .select(col("doc_id"),
+          graft.expressions.GraftFunctions.shingleSet(col("text"), 3, charLevel = false).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        size(col("sh")).cast("long").as("na"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        size(col("sh")).cast("long").as("nb"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .withColumn("threshold_pct",
+          explode(array(Seq(30, 50, 70, 90).map(lit): _*)))
+        .filter(col("inter") * 100 >= col("threshold_pct") * col("uni"))
+        .groupBy(col("threshold_pct").cast("long").as("threshold_pct"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("threshold_pct"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4343,6 +4375,38 @@ object QueryCatalog {
         |            ELSE length(regexp_split_to_array(trim(prompt_part), '\s+'))
         |            END AS BIGINT) AS mask_from
         |FROM f ORDER BY doc_id""".stripMargin,
+    // q152: the q70 literal-gram machinery, bucketed by integer
+    // cross-multiplied thresholds.
+    "q152_dedup_calibration" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' tail token' FROM documents
+        |  WHERE doc_id < 100 AND doc_id % 7 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM docs WHERE length(trim(text)) > 0
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+        |), sets AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT i.ninter, sa.n + sb.n - i.ninter AS u
+        |  FROM inter i
+        |  JOIN sets sa ON i.doc_a = sa.doc_id
+        |  JOIN sets sb ON i.doc_b = sb.doc_id
+        |)
+        |SELECT CAST(t.threshold_pct AS BIGINT) AS threshold_pct,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM uni, (VALUES (30), (50), (70), (90)) t(threshold_pct)
+        |WHERE ninter * 100 >= t.threshold_pct * u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
