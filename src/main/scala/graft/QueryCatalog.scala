@@ -4351,28 +4351,28 @@ object QueryCatalog {
         |       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
         |       MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
         |FROM merged GROUP BY status ORDER BY status""".stripMargin,
-    // q151: same template, same whitespace token counts.
+    // q151: same template (whitespace-guarded assistant tag → mask
+    // alignment is structural), same whitespace token counts.
     "q151_docs_sft_format" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |         'Summarize the following passage: ' || substr(text, 1, 120)
-        |           AS prompt_part,
+        |         '<|user|>' || 'Summarize the following passage: '
+        |           || substr(text, 1, 120) || ' <|assistant|>' AS prompt_region,
         |         substr(text, 121) AS completion
         |  FROM documents
         |)
         |SELECT doc_id,
-        |       '<|user|>' || prompt_part || '<|assistant|>' || completion
-        |         AS rendered,
-        |       CAST(length('<|user|>' || prompt_part || '<|assistant|>'
-        |                   || completion) AS BIGINT) AS n_chars,
-        |       CAST(CASE WHEN length(trim(prompt_part)) = 0 THEN 0
-        |            ELSE length(regexp_split_to_array(trim(prompt_part), '\s+'))
+        |       prompt_region || ' ' || completion AS rendered,
+        |       CAST(length(prompt_region || ' ' || completion) AS BIGINT)
+        |         AS n_chars,
+        |       CAST(CASE WHEN length(trim(prompt_region)) = 0 THEN 0
+        |            ELSE length(regexp_split_to_array(trim(prompt_region), '\s+'))
         |            END AS BIGINT) AS n_prompt_tokens,
         |       CAST(CASE WHEN length(trim(completion)) = 0 THEN 0
         |            ELSE length(regexp_split_to_array(trim(completion), '\s+'))
         |            END AS BIGINT) AS n_completion_tokens,
-        |       CAST(CASE WHEN length(trim(prompt_part)) = 0 THEN 0
-        |            ELSE length(regexp_split_to_array(trim(prompt_part), '\s+'))
+        |       CAST(CASE WHEN length(trim(prompt_region)) = 0 THEN 0
+        |            ELSE length(regexp_split_to_array(trim(prompt_region), '\s+'))
         |            END AS BIGINT) AS mask_from
         |FROM f ORDER BY doc_id""".stripMargin,
     // q152: the q70 literal-gram machinery, bucketed by integer

@@ -134,18 +134,25 @@ object Chunking {
   /** SFT example formatting with loss-mask boundaries — the data-prep
     * step between a curated corpus and a fine-tuning run: each doc is
     * rendered into a single training string
-    * `<|user|>{instruction}{prompt_body}<|assistant|>{completion}` and
-    * the trainer needs to know WHERE the completion starts so prompt
-    * tokens are masked out of the loss. Emitting the boundary as a
-    * whitespace-token count (`mask_from` = tokens of the rendered
-    * prompt part) keeps it integer and portable; swap the token
-    * counter for a real BPE at the same column position. Pure per-row
-    * column arithmetic — no UDF, no shuffle.
+    * `<|user|>{instruction}{prompt_body} <|assistant|> {completion}`
+    * and the trainer needs to know WHERE the completion starts so
+    * prompt tokens are masked out of the loss. `mask_from` counts the
+    * whitespace tokens of the prompt REGION (user tag + instruction +
+    * body + assistant tag); swap the token counter for a real BPE at
+    * the same column position. Pure per-row column arithmetic — no
+    * UDF, no shuffle.
     *
-    * The prompt body is the first `promptChars` characters, the
-    * completion the rest; docs shorter than `promptChars` get an empty
-    * completion (mask covers everything — the trainer drops them, and
-    * they are flagged via `n_completion_tokens = 0`).
+    * Mask alignment is an INVARIANT of the template, not an
+    * approximation: whitespace around `<|assistant|>` guarantees the
+    * prompt's last token (even a mid-word cut) can never merge with
+    * the completion's first, so
+    * `tokens(rendered) = mask_from + n_completion_tokens` always — a
+    * trainer masking the first `mask_from` tokens of `rendered` masks
+    * exactly the prompt region (spec-gated, including mid-word cuts).
+    *
+    * Docs shorter than `promptChars` get an empty completion (mask
+    * covers everything — the trainer drops them, flagged via
+    * `n_completion_tokens = 0`).
     */
   def sftFormat(
       docs: DataFrame, idCol: String, textCol: String,
@@ -156,13 +163,14 @@ object Chunking {
         .otherwise(size(split(trim(c), "\\s+")).cast("long"))
     val promptBody = substring(col(textCol), 1, promptChars)
     val completion = substring(col(textCol), promptChars + 1, Int.MaxValue)
-    val rendered = concat(lit("<|user|>"), lit(instruction), promptBody,
-      lit("<|assistant|>"), completion)
+    val promptRegion = concat(lit("<|user|>"), lit(instruction), promptBody,
+      lit(" <|assistant|>"))
+    val rendered = concat(promptRegion, lit(" "), completion)
     docs.select(
       col(idCol).as("doc_id"),
       rendered.as("rendered"),
       length(rendered).cast("long").as("n_chars"),
-      nTokens(concat(lit(instruction), promptBody)).as("n_prompt_tokens"),
+      nTokens(promptRegion).as("n_prompt_tokens"),
       nTokens(completion).as("n_completion_tokens"))
       .withColumn("mask_from", col("n_prompt_tokens"))
   }

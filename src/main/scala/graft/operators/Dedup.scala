@@ -458,10 +458,19 @@ object Dedup {
       .join(historyBands.getOrElse(banded(historyArt)).as("h"), Seq("band", "bh"))
       .select(col("b.doc_id").as("batch_id"), col("h.doc_id").as("hist_id"))
       .distinct()
+    // the history-set lookup is LEFT + loud failure on a missing
+    // artifact row: a band row without its artifact (a torn index —
+    // crash between the two index writes) must error, not silently
+    // verify nothing
     val contaminated = cands
       .join(noExact.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")), Seq("batch_id"))
-      .join(historyArt.select(col("doc_id").as("hist_id"), col("sh").as("sh_h")), Seq("hist_id"))
-      .filter(GraftFunctions.jaccardSorted(col("sh_b"), col("sh_h")) >= threshold)
+      .join(historyArt.select(col("doc_id").as("hist_id"), col("sh").as("sh_h")),
+        Seq("hist_id"), "left")
+      .filter(
+        when(col("sh_h").isNull,
+          raise_error(concat(lit("dedupeIncrement: history artifact missing for banded doc_id "),
+            col("hist_id").cast("string"))).cast("boolean"))
+        .otherwise(GraftFunctions.jaccardSorted(col("sh_b"), col("sh_h")) >= threshold))
       .select(col("batch_id").as("doc_id")).distinct()
     val fresh = noExact.join(contaminated, Seq("doc_id"), "left_anti")
     // 3. within-batch: exact (min id per hash) then near (components)
@@ -490,37 +499,81 @@ object Dedup {
     * prune at listing time. Same maintenance posture as
     * [[graft.operators.Similarity.appendSignIvfIndex]]: appends are
     * batch-sized, never a rewrite ([[appendBandedIndex]]).
+    *
+    * Crash posture: bands are written BEFORE artifacts, and the
+    * verification join fails LOUDLY on a band row whose artifact is
+    * missing (see [[dedupeIncrement]]) — a crash between the two
+    * writes surfaces as an error on next use, never as silently
+    * uncaught near-dups. (k, bands) are stored in `_index_meta` and
+    * re-read at serve time, so a parameter drift between write and
+    * read — which would silently empty the band join — is impossible.
     */
   def writeBandedIndex(historyArt: DataFrame, path: String,
       k: Int = 16, bands: Int = 4): Unit = {
-    historyArt.select(col("doc_id"), col("text_hash"), col("sh"), col("sig"))
-      .write.mode("overwrite").parquet(s"$path/artifacts")
     bandedSignatures(historyArt.select(col("doc_id"), col("sig")), bands, k)
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    historyArt.select(col("doc_id"), col("text_hash"), col("sh"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/artifacts")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_index_meta"), s"$k,$bands")
+  }
+
+  private def readIndexMeta(path: String): (Int, Int) = {
+    val p = java.nio.file.Paths.get(path, "_index_meta")
+    require(java.nio.file.Files.exists(p), s"no banded index at $path (missing _index_meta)")
+    val Array(k, bands) = java.nio.file.Files.readString(p).trim.split(',')
+    (k.toInt, bands.toInt)
   }
 
   /** Add a survivor batch to the persisted index (run after each
-    * [[dedupeIncrementIndexed]] round with its survivors).
+    * [[dedupeIncrementIndexed]] round with its survivors). Banding
+    * parameters come from the index's own metadata — they cannot
+    * drift from the build.
     */
-  def appendBandedIndex(newArt: DataFrame, path: String,
-      k: Int = 16, bands: Int = 4): Unit = {
-    newArt.select(col("doc_id"), col("text_hash"), col("sh"), col("sig"))
-      .write.mode("append").parquet(s"$path/artifacts")
+  def appendBandedIndex(newArt: DataFrame, path: String): Unit = {
+    val (k, bands) = readIndexMeta(path)
     bandedSignatures(newArt.select(col("doc_id"), col("sig")), bands, k)
       .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    newArt.select(col("doc_id"), col("text_hash"), col("sh"), col("sig"))
+      .write.mode("append").parquet(s"$path/artifacts")
   }
+
+  private val artifactSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text_hash",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("sh",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false))))
+
+  private val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bh",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** [[dedupeIncrement]] served from the persisted index — identical
     * survivors (spec-proven), with history read as stored artifacts +
     * stored bands instead of being re-derived and re-banded per batch.
+    * Explicit read schemas make an EMPTY index (first-ever run, no
+    * history yet) behave as empty history instead of failing schema
+    * inference; (k, bands) come from the index metadata.
     */
   def dedupeIncrementIndexed(
       spark: org.apache.spark.sql.SparkSession, batchArt: DataFrame,
-      path: String, threshold: Double, k: Int = 16, bands: Int = 4,
-      neighborCap: Option[Int] = Some(8)): DataFrame =
-    dedupeIncrement(batchArt, spark.read.parquet(s"$path/artifacts"),
+      path: String, threshold: Double,
+      neighborCap: Option[Int] = Some(8)): DataFrame = {
+    val (k, bands) = readIndexMeta(path)
+    dedupeIncrement(batchArt,
+      spark.read.schema(artifactSchema).parquet(s"$path/artifacts"),
       threshold, k, bands, neighborCap,
-      historyBands = Some(spark.read.parquet(s"$path/bands")))
+      historyBands = Some(spark.read.schema(bandsSchema).parquet(s"$path/bands")))
+  }
 
   /** Winnowing-fingerprint overlap join (the plagiarism-detection /
     * partial-copy shape): docs sharing at least `minShared` selected

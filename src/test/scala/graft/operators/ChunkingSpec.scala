@@ -85,4 +85,28 @@ class ChunkingSpec extends SparkSpec {
     assert(packed(10L) === (0L, 0L))
     assert(packed(11L) === (2L, 500L))
   }
+
+  test("sftFormat: mask_from aligns with rendered-string tokens, even on mid-word cuts") {
+    val docs = Seq(
+      // promptChars=10 cuts 'alpha beta gamma' mid-word: body 'alpha beta', completion ' gamma...'? no:
+      // chars 1-10 = "alpha beta"(10) -> completion starts at 'a'? text below chosen so the cut IS mid-word
+      (1L, "alphabetagamma delta epsilon zeta"),   // cut inside 'alphabetagamma'
+      (2L, "two words only"),                      // shorter completion
+      (3L, "tiny")                                 // shorter than promptChars -> empty completion
+    ).toDF("doc_id", "text")
+    val out = Chunking.sftFormat(docs, "doc_id", "text",
+        instruction = "Continue: ", promptChars = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    out.foreach { case (id, (rendered, nPrompt, nCompl, maskFrom)) =>
+      val total = rendered.trim.split("\\s+").count(_.nonEmpty)
+      assert(maskFrom === nPrompt)
+      assert(total === nPrompt + nCompl,
+        s"doc $id: tokens(rendered)=$total != $nPrompt + $nCompl — mask misaligned: '$rendered'")
+    }
+    // the boundary invariant holds exactly where the old template broke:
+    // a mid-word cut must not merge prompt tail with completion head
+    assert(out(1L)._1.contains(" <|assistant|> "))
+    assert(out(3L)._3 === 0L, "doc shorter than promptChars -> empty completion")
+  }
 }

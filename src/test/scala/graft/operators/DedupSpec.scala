@@ -220,14 +220,13 @@ class DedupSpec extends SparkSpec {
     Dedup.writeBandedIndex(history, idx)
     val direct = Dedup.dedupeIncrement(batch, history, threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val indexed = Dedup.dedupeIncrementIndexed(spark, batch, idx, threshold = 0.5)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.dedupeIncrementIndexed(spark, batch, idx, threshold = 0.5)
+    val indexed = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(indexed === direct, "index-served dedup must equal the direct path")
     assert(indexed === Set(12L, 14L))
     // grow the index with the survivors; a near-dup of a survivor in
     // the NEXT batch must now be caught from the index
-    Dedup.appendBandedIndex(
-      Dedup.dedupeIncrementIndexed(spark, batch, idx, threshold = 0.5), idx)
+    Dedup.appendBandedIndex(survivors, idx)
     val batch2 = Dedup.artifacts(docs(
       20L -> "a genuinely new document about completely fresh material plus",
       21L -> "totally unrelated subject matter discussed at reasonable length"
@@ -235,6 +234,25 @@ class DedupSpec extends SparkSpec {
     val s2 = Dedup.dedupeIncrementIndexed(spark, batch2, idx, threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s2 === Set(21L), s"doc 20 near-dups an appended survivor: $s2")
+  }
+
+  test("banded index: empty-history bootstrap works, metadata pins the banding") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_idx0").toString
+    val none = Dedup.artifacts(docs(), "doc_id", "text")
+    Dedup.writeBandedIndex(none, idx, k = 16, bands = 4)
+    // first-ever batch against an EMPTY index: everything survives
+    val batch = Dedup.artifacts(docs(
+      1L -> "the very first document the pipeline has ever seen today",
+      2L -> "a second unrelated document with entirely different words"
+    ), "doc_id", "text")
+    val s = Dedup.dedupeIncrementIndexed(spark, batch, idx, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s === Set(1L, 2L))
+    // a missing index fails loudly, not with a schema-inference error
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupeIncrementIndexed(spark, batch, "/tmp/nope_no_index", 0.5)
+    }
+    assert(ex.getMessage.contains("_index_meta"))
   }
 
   test("exactIncrement: history anti-join + min-id within batch, idempotent") {
