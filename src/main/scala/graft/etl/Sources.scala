@@ -180,6 +180,48 @@ object Sources {
     }
   }
 
+  /** Schema contract enforcement at the publish boundary: conform `df`
+    * to `target` — reorder columns, apply WIDENING casts only
+    * (int→long, float→double, decimal precision growth), and surface
+    * nullable target columns missing from the input as typed nulls.
+    * Anything lossy fails FAST with the full list of violations:
+    * a narrowing cast or a dropped required column must stop the
+    * publish, not corrupt the zone silently (the reference writes
+    * whatever the DataFrame happens to carry — `curated_layer.py`
+    * renames by position and would ship a drifted schema downstream).
+    * Input columns absent from the target are dropped (projection is
+    * the contract).
+    */
+  def conformSchema(df: DataFrame, target: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
+      case _ => false
+    }
+    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    val problems = target.fields.toSeq.flatMap { f =>
+      have.get(f.name) match {
+        case Some(dt) if widens(dt, f.dataType) => None
+        case Some(dt) =>
+          Some(s"column '${f.name}': $dt does not widen to ${f.dataType}")
+        case None if f.nullable => None
+        case None => Some(s"required column '${f.name}' missing")
+      }
+    }
+    require(problems.isEmpty,
+      s"schema contract violated:\n  ${problems.mkString("\n  ")}")
+    df.select(target.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   sealed trait SinkConfig
   final case class ParquetSink(path: String, partitionCols: Seq[String] = Nil)
     extends SinkConfig

@@ -134,6 +134,28 @@ class SourcesSpec extends SparkSpec {
       Set("""{"id": 2, "qty": "not_a_number"}""", "not json at all"))
   }
 
+  test("conformSchema: reorders, widens, nulls missing optionals, fails loudly on loss") {
+    val target = new org.apache.spark.sql.types.StructType()
+      .add("id", "long", nullable = false)
+      .add("qty", "long")
+      .add("note", "string") // nullable, absent from input → typed null
+    val in = Seq((5, "x", 9L)).toDF("qty", "junk", "id") // wrong order, qty int, extra col
+    val out = Sources.conformSchema(in, target)
+    assert(out.columns.toSeq === Seq("id", "qty", "note"))
+    assert(out.schema("qty").dataType.typeName === "long", "int must widen to long")
+    val row = out.head()
+    assert((row.getLong(0), row.getLong(1), row.isNullAt(2)) === ((9L, 5L, true)))
+    // narrowing fails fast with the violation named
+    val narrow = new org.apache.spark.sql.types.StructType().add("id", "integer")
+    val ex = intercept[IllegalArgumentException](Sources.conformSchema(in, narrow))
+    assert(ex.getMessage.contains("does not widen"))
+    // missing REQUIRED column fails fast
+    val required = new org.apache.spark.sql.types.StructType()
+      .add("absent", "string", nullable = false)
+    val ex2 = intercept[IllegalArgumentException](Sources.conformSchema(in, required))
+    assert(ex2.getMessage.contains("missing"))
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("src_sink").toString
     val df = Seq(("a", "2023-01-01"), ("b", "2023-02-01")).toDF("id", "day")

@@ -46,4 +46,23 @@ class ScaleJoinsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bk_b")
     }
   }
+
+  test("a broadcast hint overrides a disabled auto-broadcast threshold") {
+    // the manual override lever when stats mislead the planner — e.g.
+    // the parity profile (reference knobs) pins the threshold to -1,
+    // but a known-small dim should still broadcast on a real cluster
+    val fact = (1L to 2000L).map(i => (i % 50, i)).toDF("k", "v")
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val auto = fact.join(dim, "k")
+      assert(!auto.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "with threshold -1 the planner must not broadcast on its own")
+      val hinted = fact.join(dim.hint("broadcast"), "k")
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "the explicit hint must override the disabled threshold")
+      assert(hinted.count() === 2000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
