@@ -2424,6 +2424,35 @@ object QueryCatalog {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("threshold_pct"))
     }),
+
+    // per-source corpus health scorecard: the one-row-per-source daily
+    // report a data team reads — volume, exact-dup rate, short-doc and
+    // low-alpha rates (the q38 gate criteria as RATES, not filters),
+    // and average length. Every rate is integer ppm; dups planted per
+    // the q139 discipline so the dup column is non-degenerate.
+    "q153_source_scorecard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.unionByName(d.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      val dupCounts = corpus.groupBy(col("source"), col("text"))
+        .agg(count(lit(1)).as("n_copies"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_copies") - 1).as("n_dup_docs"))
+      corpus
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(length(col("text")) < 100, 1L).otherwise(0L)).as("n_short"),
+          sum(when(length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 100 <
+            length(col("text")) * 55, 1L).otherwise(0L)).as("n_low_alpha"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .join(dupCounts, Seq("source"))
+        .select(col("source"), col("n_docs"),
+          expr("CAST((n_dup_docs * 1000000L) DIV n_docs AS BIGINT)").as("dup_ppm"),
+          expr("CAST((n_short * 1000000L) DIV n_docs AS BIGINT)").as("short_ppm"),
+          expr("CAST((n_low_alpha * 1000000L) DIV n_docs AS BIGINT)").as("low_alpha_ppm"),
+          expr("CAST((sum_len * 100L) DIV n_docs AS BIGINT)").as("avg_len_x100"))
+        .orderBy(col("source"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4407,6 +4436,37 @@ object QueryCatalog {
         |FROM uni, (VALUES (30), (50), (70), (90)) t(threshold_pct)
         |WHERE ninter * 100 >= t.threshold_pct * u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q153: same planted corpus, same gate criteria as rates.
+    "q153_source_scorecard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents
+        |  WHERE doc_id % 25 = 0
+        |), dups AS (
+        |  SELECT source, CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_docs
+        |  FROM (SELECT source, text, COUNT(*) AS n_copies
+        |        FROM corpus GROUP BY source, text)
+        |  GROUP BY source
+        |), stats AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_short,
+        |         CAST(SUM(CASE WHEN
+        |             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100
+        |             < length(text) * 55 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_low_alpha,
+        |         CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |  FROM corpus GROUP BY source
+        |)
+        |SELECT s.source, s.n_docs,
+        |       CAST(d.n_dup_docs * 1000000 // s.n_docs AS BIGINT) AS dup_ppm,
+        |       CAST(s.n_short * 1000000 // s.n_docs AS BIGINT) AS short_ppm,
+        |       CAST(s.n_low_alpha * 1000000 // s.n_docs AS BIGINT)
+        |         AS low_alpha_ppm,
+        |       CAST(s.sum_len * 100 // s.n_docs AS BIGINT) AS avg_len_x100
+        |FROM stats s JOIN dups d USING (source)
+        |ORDER BY source""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
