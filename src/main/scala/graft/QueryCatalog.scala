@@ -2430,22 +2430,22 @@ object QueryCatalog {
     // low-alpha rates (the q38 gate criteria as RATES, not filters),
     // and average length. Every rate is integer ppm; dups planted per
     // the q139 discipline so the dup column is non-degenerate.
+    // n_dup_docs = n_docs − COUNT(DISTINCT text), computed inside the
+    // ONE aggregation (identical to sum(n_copies−1) per source, no
+    // second scan + join; COUNT(DISTINCT) ignores nulls the same way
+    // on both engines).
     "q153_source_scorecard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val corpus = d.unionByName(d.filter(col("doc_id") % 25 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-      val dupCounts = corpus.groupBy(col("source"), col("text"))
-        .agg(count(lit(1)).as("n_copies"))
-        .groupBy(col("source"))
-        .agg(sum(col("n_copies") - 1).as("n_dup_docs"))
       corpus
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
           sum(when(length(col("text")) < 100, 1L).otherwise(0L)).as("n_short"),
           sum(when(length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 100 <
             length(col("text")) * 55, 1L).otherwise(0L)).as("n_low_alpha"),
           sum(length(col("text")).cast("long")).as("sum_len"))
-        .join(dupCounts, Seq("source"))
         .select(col("source"), col("n_docs"),
           expr("CAST((n_dup_docs * 1000000L) DIV n_docs AS BIGINT)").as("dup_ppm"),
           expr("CAST((n_short * 1000000L) DIV n_docs AS BIGINT)").as("short_ppm"),
@@ -4443,13 +4443,10 @@ object QueryCatalog {
         |  UNION ALL
         |  SELECT doc_id + 1000000, source, text FROM documents
         |  WHERE doc_id % 25 = 0
-        |), dups AS (
-        |  SELECT source, CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_docs
-        |  FROM (SELECT source, text, COUNT(*) AS n_copies
-        |        FROM corpus GROUP BY source, text)
-        |  GROUP BY source
         |), stats AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT)
+        |           AS n_dup_docs,
         |         CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
         |           AS BIGINT) AS n_short,
         |         CAST(SUM(CASE WHEN
@@ -4459,13 +4456,13 @@ object QueryCatalog {
         |         CAST(SUM(length(text)) AS BIGINT) AS sum_len
         |  FROM corpus GROUP BY source
         |)
-        |SELECT s.source, s.n_docs,
-        |       CAST(d.n_dup_docs * 1000000 // s.n_docs AS BIGINT) AS dup_ppm,
-        |       CAST(s.n_short * 1000000 // s.n_docs AS BIGINT) AS short_ppm,
-        |       CAST(s.n_low_alpha * 1000000 // s.n_docs AS BIGINT)
+        |SELECT source, n_docs,
+        |       CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+        |       CAST(n_short * 1000000 // n_docs AS BIGINT) AS short_ppm,
+        |       CAST(n_low_alpha * 1000000 // n_docs AS BIGINT)
         |         AS low_alpha_ppm,
-        |       CAST(s.sum_len * 100 // s.n_docs AS BIGINT) AS avg_len_x100
-        |FROM stats s JOIN dups d USING (source)
+        |       CAST(sum_len * 100 // n_docs AS BIGINT) AS avg_len_x100
+        |FROM stats
         |ORDER BY source""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/

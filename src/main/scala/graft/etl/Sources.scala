@@ -191,6 +191,23 @@ object Sources {
     * renames by position and would ship a drifted schema downstream).
     * Input columns absent from the target are dropped (projection is
     * the contract).
+    *
+    * Name resolution follows the session's `spark.sql.caseSensitive`
+    * (default: insensitive, like every other Spark resolver) — a
+    * case-mismatched input column is matched, not silently replaced
+    * with nulls; two input columns that collide case-insensitively on
+    * a target name are an ambiguity error. Column names containing
+    * dots are resolved verbatim (backtick-quoted), never parsed as
+    * struct-field paths.
+    *
+    * Nullability: a non-nullable target column fed from a nullable
+    * input gets a runtime guard — any null row aborts the publish via
+    * `raise_error` at action time. (Parquet scans are always nullable
+    * in Spark, so a static nullable→required rejection would make
+    * file-sourced publishes impossible; the guard is the same posture
+    * as a lakehouse NOT NULL constraint. The returned frame's declared
+    * nullability stays Spark-inferred — parquet/JDBC sinks carry the
+    * data guarantee, not the flag.)
     */
   def conformSchema(df: DataFrame, target: StructType): DataFrame = {
     import org.apache.spark.sql.types._
@@ -204,12 +221,20 @@ object Sources {
         b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
       case _ => false
     }
-    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def key(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val have: Map[String, Seq[StructField]] =
+      df.schema.fields.toSeq.groupBy(f => key(f.name))
     val problems = target.fields.toSeq.flatMap { f =>
-      have.get(f.name) match {
-        case Some(dt) if widens(dt, f.dataType) => None
-        case Some(dt) =>
-          Some(s"column '${f.name}': $dt does not widen to ${f.dataType}")
+      have.get(key(f.name)) match {
+        case Some(fs) if fs.length > 1 =>
+          Some(s"column '${f.name}': ambiguous input columns " +
+            fs.map(_.name).mkString("'", "', '", "'"))
+        case Some(Seq(in)) if widens(in.dataType, f.dataType) => None
+        case Some(Seq(in)) =>
+          Some(s"column '${f.name}': ${in.dataType} does not widen to ${f.dataType}")
         case None if f.nullable => None
         case None => Some(s"required column '${f.name}' missing")
       }
@@ -217,8 +242,18 @@ object Sources {
     require(problems.isEmpty,
       s"schema contract violated:\n  ${problems.mkString("\n  ")}")
     df.select(target.fields.toSeq.map { f =>
-      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(key(f.name)) match {
+        case Some(Seq(in)) =>
+          val c = col(s"`${in.name}`").cast(f.dataType)
+          val guarded =
+            if (!f.nullable && in.nullable)
+              when(c.isNotNull, c).otherwise(raise_error(lit(
+                s"schema contract violated at publish: null in required column '${f.name}'"))
+                .cast(f.dataType))
+            else c
+          guarded.as(f.name)
+        case _ => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 

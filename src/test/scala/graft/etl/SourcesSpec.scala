@@ -156,6 +156,32 @@ class SourcesSpec extends SparkSpec {
     assert(ex2.getMessage.contains("missing"))
   }
 
+  test("conformSchema: case-insensitive resolution, dotted names, null guard on required") {
+    // Case-mismatched input column must MATCH (Spark's default resolver
+    // is case-insensitive), not silently become a typed-null column.
+    val target = new org.apache.spark.sql.types.StructType()
+      .add("qty", "long")
+    val caseIn = Seq(7).toDF("Qty")
+    assert(Sources.conformSchema(caseIn, target).head().getLong(0) === 7L)
+    // Two inputs colliding case-insensitively on one target name: error.
+    val ambig = Seq((1, 2)).toDF("qty", "QTY")
+    val exA = intercept[IllegalArgumentException](Sources.conformSchema(ambig, target))
+    assert(exA.getMessage.contains("ambiguous"))
+    // Dotted column names resolve verbatim, never as struct paths.
+    val dotted = Seq(1.5).toDF("geo.lat")
+    val dotTarget = new org.apache.spark.sql.types.StructType().add("geo.lat", "double")
+    assert(Sources.conformSchema(dotted, dotTarget).head().getDouble(0) === 1.5)
+    // Null flowing into a non-nullable target column aborts at action time.
+    val reqTarget = new org.apache.spark.sql.types.StructType()
+      .add("id", "long", nullable = false)
+    val withNull = Seq[Option[Long]](Some(1L), None).toDF("id")
+    val exN = intercept[Exception](Sources.conformSchema(withNull, reqTarget).collect())
+    assert(exN.getMessage.contains("null in required column 'id'"))
+    // ...and the guard passes clean data through untouched.
+    val clean = Seq[Option[Long]](Some(3L)).toDF("id")
+    assert(Sources.conformSchema(clean, reqTarget).head().getLong(0) === 3L)
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("src_sink").toString
     val df = Seq(("a", "2023-01-01"), ("b", "2023-02-01")).toDF("id", "day")
