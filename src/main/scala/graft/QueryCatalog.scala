@@ -2453,6 +2453,119 @@ object QueryCatalog {
           expr("CAST((sum_len * 100L) DIV n_docs AS BIGINT)").as("avg_len_x100"))
         .orderBy(col("source"))
     }),
+
+    // cross-source contamination matrix: which PAIRS of sources share
+    // identical documents (the "did vendor B resell vendor A's crawl"
+    // question a corpus team asks before weighting sources). Join key
+    // is the md5 digest, not the text — at 100 TB the shuffle carries
+    // 32-byte digests instead of documents, and the distinct
+    // (source, digest) projection collapses within-source copies
+    // before the self-join so a heavily-duplicated source cannot
+    // inflate pair counts. Overlaps planted (doc_id%10 clones pushed
+    // into a source derived by integer arithmetic) — the base corpus
+    // has zero natural cross-source dups.
+    "q154_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("src"), (col("doc_id") % 7).cast("string")).as("source"),
+          col("text"))
+      val corpus = d.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(planted)
+      val keys = corpus.select(col("source"), md5(col("text")).as("digest"))
+        .distinct()
+      keys.select(col("source").as("source_a"), col("digest"))
+        .join(keys.select(col("source").as("source_b"), col("digest")),
+          Seq("digest"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // per-group central moments with ZERO doubles: emit the exact
+    // integer numerators (n·Σx² − (Σx)², n·Σxy − ΣxΣy) and n rather
+    // than dividing — variance = var_num/n², covariance = cov_num/n²
+    // are the caller's one division, and the hashed columns stay
+    // engine-exact BIGINTs (the q38/q55 lesson applied to second
+    // moments; x = floor(quantity), y = linenumber, so every sum is
+    // exact and the numerators stay ≲1e16 even at sf1 — no overflow
+    // headroom games). One map-side-combined aggregation, no joins.
+    "q155_moment_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("q"),
+          col("l_linenumber").cast("long").as("ln"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sum_q"),
+          sum(col("q") * col("q")).as("sum_q2"),
+          sum(col("ln")).as("sum_ln"),
+          sum(col("q") * col("ln")).as("sum_qln"))
+        .select(col("l_returnflag"), col("n"), col("sum_q"),
+          (col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).as("var_num"),
+          (col("n") * col("sum_qln") - col("sum_q") * col("sum_ln")).as("cov_num"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // referential-integrity audit: one row per FK edge with child
+    // volume and dangling-key count — the pre-publish DQ gate that
+    // catches a partial dimension load before it fans out as silent
+    // inner-join row loss. Each edge is ONE left-anti join against the
+    // (broadcast-small) parent's key projection; TPC-H data is
+    // consistent, so violations are planted by thinning each parent
+    // (key % 50 = 0 removed) — integer-arithmetic thinning, exact on
+    // both engines.
+    "q156_fk_audit" -> ((s, dir) => {
+      def edge(rel: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val thinned = parent.filter(col(pkey) % 50 =!= 0)
+          .select(col(pkey).as(key)).distinct()
+        val nChild = child.count()
+        child.select(col(key)).join(thinned, Seq(key), "left_anti")
+          .agg(count(lit(1)).as("n_dangling"))
+          .select(lit(rel).as("relation"), lit(nChild).as("n_child"),
+            col("n_dangling"))
+      }
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      edge("lineitem.partkey->part", li, "l_partkey", t(s, dir, "part"), "p_partkey")
+        .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(edge("orders.custkey->customer", orders, "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .orderBy(col("relation"))
+    }),
+
+    // right-to-be-forgotten cascade: a deletion set seeded on the
+    // customer table propagates through orders to lineitem via
+    // semi-joins, and the query reports kept/deleted volumes per
+    // table — the audit artifact a deletion job must emit. The
+    // cascade never materializes deleted rows: each hop is a
+    // semi/anti join on the parent's key set (broadcast-small here;
+    // shuffle-join at scale), so the 100 TB shape is two key-set
+    // joins, not a rewrite of the fact table in the query itself.
+    "q157_cascade_delete" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val delCust = cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"))
+      val delOrders = orders.join(
+        delCust.withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left_semi").select(col("o_orderkey"))
+      def row(table: String, total: Long, deleted: DataFrame): DataFrame =
+        deleted.agg(count(lit(1)).as("n_deleted"))
+          .select(lit(table).as("table_name"), lit(total).as("n_total"),
+            col("n_deleted"),
+            (lit(total) - col("n_deleted")).as("n_kept"))
+      row("customer", cust.count(), delCust)
+        .unionByName(row("orders", orders.count(), delOrders))
+        .unionByName(row("lineitem", li.count(),
+          li.join(delOrders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            Seq("l_orderkey"), "left_semi")))
+        .orderBy(col("table_name"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4464,6 +4577,92 @@ object QueryCatalog {
         |       CAST(sum_len * 100 // n_docs AS BIGINT) AS avg_len_x100
         |FROM stats
         |ORDER BY source""".stripMargin,
+    // q154: same planted clones; md5-digest self-join over DISTINCT
+    // (source, digest).
+    "q154_source_overlap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         'src' || CAST(doc_id % 7 AS VARCHAR) AS source, text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), keys AS (
+        |  SELECT DISTINCT source, md5(text) AS digest FROM corpus
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM keys a JOIN keys b USING (digest)
+        |WHERE a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // q155: exact integer moment numerators — no division anywhere.
+    "q155_moment_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(q) AS BIGINT) AS sum_q,
+        |         CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+        |         CAST(SUM(ln) AS BIGINT) AS sum_ln,
+        |         CAST(SUM(q * ln) AS BIGINT) AS sum_qln
+        |  FROM (SELECT l_returnflag,
+        |               CAST(floor(l_quantity) AS BIGINT) AS q,
+        |               CAST(l_linenumber AS BIGINT) AS ln
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n, sum_q,
+        |       CAST(n * sum_q2 - sum_q * sum_q AS BIGINT) AS var_num,
+        |       CAST(n * sum_qln - sum_q * sum_ln AS BIGINT) AS cov_num
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    // q156: same thinned parents, same anti-join counts.
+    "q156_fk_audit" ->
+      """SELECT relation, n_child, n_dangling FROM (
+        |  SELECT 'lineitem.partkey->part' AS relation,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+        |         CAST((SELECT COUNT(*) FROM lineitem
+        |               WHERE l_partkey NOT IN (
+        |                 SELECT p_partkey FROM part WHERE p_partkey % 50 <> 0))
+        |           AS BIGINT) AS n_dangling
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey->supplier',
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |         CAST((SELECT COUNT(*) FROM lineitem
+        |               WHERE l_suppkey NOT IN (
+        |                 SELECT s_suppkey FROM supplier WHERE s_suppkey % 50 <> 0))
+        |           AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer',
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |         CAST((SELECT COUNT(*) FROM orders
+        |               WHERE o_custkey NOT IN (
+        |                 SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0))
+        |           AS BIGINT)
+        |)
+        |ORDER BY relation""".stripMargin,
+    // q157: same cascade via IN-subqueries.
+    "q157_cascade_delete" ->
+      """WITH del_cust AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0
+        |), del_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+        |)
+        |SELECT table_name, n_total, n_deleted, n_total - n_deleted AS n_kept
+        |FROM (
+        |  SELECT 'customer' AS table_name,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM del_cust) AS n_deleted
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM del_orders)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |          WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+        |)
+        |ORDER BY table_name""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
