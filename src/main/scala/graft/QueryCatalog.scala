@@ -2566,6 +2566,42 @@ object QueryCatalog {
             Seq("l_orderkey"), "left_semi")))
         .orderBy(col("table_name"))
     }),
+
+    // quality-weighted deterministic downsampling: band documents by
+    // the integer alpha-ratio gate, target a keep-rate per band in
+    // basis points, and draw with a Knuth multiplicative hash of
+    // doc_id instead of rand() — the sample is bitwise reproducible
+    // across retries, partitionings, and engines (a rand() sample
+    // can't be oracle-checked and silently changes under speculative
+    // re-execution on a cluster). Per-band candidate/sampled/char
+    // counts let the caller confirm the realized rate tracks the
+    // target. Per-row arithmetic only; one map-side-combined agg.
+    // Band gates sit at the corpus's alpha-ratio quartiles (the
+    // generator emits a tight 79–86% range, so the q38-style 55%
+    // gate would put every doc in one band): ≥82.50% high,
+    // ≥81.75% mid — exact ×10000 integer comparisons, no ratios.
+    "q158_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 10000)
+            .as("alpha10k"),
+          length(col("text")).as("len"))
+      d.select(col("doc_id"), col("len"),
+          when(col("alpha10k") >= col("len") * 8250, lit("high"))
+            .when(col("alpha10k") >= col("len") * 8175, lit("mid"))
+            .otherwise(lit("low")).as("band"),
+          when(col("alpha10k") >= col("len") * 8250, lit(10000L))
+            .when(col("alpha10k") >= col("len") * 8175, lit(5000L))
+            .otherwise(lit(1000L)).as("keep_bp"))
+        .withColumn("draw", (col("doc_id") * 2654435761L) % 10000L)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("draw") < col("keep_bp"), 1L).otherwise(0L))
+            .as("n_sampled"),
+          sum(when(col("draw") < col("keep_bp"), col("len").cast("long"))
+            .otherwise(0L)).as("chars_sampled"))
+        .orderBy(col("band"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4663,6 +4699,31 @@ object QueryCatalog {
         |          WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
         |)
         |ORDER BY table_name""".stripMargin,
+    // q158: same bands, same multiplicative-hash draw.
+    "q158_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000
+        |           AS alpha10k,
+        |         length(text) AS len
+        |  FROM documents
+        |), banded AS (
+        |  SELECT doc_id, len,
+        |         CASE WHEN alpha10k >= len * 8250 THEN 'high'
+        |              WHEN alpha10k >= len * 8175 THEN 'mid'
+        |              ELSE 'low' END AS band,
+        |         CASE WHEN alpha10k >= len * 8250 THEN 10000
+        |              WHEN alpha10k >= len * 8175 THEN 5000
+        |              ELSE 1000 END AS keep_bp,
+        |         (doc_id * 2654435761) % 10000 AS draw
+        |  FROM d
+        |)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |       CAST(SUM(CASE WHEN draw < keep_bp THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_sampled,
+        |       CAST(SUM(CASE WHEN draw < keep_bp THEN len ELSE 0 END)
+        |         AS BIGINT) AS chars_sampled
+        |FROM banded GROUP BY band ORDER BY band""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
