@@ -2462,8 +2462,12 @@ object QueryCatalog {
     // (source, digest) projection collapses within-source copies
     // before the self-join so a heavily-duplicated source cannot
     // inflate pair counts. Overlaps planted (doc_id%10 clones pushed
-    // into a source derived by integer arithmetic) — the base corpus
-    // has zero natural cross-source dups.
+    // into a source derived by integer arithmetic); the matrix counts
+    // planted AND natural cross-source dups together (sf0.1 has a
+    // handful of natural ones; sf0.001/sf0.01 none). A clone whose
+    // derived source equals its origin source is deliberately
+    // collapsed by the distinct — within-source copies are q153's
+    // metric, not this one's.
     "q154_source_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val planted = d.filter(col("doc_id") % 10 === 0)
@@ -2516,16 +2520,21 @@ object QueryCatalog {
     // consistent, so violations are planted by thinning each parent
     // (key % 50 = 0 removed) — integer-arithmetic thinning, exact on
     // both engines.
+    // Each edge is ONE lazy left join + aggregation — child volume
+    // and dangling count come out of the same scan (no eager count()
+    // jobs; an audit that pre-scans the fact table once per edge
+    // would double its own cost at 100 TB).
     "q156_fk_audit" -> ((s, dir) => {
       def edge(rel: String, child: DataFrame, key: String,
           parent: DataFrame, pkey: String): DataFrame = {
         val thinned = parent.filter(col(pkey) % 50 =!= 0)
           .select(col(pkey).as(key)).distinct()
-        val nChild = child.count()
-        child.select(col(key)).join(thinned, Seq(key), "left_anti")
-          .agg(count(lit(1)).as("n_dangling"))
-          .select(lit(rel).as("relation"), lit(nChild).as("n_child"),
-            col("n_dangling"))
+          .withColumn("fk_present", lit(1))
+        child.select(col(key)).join(thinned, Seq(key), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("fk_present").isNull, 1L).otherwise(0L))
+              .as("n_dangling"))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_dangling"))
       }
       val orders = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
@@ -2545,6 +2554,10 @@ object QueryCatalog {
     // semi/anti join on the parent's key set (broadcast-small here;
     // shuffle-join at scale), so the 100 TB shape is two key-set
     // joins, not a rewrite of the fact table in the query itself.
+    // Each table's row is ONE lazy left-join-flag aggregation —
+    // total and deleted counts come from the same scan, with no
+    // eager count() actions embedding literals (three extra
+    // full-table scans at 100 TB just to print totals).
     "q157_cascade_delete" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val orders = t(s, dir, "orders")
@@ -2554,16 +2567,22 @@ object QueryCatalog {
       val delOrders = orders.join(
         delCust.withColumnRenamed("c_custkey", "o_custkey"),
         Seq("o_custkey"), "left_semi").select(col("o_orderkey"))
-      def row(table: String, total: Long, deleted: DataFrame): DataFrame =
-        deleted.agg(count(lit(1)).as("n_deleted"))
-          .select(lit(table).as("table_name"), lit(total).as("n_total"),
+      def row(table: String, flagged: DataFrame): DataFrame =
+        flagged.agg(count(lit(1)).as("n_total"),
+            sum(col("del")).as("n_deleted"))
+          .select(lit(table).as("table_name"), col("n_total"),
             col("n_deleted"),
-            (lit(total) - col("n_deleted")).as("n_kept"))
-      row("customer", cust.count(), delCust)
-        .unionByName(row("orders", orders.count(), delOrders))
-        .unionByName(row("lineitem", li.count(),
-          li.join(delOrders.withColumnRenamed("o_orderkey", "l_orderkey"),
-            Seq("l_orderkey"), "left_semi")))
+            (col("n_total") - col("n_deleted")).as("n_kept"))
+      def flag(child: DataFrame, key: String, keys: DataFrame): DataFrame =
+        child.select(col(key))
+          .join(keys.withColumn("m", lit(1)), Seq(key), "left")
+          .select(when(col("m").isNotNull, 1L).otherwise(0L).as("del"))
+      row("customer", cust.select(
+          when(col("c_custkey") % 100 === 0, 1L).otherwise(0L).as("del")))
+        .unionByName(row("orders", flag(orders, "o_custkey",
+          delCust.withColumnRenamed("c_custkey", "o_custkey"))))
+        .unionByName(row("lineitem", flag(li, "l_orderkey",
+          delOrders.withColumnRenamed("o_orderkey", "l_orderkey"))))
         .orderBy(col("table_name"))
     }),
 
@@ -2583,17 +2602,22 @@ object QueryCatalog {
     "q158_weighted_sample" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
-          (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 10000)
-            .as("alpha10k"),
-          length(col("text")).as("len"))
+          (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+            * 10000L).as("alpha10k"),
+          length(col("text")).cast("long").as("len"))
       d.select(col("doc_id"), col("len"),
-          when(col("alpha10k") >= col("len") * 8250, lit("high"))
-            .when(col("alpha10k") >= col("len") * 8175, lit("mid"))
+          when(col("alpha10k") >= col("len") * 8250L, lit("high"))
+            .when(col("alpha10k") >= col("len") * 8175L, lit("mid"))
             .otherwise(lit("low")).as("band"),
-          when(col("alpha10k") >= col("len") * 8250, lit(10000L))
-            .when(col("alpha10k") >= col("len") * 8175, lit(5000L))
+          when(col("alpha10k") >= col("len") * 8250L, lit(10000L))
+            .when(col("alpha10k") >= col("len") * 8175L, lit(5000L))
             .otherwise(lit(1000L)).as("keep_bp"))
-        .withColumn("draw", (col("doc_id") * 2654435761L) % 10000L)
+        // 31-bit fold before the multiply (the q61/q62 idiom): keeps
+        // the product in Long range for ANY doc_id — without it, ids
+        // past ~3.47e9 wrap negative in Spark (draw always < keep_bp)
+        // and overflow-error in DuckDB.
+        .withColumn("draw",
+          ((col("doc_id") % 2147483648L) * 2654435761L) % 10000L)
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("draw") < col("keep_bp"), 1L).otherwise(0L))
@@ -4715,7 +4739,7 @@ object QueryCatalog {
         |         CASE WHEN alpha10k >= len * 8250 THEN 10000
         |              WHEN alpha10k >= len * 8175 THEN 5000
         |              ELSE 1000 END AS keep_bp,
-        |         (doc_id * 2654435761) % 10000 AS draw
+        |         ((doc_id % 2147483648) * 2654435761) % 10000 AS draw
         |  FROM d
         |)
         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_candidates,
