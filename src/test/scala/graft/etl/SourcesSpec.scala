@@ -182,6 +182,26 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.conformSchema(clean, reqTarget).head().getLong(0) === 3L)
   }
 
+  test("conformSchema: honors spark.sql.caseSensitive=true") {
+    val target = new org.apache.spark.sql.types.StructType()
+      .add("qty", "long")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      // 'Qty' no longer matches 'qty': nullable target → typed null...
+      val out = Sources.conformSchema(Seq(7).toDF("Qty"), target)
+      assert(out.head().isNullAt(0))
+      // ...and a required target column fails fast as missing.
+      val required = new org.apache.spark.sql.types.StructType()
+        .add("qty", "long", nullable = false)
+      val ex = intercept[IllegalArgumentException](
+        Sources.conformSchema(Seq(7).toDF("Qty"), required))
+      assert(ex.getMessage.contains("missing"))
+      // ...while case-colliding input columns are no longer ambiguous.
+      assert(Sources.conformSchema(Seq((1, 2)).toDF("qty", "QTY"), target)
+        .head().getLong(0) === 1L)
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = Files.createTempDirectory("src_sink").toString
     val df = Seq(("a", "2023-01-01"), ("b", "2023-02-01")).toDF("id", "day")
