@@ -2626,6 +2626,34 @@ object QueryCatalog {
             .otherwise(0L)).as("chars_sampled"))
         .orderBy(col("band"))
     }),
+
+    // per-source language-balance report: one row per source with its
+    // language cardinality, dominant language, and the dominant
+    // share in integer ppm — the multilingual-mix audit run before
+    // reweighting a pretraining corpus. Shape at scale: the corpus
+    // collapses to a (source, lang) count agg FIRST (map-side
+    // combined), and every window runs over that tiny matrix
+    // (≤|sources|·|langs| rows), never over documents. Dominance
+    // ties break on (count desc, lang asc) — deterministic on both
+    // engines; no doubles anywhere.
+    "q159_lang_balance" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val bySource = Window.partitionBy(col("source"))
+      val dominance = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("lang").asc)
+      counts
+        .withColumn("n_docs", sum(col("n")).over(bySource))
+        .withColumn("n_langs", count(lit(1)).over(bySource))
+        .withColumn("rn", row_number().over(dominance))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("lang").as("dominant_lang"),
+          expr("CAST((n * 1000000L) DIV n_docs AS BIGINT)")
+            .as("dominant_ppm"))
+        .orderBy(col("source"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4748,6 +4776,24 @@ object QueryCatalog {
         |       CAST(SUM(CASE WHEN draw < keep_bp THEN len ELSE 0 END)
         |         AS BIGINT) AS chars_sampled
         |FROM banded GROUP BY band ORDER BY band""".stripMargin,
+    // q159: same (source, lang) matrix, same dominance tie-break.
+    "q159_lang_balance" ->
+      """WITH counts AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source, lang
+        |), ranked AS (
+        |  SELECT source, lang, n,
+        |         SUM(n) OVER (PARTITION BY source) AS n_docs,
+        |         COUNT(*) OVER (PARTITION BY source) AS n_langs,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY n DESC, lang ASC) AS rn
+        |  FROM counts
+        |)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_langs AS BIGINT) AS n_langs,
+        |       lang AS dominant_lang,
+        |       CAST(n * 1000000 // n_docs AS BIGINT) AS dominant_ppm
+        |FROM ranked WHERE rn = 1 ORDER BY source""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
