@@ -105,6 +105,40 @@ object QueryCatalog {
   private val dashCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, graft.etl.Pipeline.CuratedOutputs)]()
 
+  /** Loud guard for the q131/q147 oracle contract: their DuckDB sides
+    * read the payload back with CHARACTER semantics (length/ord/
+    * substr) while the Spark codecs encode UTF-8 BYTES — the parity
+    * holds only while `text` is pure ASCII (true for the generated
+    * testdata). One multi-byte character must fail the query loudly,
+    * not silently hash-diverge a round later.
+    */
+  private def assertAscii(docs: DataFrame): DataFrame =
+    docs.filter(
+      when(octet_length(col("text")) =!= length(col("text")),
+        raise_error(concat(lit("non-ASCII text breaks the byte/char oracle parity for doc_id "),
+          col("doc_id").cast("string"))).cast("boolean"))
+      .otherwise(lit(true)))
+
+  /** Per-invocation scratch directory for queries that must materialize
+    * an index/lake/zone to exercise read-path effects. Registered for
+    * recursive deletion at JVM exit (the frames a query returns read
+    * lazily from these dirs, so deleting any earlier would break the
+    * driver's collect) — repeated bench/verify runs no longer
+    * accumulate orphaned parquet trees in /tmp.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Memoization assumes the parquet under `dir` is immutable for the
     * session's lifetime (true for the driver's generated testdata); a
     * session that rewrites its inputs mid-flight would be served the
@@ -138,6 +172,20 @@ object QueryCatalog {
     })._2
     graft.etl.Pipeline.registerViews(s, out)
     s.sql(sqlText)
+  }
+
+  /** Materialize every cached star-schema output for `dir` so the four
+    * serving queries (q40, q55–q57) measure serving cost only. Caching
+    * above is lazy: each cached frame fills on FIRST access, so without
+    * this the dim_product fan-out fill lands on whichever serving query
+    * happens to touch it first (r4 bench: q55 +31% for exactly that
+    * reason). Bench calls this in its warmup phase.
+    */
+  def warmDashboard(s: SparkSession, dir: String): Unit = {
+    dashboardServe(s, dir, "SELECT 1")
+    val out = dashCache.get(s)._2
+    Seq(out.staging, out.dimDate, out.dimStore, out.dimProduct, out.factSales)
+      .foreach(_.count())
   }
 
   // ---------------------------------------------------------------
@@ -826,7 +874,7 @@ object QueryCatalog {
     "q72_emb_ann_ivf_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      val path = scratchDir("graft_ivf_idx")
       Similarity.buildSignIvfIndex(e, path, dim = 64, bits = 5)
       Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64, bits = 5, nProbe = 12)
         .orderBy(col("query_id"), col("rank"))
@@ -1202,7 +1250,7 @@ object QueryCatalog {
     // (the q90 invisible-optimization discipline; DataSkippingSpec
     // asserts files were actually skipped).
     "q104_events_skipping" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      val tmp = scratchDir("graft_skip")
       DataSkipping.writeClustered(t(s, dir, "events"), "ts", tmp, nFiles = 16)
       val (pruned, _, _) = DataSkipping.prunedRead(s, tmp, "ts",
         lo = 1704844800L, hi = 1705017599L) // 2024-01-10 .. 2024-01-11 UTC
@@ -1229,7 +1277,7 @@ object QueryCatalog {
     "q106_incremental_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val cutoff = 1705708800L // 2024-01-20 00:00 UTC
-      val path = java.nio.file.Files.createTempDirectory("graft_incr_agg").toString
+      val path = scratchDir("graft_incr_agg")
       IncrementalAgg.writeState(
         IncrementalAgg.buildState(
           ev.filter(col("ts").cast("long") < cutoff), "user_id", "value"), path)
@@ -1597,7 +1645,7 @@ object QueryCatalog {
     // invisible" discipline); that pruning actually happens is
     // spec-asserted via PartitionedLake.filesScanned.
     "q116_partitioned_prune" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_lake").toString
+      val tmp = scratchDir("graft_lake")
       PartitionedLake.writePartitioned(
         t(s, dir, "lineitem").withColumn("ship_year", year(col("l_shipdate"))),
         tmp, "ship_year")
@@ -1615,7 +1663,7 @@ object QueryCatalog {
     // parquet, proving the format conversion lossless for the
     // long/string/timestamp types the zones carry.
     "q117_orc_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val tmp = scratchDir("graft_orc")
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
           floor(col("l_quantity")).cast("long").as("qty"),
           expr("floor(l_extendedprice * 100 + 0.5)").cast("long").as("ep_cents"),
@@ -1964,8 +2012,8 @@ object QueryCatalog {
     // to every reader (the q116/q117 discipline). That the file count
     // actually dropped is spec-asserted via dataFileCount.
     "q129_events_compaction" -> ((s, dir) => {
-      val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
-      val compacted = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val frag = scratchDir("graft_frag")
+      val compacted = scratchDir("graft_compact")
       t(s, dir, "events").repartition(64)
         .write.mode("overwrite").parquet(frag)
       PartitionedLake.compact(s.read.parquet(frag), compacted, targetFiles = 4,
@@ -1996,7 +2044,7 @@ object QueryCatalog {
     // The oracle recomputes them from the source bytes (sample i =
     // (byte_i − 128)·256).
     "q131_audio_stats" -> ((s, dir) => {
-      val media = Multimodal.wavFromText(s, t(s, dir, "documents"),
+      val media = Multimodal.wavFromText(s, assertAscii(t(s, dir, "documents")),
         "doc_id", "text", sampleRate = 8000)
       Multimodal.audioStats(media).toDF()
         .select(col("media_id"), col("n_samples"), col("sample_rate"),
@@ -2053,7 +2101,7 @@ object QueryCatalog {
     // maintenance must be invisible to queries.
     "q134_emb_ann_ivf_append" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+      val path = scratchDir("graft_ivf_app")
       Similarity.buildSignIvfIndex(e.filter(col("vec_id") % 3 =!= 0), path,
         dim = 64, bits = 5)
       Similarity.appendSignIvfIndex(e.filter(col("vec_id") % 3 === 0), path,
@@ -2207,7 +2255,7 @@ object QueryCatalog {
     // glimpsing v1 (or a half-written directory) hash-fails. Crash
     // isolation and time travel are spec-gated (VersionedTableSpec).
     "q142_versioned_publish" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_vt_q").toString
+      val root = scratchDir("graft_vt_q")
       val li = t(s, dir, "lineitem")
       def agg(df: DataFrame) = df
         .groupBy(col("l_returnflag"), year(col("l_shipdate")).cast("long").as("ship_year"))
@@ -2298,7 +2346,7 @@ object QueryCatalog {
     // is value-checked end to end.
     "q147_multimodal_resize" -> ((s, dir) => {
       import org.apache.spark.sql.Encoders
-      val media = Multimodal.bmpFromText(s, t(s, dir, "documents"),
+      val media = Multimodal.bmpFromText(s, assertAscii(t(s, dir, "documents")),
         "doc_id", "text", width = 16)
       val resized = Multimodal.resizeNearest(media, outWidth = 8)
         .map(r => Multimodal.MediaRecord(r.media_id, "image", r.payload,
@@ -2410,6 +2458,13 @@ object QueryCatalog {
         .select(col("doc_id"),
           graft.expressions.GraftFunctions.shingleSet(col("text"), 3, charLevel = false).as("sh"))
         .filter(size(col("sh")) > 0)
+      // deliberate bounded all-pairs calibration sweep (banded twins:
+      // q26/q28/q128) — hard-stop before the cross join can silently
+      // go quadratic on grown testdata.
+      val nDocs = sets.count()
+      require(nDocs <= 10000,
+        s"q152 exact calibration baseline is bounded to 10K docs (got $nDocs); " +
+          "use the banded near-dup operators for larger inputs")
       val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
         size(col("sh")).cast("long").as("na"))
       val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
@@ -2654,6 +2709,100 @@ object QueryCatalog {
             .as("dominant_ppm"))
         .orderBy(col("source"))
     }),
+
+    // ---------------------------------------------------------------
+    // q160–q165: stage-isolating diagnostics for the q38/q55–q57
+    // driver divergence (r4 verdict task 1). Each isolates ONE shared
+    // primitive of the failing four so CORRECTNESS_r05 localizes any
+    // residual mismatch even without driver access: cents pipeline →
+    // fan-out → tokenization → dedup keep-set → aggregation → hashing.
+    // Every output column is BIGINT or VARCHAR, and every oracle
+    // wraps integer aggregates in CAST(... AS BIGINT) so DuckDB never
+    // emits a HUGEINT output (the r5 root-cause finding).
+    // ---------------------------------------------------------------
+
+    // (a) the cents pipeline alone: global stats of up_cents as the
+    // Spark pipeline carries it (DECIMAL(10,2) dollars × 100, the
+    // claimed bijection) vs the oracle's floor-based BIGINT cents.
+    "q160_diag_cents_global" -> ((s, dir) => {
+      val inv = synthInventory(s, dir)
+        .withColumn("up_cents", (col("unit_price") * 100).cast("long"))
+      inv.agg(
+        sum(col("up_cents")).cast("long").as("sum_cents"),
+        countDistinct(col("up_cents")).cast("long").as("n_distinct_cents"),
+        min(col("up_cents")).cast("long").as("min_cents"),
+        max(col("up_cents")).cast("long").as("max_cents"),
+        count(lit(1)).cast("long").as("n_rows"))
+    }),
+
+    // (b) the dim_product fan-out alone: histogram of price-variant
+    // counts per product. q55's SUM is weighted by exactly these
+    // multiplicities, so any fan-out disagreement shows here first.
+    "q161_diag_fanout_hist" -> ((s, dir) => {
+      synthInventory(s, dir)
+        .select(col("product_id"), col("product_category"), col("unit_price"))
+        .distinct()
+        .groupBy(col("product_id"))
+        .agg(count(lit(1)).as("n_variants"))
+        .groupBy(col("n_variants"))
+        .agg(count(lit(1)).cast("long").as("n_products"))
+        .select(col("n_variants").cast("long").as("n_variants"), col("n_products"))
+        .orderBy(col("n_variants"))
+    }),
+
+    // (c) q38's tokenization alone: unfiltered global sums over raw
+    // documents — TextFunctions.alphaChars/tokenCount vs the oracle's
+    // regexp_replace/regexp_split_to_array.
+    "q162_diag_text_sums" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          length(col("text")).cast("long").as("len"),
+          TextFunctions.alphaChars(col("text")).cast("long").as("alpha"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+        .agg(
+          sum(col("len")).cast("long").as("sum_len"),
+          sum(col("alpha")).cast("long").as("sum_alpha"),
+          sum(col("toks")).cast("long").as("sum_tokens"),
+          count(lit(1)).cast("long").as("n_docs"))
+    }),
+
+    // (d) q38's dedup keep-set alone: per-source size and id-sum of
+    // the exact-dedup survivors (sum pins the exact id SET, not just
+    // its cardinality).
+    "q163_diag_dedup_keep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dupes = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val all = d.unionByName(dupes)
+      val keepIds = Dedup.exact(all, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      all.join(keepIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_kept"),
+          min(col("doc_id")).cast("long").as("min_keep_id"),
+          max(col("doc_id")).cast("long").as("max_keep_id"),
+          sum(col("doc_id")).cast("long").as("sum_keep_ids"))
+        .orderBy(col("source"))
+    }),
+
+    // (e) q55 collapsed to a single global row: if per-product rows
+    // diverge but this passes, the defect is in the driver's hash of
+    // the 1974-row result, not the arithmetic.
+    "q164_diag_q55_total" -> ((s, dir) => {
+      dashboardServe(s, dir, graft.etl.DashboardQueries.q2(1995))
+        .agg(
+          sum(col("total_quantity_sold")).cast("long").as("grand_total"),
+          count(lit(1)).cast("long").as("n_groups"))
+    }),
+
+    // (f) q55 regrouped at category grain (7 rows): the middle rung
+    // between (e)'s global row and q55's 1974 product rows.
+    "q165_diag_q55_bycat" -> ((s, dir) => {
+      dashboardServe(s, dir, graft.etl.DashboardQueries.q2(1995))
+        .groupBy(col("product_category"))
+        .agg(sum(col("total_quantity_sold")).cast("long").as("total_quantity_sold"))
+        .orderBy(col("product_category"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -2681,6 +2830,14 @@ object QueryCatalog {
       .select(col("doc_id"),
         graft.expressions.GraftFunctions.shingleSet(col("text"), 3, charLevel = false).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Deliberate bounded all-pairs baseline — the banded twins
+    // (q26/q28, Dedup.minHashNearDups) are the scale path. Hard-stop
+    // if a future testdata change grows the bounded subset, so the
+    // cross join can't silently go quadratic.
+    val nDocs = all.count()
+    require(nDocs <= 10000,
+      s"exact all-pairs Jaccard baseline is bounded to 10K docs (got $nDocs); " +
+        "use the banded near-dup operators for larger inputs")
     val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     val pairs = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
@@ -3895,8 +4052,9 @@ object QueryCatalog {
         |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |  FROM kept
         |)
-        |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-        |       SUM((alpha_chars * 10000 + len // 2) // len) AS sum_alpha_q
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM((alpha_chars * 10000 + len // 2) // len) AS BIGINT) AS sum_alpha_q
         |FROM scored
         |WHERE len >= 100 AND alpha_chars * 100 >= 55 * len AND n_tokens >= 10
         |GROUP BY source ORDER BY source""".stripMargin,
@@ -3923,6 +4081,19 @@ object QueryCatalog {
         |FROM inv
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    // r5 ROOT CAUSE of the four-round q38/q55–q57 driver hash-fail:
+    // these four oracles were the ONLY ones (of 147) whose OUTPUT
+    // columns were raw integer SUMs, and DuckDB types SUM(INTEGER/
+    // BIGINT) as HUGEINT (int128). Python fetchall() materializes
+    // HUGEINT as exact ints (local gate green all four rounds), but a
+    // pandas/arrow materialization renders int128 differently (e.g.
+    // float64 "4161.0" vs "4161"), so the driver's value hash diverged
+    // while rows and schema matched — exactly the observed signature.
+    // Every integer aggregate an oracle RETURNS must therefore be
+    // wrapped CAST(... AS BIGINT); OracleLintSpec enforces this by
+    // typechecking every oracle against DuckDB-JDBC and failing on any
+    // HUGEINT output column.
+    //
     // q55–q57: the dashboard queries join dim_product, which is distinct
     // over (product_id, product_category, unit_price) — unit_price is
     // NOT a function of product_id, so the join fans out per price
@@ -3944,7 +4115,7 @@ object QueryCatalog {
         |  SELECT DISTINCT product_id, product_category, up_cents FROM inv
         |)
         |SELECT p.product_id, p.product_category,
-        |       SUM(f.quantity_sold) AS total_quantity_sold
+        |       CAST(SUM(f.quantity_sold) AS BIGINT) AS total_quantity_sold
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |WHERE year(f.date) = 1995
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
@@ -3962,8 +4133,8 @@ object QueryCatalog {
         |  SELECT DISTINCT product_id, product_category, up_cents FROM inv
         |)
         |SELECT f.store_location, p.product_category,
-        |       SUM(f.quantity_sold) AS total_sold,
-        |       (SUM(CAST(f.stock_level AS BIGINT)) * 1000) // COUNT(*) AS avg_stock_x1000
+        |       CAST(SUM(f.quantity_sold) AS BIGINT) AS total_sold,
+        |       CAST((SUM(CAST(f.stock_level AS BIGINT)) * 1000) // COUNT(*) AS BIGINT) AS avg_stock_x1000
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q57_pipeline_dash_q4" ->
@@ -3980,8 +4151,8 @@ object QueryCatalog {
         |  SELECT DISTINCT product_id, product_category, up_cents FROM inv
         |)
         |SELECT f.store_location, p.product_category,
-        |       SUM(f.quantity_sold) AS total_quantity,
-        |       SUM(f.sales_cents) AS sales_cents
+        |       CAST(SUM(f.quantity_sold) AS BIGINT) AS total_quantity,
+        |       CAST(SUM(f.sales_cents) AS BIGINT) AS sales_cents
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q61/q62: the sampling decision is ((key mod 2^31)*2654435761)
@@ -4205,7 +4376,8 @@ object QueryCatalog {
         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
         |       CAST(levenshtein(l.fkey, r.fkey) AS BIGINT) AS dist
         |FROM keyed l JOIN keyed r
-        |  ON substr(l.fkey, 1, 6) = substr(r.fkey, 1, 6)
+        |  ON (substr(l.fkey, 1, 6) = substr(r.fkey, 1, 6)
+        |      OR right(l.fkey, 6) = right(r.fkey, 6))
         | AND l.doc_id < r.doc_id
         | AND abs(length(l.fkey) - length(r.fkey)) <= 3
         |WHERE levenshtein(l.fkey, r.fkey) <= 3
@@ -4794,6 +4966,96 @@ object QueryCatalog {
         |       lang AS dominant_lang,
         |       CAST(n * 1000000 // n_docs AS BIGINT) AS dominant_ppm
         |FROM ranked WHERE rn = 1 ORDER BY source""".stripMargin,
+    // q160–q165: divergence diagnostics — every integer aggregate is
+    // CAST(... AS BIGINT) at the output so DuckDB's HUGEINT sum type
+    // never reaches the driver's hash (the r5 root-cause finding).
+    "q160_diag_cents_global" ->
+      """WITH inv AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           // CAST(GREATEST(floor(l_quantity), 1) AS BIGINT) AS up_cents
+        |  FROM lineitem
+        |)
+        |SELECT CAST(SUM(up_cents) AS BIGINT) AS sum_cents,
+        |       CAST(COUNT(DISTINCT up_cents) AS BIGINT) AS n_distinct_cents,
+        |       CAST(MIN(up_cents) AS BIGINT) AS min_cents,
+        |       CAST(MAX(up_cents) AS BIGINT) AS max_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM inv""".stripMargin,
+    "q161_diag_fanout_hist" ->
+      """WITH inv AS (
+        |  SELECT 'P' || CAST(l_partkey AS VARCHAR) AS product_id,
+        |         'CAT' || CAST(l_partkey % 7 AS VARCHAR) AS product_category,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           // CAST(GREATEST(floor(l_quantity), 1) AS BIGINT) AS up_cents
+        |  FROM lineitem
+        |), dim AS (
+        |  SELECT DISTINCT product_id, product_category, up_cents FROM inv
+        |), per AS (
+        |  SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_variants
+        |  FROM dim GROUP BY product_id
+        |)
+        |SELECT n_variants, CAST(COUNT(*) AS BIGINT) AS n_products
+        |FROM per GROUP BY n_variants ORDER BY n_variants""".stripMargin,
+    "q162_diag_text_sums" ->
+      """SELECT CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_len,
+        |       CAST(SUM(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)) AS BIGINT) AS sum_alpha,
+        |       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                     ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents""".stripMargin,
+    "q163_diag_dedup_keep" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 10 = 0
+        |), keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
+        |), kept AS (
+        |  SELECT a.doc_id, a.source FROM all_docs a JOIN keep k ON a.doc_id = k.doc_id
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_keep_id,
+        |       CAST(MAX(doc_id) AS BIGINT) AS max_keep_id,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_keep_ids
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "q164_diag_q55_total" ->
+      """WITH inv AS (
+        |  SELECT 'P' || CAST(l_partkey AS VARCHAR) AS product_id,
+        |         'CAT' || CAST(l_partkey % 7 AS VARCHAR) AS product_category,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           // CAST(GREATEST(floor(l_quantity), 1) AS BIGINT) AS up_cents,
+        |         CAST(floor(l_quantity) AS INTEGER) AS quantity_sold,
+        |         l_shipdate AS date
+        |  FROM lineitem
+        |), dim_product AS (
+        |  SELECT DISTINCT product_id, product_category, up_cents FROM inv
+        |), grouped AS (
+        |  SELECT p.product_id, p.product_category,
+        |         CAST(SUM(f.quantity_sold) AS BIGINT) AS tq
+        |  FROM inv f JOIN dim_product p ON f.product_id = p.product_id
+        |  WHERE year(f.date) = 1995
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(SUM(tq) AS BIGINT) AS grand_total,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups
+        |FROM grouped""".stripMargin,
+    "q165_diag_q55_bycat" ->
+      """WITH inv AS (
+        |  SELECT 'P' || CAST(l_partkey AS VARCHAR) AS product_id,
+        |         'CAT' || CAST(l_partkey % 7 AS VARCHAR) AS product_category,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           // CAST(GREATEST(floor(l_quantity), 1) AS BIGINT) AS up_cents,
+        |         CAST(floor(l_quantity) AS INTEGER) AS quantity_sold,
+        |         l_shipdate AS date
+        |  FROM lineitem
+        |), dim_product AS (
+        |  SELECT DISTINCT product_id, product_category, up_cents FROM inv
+        |)
+        |SELECT p.product_category,
+        |       CAST(SUM(f.quantity_sold) AS BIGINT) AS total_quantity_sold
+        |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
+        |WHERE year(f.date) = 1995
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
   // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
   // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,

@@ -169,11 +169,23 @@ object Sources {
     * query (predicate evaluated by the database), or filters files
     * post-scan (Catalyst pushes it into the parquet/CSV scan).
     */
+  /** Strict `yyyy-MM-dd[ HH:mm:ss[.SSS...]]` shape for persisted
+    * watermarks (date-only and full-timestamp forms). Interpolating a
+    * watermark into the JDBC pushdown query is only safe because this
+    * gate rejects anything else — a tampered or corrupted watermark
+    * file must fail the run, not reach the source database as
+    * injected SQL.
+    */
+  private val WatermarkShape =
+    "^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,9})?)?$".r
+
   def incremental(
       spark: SparkSession, cfg: SourceConfig, tsCol: String): Option[String] => DataFrame = {
     case None => read(spark, cfg)
     case Some(w) => cfg match {
       case j: JdbcSource =>
+        require(WatermarkShape.matches(w),
+          s"watermark '$w' is not a timestamp literal — refusing to splice it into JDBC SQL")
         read(spark, j.copy(query = s"SELECT * FROM (${j.query}) s WHERE $tsCol > '$w'"))
       case other =>
         read(spark, other).filter(col(tsCol) > to_timestamp(lit(w)))

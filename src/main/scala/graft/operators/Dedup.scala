@@ -308,10 +308,11 @@ object Dedup {
     * column — the fuzzy-title/fuzzy-name join record linkage needs
     * (catalog titles, author names, URLs) where token/shingle methods
     * miss single-character typos. Blocking, not all-pairs: candidates
-    * must share the first `prefixLen` normalized characters and have
-    * |length difference| ≤ `maxDist` (a length gap > d already forces
-    * edit distance > d, so the length filter is lossless). Within a
-    * block the join is a shuffle on the prefix key; Spark's codegen'd
+    * must share the first `prefixLen` normalized characters OR the
+    * last `prefixLen`, and have |length difference| ≤ `maxDist` (a
+    * length gap > d already forces edit distance > d, so the length
+    * filter is lossless). Within a block the join is a shuffle on the
+    * block key; Spark's codegen'd
     * `levenshtein(l, r, threshold)` band-limits the DP to O(len·d)
     * and early-exits past the threshold. At 100 TB the prefix blocks
     * bound candidate volume the same way LSH bands do for
@@ -322,22 +323,34 @@ object Dedup {
       maxDist: Int = 3, prefixLen: Int = 6): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
-    val keyed = docs.select(
+    val base = docs.select(
         col(idCol).as("doc_id"),
         col(keyCol).as("key"),
-        substring(col(keyCol), 1, prefixLen).as("blk"),
         length(col(keyCol)).as("len"))
       .filter(col("key").isNotNull)
+    // Dual blocking: candidates share the first `prefixLen` characters
+    // OR the last `prefixLen` (suffix equality survives edits anywhere
+    // before the tail, including front insertions/deletions that shift
+    // every other position). A pair is missed only when edits touch
+    // BOTH windows — in particular every single-typo (maxDist-capable)
+    // pair is caught, closing the prefix-only scheme's structural miss
+    // of typos inside the prefix. Two block rows per key; pairs found
+    // by both blocks collapse in the distinct.
+    val keyed = base.withColumn("blk",
+      explode(array(
+        concat(lit("p:"), substring(col("key"), 1, prefixLen)),
+        concat(lit("s:"), expr(s"right(key, $prefixLen)")))))
     keyed.as("l").join(keyed.as("r"),
         col("l.blk") === col("r.blk") &&
           col("l.doc_id") < col("r.doc_id") &&
           abs(col("l.len") - col("r.len")) <= maxDist)
-      .withColumn("dist",
-        levenshtein(col("l.key"), col("r.key"), maxDist).cast("long"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.key").as("lk"), col("r.key").as("rk"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("lk"), col("rk"), maxDist).cast("long"))
       // the thresholded builtin returns -1 when distance exceeds maxDist
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("dist"))
+      .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
   /** 64-bit SimHash signatures: bit j of the signature is the sign of

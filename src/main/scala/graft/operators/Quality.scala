@@ -22,11 +22,11 @@ object Quality {
     * groups-cardinality small).
     *
     * Declared decimal widths bound the products away from Spark's
-    * 38-digit cap: cents ≤ 1e10, group rows ≤ 1e10 keep every term
-    * exact (n·x − s squared is capped at DECIMAL(38) but its runtime
-    * magnitude ≤ ~1e42 only past 1e10-row × 1e10-cent groups — far
-    * beyond the declared domain, and ANSI mode throws rather than
-    * corrupts if exceeded).
+    * 38-digit cap. Safe domain: |cents| ≤ 1e8 (values ≤ $1M) and group
+    * rows ≤ 1e10 — then s ≤ 1e18 < 1e26, ss ≤ 1e26 < 1e36, and the
+    * final comparison's largest terms (dev² ≤ ~1e37, n·ss ≤ 1e36) stay
+    * inside DECIMAL(38). Outside that domain ANSI mode throws rather
+    * than corrupts.
     */
   def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
       sigmas: Int = 3): DataFrame = {
@@ -35,8 +35,8 @@ object Quality {
       expr(s"CAST(floor($valueCol * 100 + 0.5) AS DECIMAL(10,0))"))
     val stats = withCents.groupBy(col(groupCol)).agg(
       count(lit(1)).cast(DecimalType(10, 0)).as("__n"),
-      sum(col("__xc")).cast(DecimalType(16, 0)).as("__s"),
-      sum(col("__xc") * col("__xc")).cast(DecimalType(22, 0)).as("__ss"))
+      sum(col("__xc")).cast(DecimalType(26, 0)).as("__s"),
+      sum(col("__xc") * col("__xc")).cast(DecimalType(36, 0)).as("__ss"))
     val dev = col("__n") * col("__xc") - col("__s")
     withCents.join(broadcast(stats), Seq(groupCol))
       .filter(dev * dev >

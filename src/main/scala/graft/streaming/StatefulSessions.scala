@@ -80,32 +80,7 @@ object StatefulSessions {
     SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastTs),
       s.nEvents, s.value, s.types.size, capped)
 
-  /** Batch reference implementation of the same semantics, for tests. */
-  def sessionizeBatch(events: DataFrame, gapMs: Long, maxEvents: Int): Seq[SessionOut] = {
-    import org.apache.spark.sql.functions._
-    events.select(col("user_id"), col("ts"), col("event_type"), col("value"))
-      .collect()
-      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
-      .groupBy(_.user_id).toSeq
-      .flatMap { case (uid, evs) =>
-        val sorted = evs.sortBy(_.ts.getTime)
-        val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-        var cur: Option[SessionState] = None
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.lastTs <= gapMs && s.nEvents < maxEvents =>
-              cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
-                value = s.value + e.value, types = s.types + e.event_type))
-            case Some(s) =>
-              sessions += out(uid, s, capped = s.nEvents >= maxEvents)
-              cur = Some(SessionState(t, t, 1, e.value, Set(e.event_type)))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value, Set(e.event_type)))
-          }
-        }
-        cur.foreach(s => sessions += out(uid, s, capped = false))
-        sessions
-      }
-  }
+  // The batch reference of this semantics lives in the test tree
+  // (graft.streaming.BatchReferences.sessionizeBatch): it collects its
+  // input, so it must not be reachable from main.
 }

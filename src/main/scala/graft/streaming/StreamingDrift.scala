@@ -69,20 +69,7 @@ object StreamingDrift {
       }
   }
 
-  /** Batch reference of the same arithmetic over ALL windows, for
-    * tests (a batch frame has no open-window notion).
-    */
-  def typeSharesBatch(events: DataFrame, windowMs: Long): Seq[ShareOut] = {
-    events.select(col("ts"), col("event_type")).collect()
-      .map(r => (Math.floorDiv(r.getTimestamp(0).getTime, windowMs) * windowMs,
-        r.getString(1)))
-      .groupBy(_._1).toSeq
-      .flatMap { case (wStart, rows) =>
-        val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
-        val total = counts.values.sum
-        counts.toSeq.sortBy(_._1).map { case (tpe, n) =>
-          ShareOut(new Timestamp(wStart), tpe, n, n * 1000000L / total)
-        }
-      }
-  }
+  // The batch reference of this arithmetic lives in the test tree
+  // (graft.streaming.BatchReferences.typeSharesBatch): it collects its
+  // input, so it must not be reachable from main.
 }

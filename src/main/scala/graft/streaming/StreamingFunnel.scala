@@ -70,24 +70,7 @@ object StreamingFunnel {
       }
   }
 
-  /** Batch reference of the same semantics, for tests. */
-  def progressionsBatch(events: DataFrame, stages: Seq[String]): Seq[Advance] = {
-    import org.apache.spark.sql.functions._
-    val stageIdx = stages.zipWithIndex.toMap
-    events.select(col("user_id"), col("ts"), col("event_type")).collect()
-      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getString(2)))
-      .groupBy(_.user_id).toSeq
-      .flatMap { case (uid, evs) =>
-        var cur = FunnelState(-1, Long.MinValue)
-        evs.filter(e => stageIdx.contains(e.event_type))
-          .sortBy(e => (e.ts.getTime, stageIdx(e.event_type)))
-          .flatMap { e =>
-            val idx = stageIdx(e.event_type)
-            if (idx == cur.reachedIdx + 1 && e.ts.getTime >= cur.reachedTs) {
-              cur = FunnelState(idx, e.ts.getTime)
-              Some(Advance(uid, e.event_type, idx, e.ts))
-            } else None
-          }
-      }
-  }
+  // The batch reference of this semantics lives in the test tree
+  // (graft.streaming.BatchReferences.progressionsBatch): it collects
+  // its input, so it must not be reachable from main.
 }

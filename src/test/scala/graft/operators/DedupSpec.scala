@@ -306,18 +306,29 @@ class DedupSpec extends SparkSpec {
       s"expected file-relation leaves, got: ${leaves.map(_.getClass.getSimpleName)}")
   }
 
-  test("fuzzyPairs: finds typo-distance keys inside a block, never across blocks") {
+  test("fuzzyPairs: finds typo-distance keys inside a block, rejects far keys") {
     val docs = Seq(
       (1L, "spark engine tuning"),
       (2L, "spark engiine tuning"), // 1 insertion from doc 1
-      (3L, "spark en"),             // shares the block, too far (dist > 3)
-      (4L, "kafka engine tuning"),  // different 6-char prefix → never compared
+      (3L, "spark en"),             // shares the prefix block, too far (dist > 3)
+      (4L, "kafka engine tuning"),  // suffix block matches doc 1, dist 5 → rejected
       (5L, "spark emgine tunin")    // 2 edits from doc 1
     ).toDF("doc_id", "key")
     val pairs = Dedup.fuzzyPairs(docs, "doc_id", "key", maxDist = 3, prefixLen = 6)
       .orderBy("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq === Seq((1L, 2L, 1L), (1L, 5L, 2L), (2L, 5L, 3L)))
+  }
+
+  test("fuzzyPairs: a typo INSIDE the prefix is caught via the suffix block") {
+    val docs = Seq(
+      (1L, "xspark engine tuning"),
+      (2L, "yspark engine tuning"), // substitution at position 1 — prefix blocks differ
+      (3L, "zebra zebra zebra")     // matches neither block of 1/2
+    ).toDF("doc_id", "key")
+    val pairs = Dedup.fuzzyPairs(docs, "doc_id", "key", maxDist = 3, prefixLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 1L)))
   }
 
   test("fuzzyPairs: length prefilter is lossless at the threshold boundary") {

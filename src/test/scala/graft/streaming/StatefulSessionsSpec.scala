@@ -38,7 +38,7 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(q.exception.isEmpty)
     val streamed = spark.sql("SELECT * FROM state_sess").as[StatefulSessions.SessionOut]
       .collect().toSet
-    val expectedAll = StatefulSessions.sessionizeBatch(events, gapMs, maxEvents = 3).toSet
+    val expectedAll = BatchReferences.sessionizeBatch(events, gapMs, maxEvents = 3).toSet
     // append mode emits sessions closed by arriving data within the run;
     // sessions still open at end-of-stream stay in state (their timeout
     // fires on a later batch) — so streamed ⊆ batch, and every CLOSED
@@ -53,7 +53,7 @@ class StatefulSessionsSpec extends SparkSpec {
   }
 
   test("batch reference semantics: gap split, cap split, type counting") {
-    val out = StatefulSessions.sessionizeBatch(events, gapMs, maxEvents = 3)
+    val out = BatchReferences.sessionizeBatch(events, gapMs, maxEvents = 3)
     val u1 = out.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
     assert(u1.map(_.n_events) === Seq(2L, 1L))
     assert(u1.head.n_event_types === 2)

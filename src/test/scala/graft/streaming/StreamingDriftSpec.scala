@@ -37,7 +37,7 @@ class StreamingDriftSpec extends SparkSpec {
 
     val streamed = spark.sql("SELECT * FROM drift_mem")
       .as[StreamingDrift.ShareOut].collect().toSet
-    val expectedAll = StreamingDrift.typeSharesBatch(early.unionByName(late), hourMs).toSet
+    val expectedAll = BatchReferences.typeSharesBatch(early.unionByName(late), hourMs).toSet
     // closed-window rows must be a subset of the batch reference and
     // exactly correct; the 13:00 window stays open at end-of-stream
     assert(streamed.subsetOf(expectedAll), s"streamed=$streamed")
@@ -53,7 +53,7 @@ class StreamingDriftSpec extends SparkSpec {
     val events = Seq(
       (ts("2024-01-01 09:10:00"), "a"), (ts("2024-01-01 09:20:00"), "b"),
       (ts("2024-01-01 09:30:00"), "c")).toDF("ts", "event_type")
-    val out = StreamingDrift.typeSharesBatch(events, hourMs)
+    val out = BatchReferences.typeSharesBatch(events, hourMs)
     assert(out.map(_.ppm).sum <= 1000000L)
     assert(out.forall(_.ppm == 333333L))
   }

@@ -44,7 +44,7 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(q.exception.isEmpty)
     val streamed = spark.sql("SELECT * FROM funnel_adv")
       .as[StreamingFunnel.Advance].collect().toSet
-    val expected = StreamingFunnel.progressionsBatch(events, stages).toSet
+    val expected = BatchReferences.progressionsBatch(events, stages).toSet
     assert(streamed === expected, s"streamed=$streamed\nexpected=$expected")
     spark.sql("DROP TABLE IF EXISTS funnel_adv")
   }
@@ -84,7 +84,7 @@ class StreamingFunnelSpec extends SparkSpec {
   }
 
   test("batch reference: order enforced, ties advance, stage counts match Funnel") {
-    val adv = StreamingFunnel.progressionsBatch(events, stages)
+    val adv = BatchReferences.progressionsBatch(events, stages)
     // user 1 full funnel, user 2 view→click only (the 09:00 click is
     // pre-view), user 3 same-instant chain, user 4 nothing
     assert(adv.count(_.stage_idx == 0) === 3)
@@ -106,7 +106,7 @@ class StreamingFunnelSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2).toInt, r.getTimestamp(3)))
       .toSet
-    val reference = StreamingFunnel.progressionsBatch(events, stages)
+    val reference = BatchReferences.progressionsBatch(events, stages)
       .map(a => (a.user_id, a.stage, a.stage_idx, a.ts)).toSet
     assert(distributed === reference)
   }
