@@ -504,40 +504,86 @@ object QueryCatalog {
     }),
 
     // MinHash + LSH near-dup pairs, Jaccard-verified. Near-dups forced
-    // by re-keyed copies with the last 2 tokens dropped.
+    // by re-keyed copies with the last 2 tokens dropped. ORACLE-CHECKED
+    // (r5): output is the planted pair set with exact integer gram
+    // counts from the same shingle sets the operator verified with —
+    // the oracle recomputes the word-3-gram sets and the 0.5 threshold
+    // in SQL, so both candidate recall (k=48/24 bands: band-miss odds
+    // at the weakest measured planted pair are < 1e-12) and the
+    // Jaccard-verify arithmetic are value-grounded. Natural near-dup
+    // pairs (unbounded, banding-recall-dependent) stay out of the
+    // compared set by the planted keying filter.
     "q26_docs_minhash_neardup" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutated = d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1),
             greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(1)))).as("text"))
-      Dedup.nearDupPairs(d.unionByName(mutated), "doc_id", "text", threshold = 0.5)
-        .withColumn("jaccard", round(col("jaccard"), 4))
-        .orderBy(col("doc_a"), col("doc_b"))
+      val all = d.unionByName(mutated)
+      val sets = all.select(col("doc_id"),
+        graft.expressions.GraftFunctions.shingleSet(col("text"), 3, charLevel = false).as("sh"))
+      Dedup.nearDupPairs(all, "doc_id", "text", threshold = 0.5, k = 48, bands = 24)
+        .filter(col("doc_a") % 7 === 0 && col("doc_b") === col("doc_a") + 200000L)
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(col("sha")).cast("long").as("n_grams_a"),
+          size(col("shb")).cast("long").as("n_grams_b"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_shared"))
+        .orderBy(col("doc_a"))
     }),
 
     // SimHash near-dup candidates (Hamming ≤ 3 over 64-bit signatures).
+    // ORACLE-CHECKED (r5) via two planted classes with provable
+    // outcomes: exact copies MUST pair with their source at Hamming 0
+    // (identical text → identical signature → identical bands, pure
+    // determinism), reversed copies MUST NOT pair (measured signature
+    // distance ≥ 13 at every scale vs the ≤ 3 gate). The banding is
+    // complete for Hamming ≤ 3 by pigeonhole (4 × 16-bit bands), so a
+    // missing copy pair or a surviving reversed pair is a real defect.
+    // Near-threshold Hamming behavior stays spec-gated.
     "q27_docs_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mutated = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000L).as("doc_id"),
-          concat(col("text"), lit(" extra token")).as("text"))
-      Dedup.simhashPairs(d.unionByName(mutated), "doc_id", "text", maxHamming = 3)
+      val copies = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val rev = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"), reverse(col("text")).as("text"))
+      Dedup.simhashPairs(d.unionByName(copies).unionByName(rev), "doc_id", "text",
+          maxHamming = 3)
+        .filter((col("doc_a") % 7 === 0 && col("doc_b") === col("doc_a") + 200000L) ||
+                (col("doc_a") % 11 === 0 && col("doc_b") === col("doc_a") + 800000L))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // character n-gram Jaccard set-similarity join (anchor-blocked, so
     // candidate generation never goes all-pairs). Near-dups forced by
     // re-keyed copies with a token appended.
+    // ORACLE-CHECKED (r5), same pattern as q26: planted appended-tail
+    // pairs with exact char-6-gram counts; the oracle regenerates the
+    // grams with substr windows and applies the 0.8 threshold by
+    // integer cross-multiplication, so the char-shingle kernel and the
+    // threshold arithmetic are value-checked end to end. k=48/24 bands
+    // makes a band miss at the weakest measured planted pair
+    // (j = 0.839) a < 1e-12 event.
     "q28_docs_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutated = d.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 300000L).as("doc_id"),
           concat(col("text"), lit(" appended tail")).as("text"))
-      Dedup.ngramJaccardPairs(d.unionByName(mutated), "doc_id", "text",
-          n = 6, threshold = 0.8)
-        .withColumn("jaccard", round(col("jaccard"), 4))
-        .orderBy(col("doc_a"), col("doc_b"))
+      val all = d.unionByName(mutated)
+      val sets = all.select(col("doc_id"),
+        graft.expressions.GraftFunctions.shingleSet(col("text"), 6, charLevel = true).as("sh"))
+      Dedup.ngramJaccardPairs(all, "doc_id", "text",
+          n = 6, threshold = 0.8, k = 48, bands = 24)
+        .filter(col("doc_a") % 9 === 0 && col("doc_b") === col("doc_a") + 300000L)
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(col("sha")).cast("long").as("n_grams_a"),
+          size(col("shb")).cast("long").as("n_grams_b"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_shared"))
+        .orderBy(col("doc_a"))
     }),
 
     // similarity search: exact brute-force cosine top-k.
@@ -627,13 +673,21 @@ object QueryCatalog {
 
     // embedding-cosine near-dup dedup: hyperplane-LSH candidates,
     // exact cosine ≥ 0.95 (dups forced by re-keyed copies).
+    // ORACLE-CHECKED (r5): planted identical-vector copies MUST pair
+    // with their source — an identical vector lands in the same
+    // hyperplane bucket of every table (identical sign tests) and its
+    // exact-cosine verify is 1 up to a few ulp, far above 0.95 — so
+    // the oracle states the full planted set. Natural near-dup pairs
+    // (cosine doubles near the threshold, banding-recall-dependent)
+    // are excluded by the keying filter and stay spec-gated.
     "q37_emb_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val dupes = e.filter(col("vec_id") % 40 === 0)
         .withColumn("vec_id", col("vec_id") + 500000L)
       Similarity.embeddingNearDupPairs(e.unionByName(dupes), threshold = 0.95, dim = 64)
-        .withColumn("cosine", round(col("cosine"), 4))
-        .orderBy(col("id_a"), col("id_b"))
+        .filter(col("id_a") % 40 === 0 && col("id_b") === col("id_a") + 500000L)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))
     }),
 
     // training-data curation pipeline: exact dedup → quality filter →
@@ -758,14 +812,25 @@ object QueryCatalog {
     // winnowing-fingerprint overlap join: partial copies (a 200-char
     // prefix re-keyed) share selected fingerprints with their source —
     // the containment shape whole-document MinHash dilutes away.
+    // ORACLE-CHECKED (r5): the planted containment pairs are the
+    // compared set; every planted pair shares ≥ 12 selected
+    // fingerprints at every tested scale (vs the minShared = 3 gate),
+    // so the oracle states the full planted set. maxDocFreq = 1000
+    // (not 50): at sf0.1 the 10×-denser corpus pushes common prefix
+    // fingerprints past 50 docs and the tighter cap silently dropped
+    // 69/1000 planted pairs — the cap exists to bound the inverted-
+    // index join, so it must scale with corpus size, not sit inside
+    // the natural doc-frequency distribution.
     "q59_docs_fingerprint_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val partial = d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 400000L).as("doc_id"),
           substring(col("text"), 1, 200).as("text"))
       Dedup.fingerprintPairs(d.unionByName(partial), "doc_id", "text",
-          k = 8, w = 4, minShared = 3, maxDocFreq = 50)
-        .orderBy(col("doc_a"), col("doc_b"))
+          k = 8, w = 4, minShared = 3, maxDocFreq = 1000)
+        .filter(col("doc_a") % 5 === 0 && col("doc_b") === col("doc_a") + 400000L)
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"))
     }),
 
     // embedding near-dup resolution: LSH-bucketed candidate pairs →
@@ -825,6 +890,20 @@ object QueryCatalog {
     // incremental dedup: a new batch (exact copies, near-dup
     // mutations, genuinely-new reversed docs) dedups against the kept
     // history's compact artifacts — only the genuinely new survive.
+    // ORACLE-CHECKED (r5): the oracle derives the survivor set from
+    // first principles — every exact copy dies (md5 anti-join, pure
+    // determinism), every near-dup mutation dies (j ≈ 0.9 vs its
+    // source; a band miss at 8 bands of 2 rows is < 2e-6 per doc and
+    // zero at every tested scale), and the reversed docs survive
+    // EXCEPT non-minimal members of within-batch j ≥ 0.5 components,
+    // which the oracle recomputes exactly (reversal is a bijection on
+    // shingle sets, so reversed-pair Jaccard equals original-pair
+    // Jaccard; the measured reversed-vs-history maximum is 0.0 and
+    // within-batch pairs sit at j ≥ 0.9 — nothing lives near the 0.5
+    // boundary where banding recall could differ from the oracle's
+    // exact graph). bands = 8 (r = 2), not the default 4 (r = 4): the
+    // planted j ≈ 0.9 mutations had a measured ~1.4% per-doc band-miss
+    // rate at r = 4 (two escaped at sf0.01) vs < 2e-6 at r = 2.
     "q68_docs_incremental_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       // materialized: dedupeIncrement references the history 3× and a
@@ -839,7 +918,7 @@ object QueryCatalog {
           .select((col("doc_id") + 700000L).as("doc_id"),
             reverse(col("text")).as("text")))
       Dedup.dedupeIncrement(Dedup.artifacts(batch, "doc_id", "text"),
-          history, threshold = 0.5)
+          history, threshold = 0.5, bands = 8)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -5056,12 +5135,137 @@ object QueryCatalog {
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |WHERE year(f.date) = 1995
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q26: planted last-2-tokens-dropped pairs with exact word-3-gram
+    // counts. The oracle rebuilds both token arrays (the mutation is a
+    // pure array slice) and the gram sets in SQL, and applies the 0.5
+    // Jaccard gate by integer cross-multiplication (2·∩ ≥ ∪) — the
+    // exact-rational equivalent of the engine's double compare at
+    // every reachable rational (set sizes ≤ ~10³ keep adjacent
+    // rationals ~1e-4 apart, 12 orders above double rounding).
+    "q26_docs_minhash_neardup" ->
+      """WITH orig AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 7 = 0 AND length(trim(text)) > 0
+        |), pairs AS (
+        |  SELECT doc_id, t AS ta,
+        |         t[1:CAST(GREATEST(len(t) - 2, 1) AS BIGINT)] AS tb
+        |  FROM orig
+        |), grams_a AS (
+        |  SELECT DISTINCT doc_id,
+        |         ta[CAST(i AS INTEGER)] || ' ' || ta[CAST(i+1 AS INTEGER)] || ' ' || ta[CAST(i+2 AS INTEGER)] AS g
+        |  FROM (SELECT doc_id, ta, unnest(generate_series(1, len(ta) - 2)) AS i FROM pairs)
+        |), grams_b AS (
+        |  SELECT DISTINCT doc_id,
+        |         tb[CAST(i AS INTEGER)] || ' ' || tb[CAST(i+1 AS INTEGER)] || ' ' || tb[CAST(i+2 AS INTEGER)] AS g
+        |  FROM (SELECT doc_id, tb, unnest(generate_series(1, len(tb) - 2)) AS i FROM pairs)
+        |), sa AS (SELECT doc_id, COUNT(*) AS n FROM grams_a GROUP BY doc_id),
+        |sb AS (SELECT doc_id, COUNT(*) AS n FROM grams_b GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id, COUNT(*) AS ni
+        |  FROM grams_a a JOIN grams_b b ON a.doc_id = b.doc_id AND a.g = b.g
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT sa.doc_id AS doc_a, sa.doc_id + 200000 AS doc_b,
+        |       CAST(sa.n AS BIGINT) AS n_grams_a,
+        |       CAST(sb.n AS BIGINT) AS n_grams_b,
+        |       CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_shared
+        |FROM sa JOIN sb ON sa.doc_id = sb.doc_id
+        |LEFT JOIN inter i ON sa.doc_id = i.doc_id
+        |WHERE 2 * COALESCE(i.ni, 0) >= sa.n + sb.n - COALESCE(i.ni, 0)
+        |ORDER BY doc_a""".stripMargin,
+    // q27: exact copies pair at Hamming 0 by construction; reversed
+    // plants never reach the ≤ 3 gate (measured signature distance
+    // ≥ 13 at every scale), so the planted-copy set IS the output.
+    "q27_docs_simhash" ->
+      """SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b,
+        |       CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q28: planted appended-tail pairs with exact char-6-gram counts
+    // (substr windows; ASCII testdata keeps byte and char grams
+    // identical) and the 0.8 gate as 5·∩ ≥ 4·∪.
+    "q28_docs_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0
+        |), ab AS (
+        |  SELECT doc_id, text AS ta, text || ' appended tail' AS tb FROM docs
+        |), grams_a AS (
+        |  SELECT DISTINCT doc_id, substr(ta, CAST(i AS INTEGER), 6) AS g
+        |  FROM (SELECT doc_id, ta, unnest(generate_series(1, length(ta) - 5)) AS i FROM ab)
+        |), grams_b AS (
+        |  SELECT DISTINCT doc_id, substr(tb, CAST(i AS INTEGER), 6) AS g
+        |  FROM (SELECT doc_id, tb, unnest(generate_series(1, length(tb) - 5)) AS i FROM ab)
+        |), sa AS (SELECT doc_id, COUNT(*) AS n FROM grams_a GROUP BY doc_id),
+        |sb AS (SELECT doc_id, COUNT(*) AS n FROM grams_b GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id, COUNT(*) AS ni
+        |  FROM grams_a a JOIN grams_b b ON a.doc_id = b.doc_id AND a.g = b.g
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT sa.doc_id AS doc_a, sa.doc_id + 300000 AS doc_b,
+        |       CAST(sa.n AS BIGINT) AS n_grams_a,
+        |       CAST(sb.n AS BIGINT) AS n_grams_b,
+        |       CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_shared
+        |FROM sa JOIN sb ON sa.doc_id = sb.doc_id
+        |LEFT JOIN inter i ON sa.doc_id = i.doc_id
+        |WHERE 5 * COALESCE(i.ni, 0) >= 4 * (sa.n + sb.n - COALESCE(i.ni, 0))
+        |ORDER BY doc_a""".stripMargin,
+    // q37: identical-vector plants land in identical LSH buckets and
+    // verify at cosine ≈ 1 ≫ 0.95, so the planted set is exact.
+    "q37_emb_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 500000 AS id_b
+        |FROM embeddings WHERE vec_id % 40 = 0
+        |ORDER BY id_a""".stripMargin,
+    // q59: every planted 200-char-prefix copy shares ≥ 12 winnowing
+    // fingerprints with its source at every tested scale (gate: ≥ 3),
+    // so the planted containment set is exact.
+    "q59_docs_fingerprint_overlap" ->
+      """SELECT doc_id AS doc_a, doc_id + 400000 AS doc_b
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_a""".stripMargin,
+    // q68: survivors from first principles — exact copies and near-dup
+    // mutations die; reversed docs survive except non-minimal members
+    // of within-batch j ≥ 0.5 components, recomputed exactly here over
+    // the reversed texts (q70 gram pattern + q73 reachability CTE).
+    "q68_docs_incremental_dedup" ->
+      """WITH RECURSIVE rev AS (
+        |  SELECT doc_id + 700000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM rev WHERE length(trim(text)) > 0
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+        |), sets AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter i
+        |  JOIN sets sa ON i.doc_a = sa.doc_id
+        |  JOIN sets sb ON i.doc_b = sb.doc_id
+        |  WHERE 2 * i.ninter >= sa.n + sb.n - i.ninter
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), walk(node, reached) AS (
+        |  SELECT doc_id, doc_id FROM rev
+        |  UNION
+        |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reached
+        |)
+        |SELECT node AS doc_id
+        |FROM walk GROUP BY node HAVING node = MIN(reached)
+        |ORDER BY doc_id""".stripMargin,
   )
-  // Rows-only (no portable SQL equivalent): q26–q28 MinHash/SimHash/
-  // n-gram banding, q32 fingerprints, q37 embedding near-dup pairs,
-  // q49 MinHash-union agg, q58–q60 near-dup resolution & fingerprint
-  // overlap, q68 incremental near-dup (all hash-/banding-dependent
-  // candidates; their exact baselines are oracle-verified — q29
-  // cosine, q70 token-Jaccard, q23 exact hash), and q136 deflate
-  // ratio (no SQL zlib; value-grounded by specs).
+  // Rows-only (no portable SQL equivalent): q32 fingerprints (custom
+  // winnowing hashes), q49 MinHash-union agg (signature longs), q58 &
+  // q60 near-dup resolution over the FULL corpus (unbounded natural
+  // borderline pairs make an exact oracle infeasible; their machinery
+  // is value-grounded by q73 components + q26/q28/q37/q59/q68 planted
+  // oracles), and q136 deflate ratio (no SQL zlib; value-grounded by
+  // specs).
 }
