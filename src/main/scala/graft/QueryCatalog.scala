@@ -124,18 +124,24 @@ object QueryCatalog {
     * recursive deletion at JVM exit (the frames a query returns read
     * lazily from these dirs, so deleting any earlier would break the
     * driver's collect) — repeated bench/verify runs no longer
-    * accumulate orphaned parquet trees in /tmp.
+    * accumulate orphaned parquet trees in /tmp. ONE JVM-wide hook
+    * drains a concurrent queue of registered paths, so N invocations
+    * cost N temp dirs but O(1) hook threads.
     */
-  private def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(p.toFile)
+      scratchDirs.forEach(p => rm(p.toFile))
     }))
+  private def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
     p.toString
   }
 
@@ -508,13 +514,15 @@ object QueryCatalog {
     // (r5): output is the planted pair set with exact integer gram
     // counts from the same shingle sets the operator verified with —
     // the oracle recomputes the word-3-gram sets and the 0.5 threshold
-    // in SQL, so both candidate recall (k=48/24 bands: band-miss odds
-    // at the weakest measured planted pair are < 1e-12) and the
+    // in SQL, so both candidate recall (k=48/24 bands, r = 2:
+    // band-miss odds at the weakest measured planted pair, j = 0.75,
+    // are (1-j²)^24 ≈ 2.5e-9 — ~3e-8 summed over all 715 planted
+    // pairs at sf0.1) and the
     // Jaccard-verify arithmetic are value-grounded. Natural near-dup
     // pairs (unbounded, banding-recall-dependent) stay out of the
     // compared set by the planted keying filter.
     "q26_docs_minhash_neardup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = assertAscii(t(s, dir, "documents")).select(col("doc_id"), col("text"))
       val mutated = d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1),
@@ -564,10 +572,10 @@ object QueryCatalog {
     // grams with substr windows and applies the 0.8 threshold by
     // integer cross-multiplication, so the char-shingle kernel and the
     // threshold arithmetic are value-checked end to end. k=48/24 bands
-    // makes a band miss at the weakest measured planted pair
-    // (j = 0.839) a < 1e-12 event.
+    // (r = 2) make a band miss at the weakest measured planted pair
+    // (j = 0.800 at sf0.1) a (1-j²)^24 ≈ 2e-11 event.
     "q28_docs_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = assertAscii(t(s, dir, "documents")).select(col("doc_id"), col("text"))
       val mutated = d.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 300000L).as("doc_id"),
           concat(col("text"), lit(" appended tail")).as("text"))
@@ -815,19 +823,22 @@ object QueryCatalog {
     // ORACLE-CHECKED (r5): the planted containment pairs are the
     // compared set; every planted pair shares ≥ 12 selected
     // fingerprints at every tested scale (vs the minShared = 3 gate),
-    // so the oracle states the full planted set. maxDocFreq = 1000
-    // (not 50): at sf0.1 the 10×-denser corpus pushes common prefix
-    // fingerprints past 50 docs and the tighter cap silently dropped
-    // 69/1000 planted pairs — the cap exists to bound the inverted-
-    // index join, so it must scale with corpus size, not sit inside
-    // the natural doc-frequency distribution.
+    // so the oracle states the full planted set. maxDocFreq is DERIVED
+    // from the corpus count (≥ 20% of docs), not hardcoded: at sf0.1
+    // the 10×-denser corpus pushed common prefix fingerprints past a
+    // fixed cap of 50 and silently dropped 69/1000 planted pairs — the
+    // cap exists to bound the inverted-index join, so it must scale
+    // with corpus size, not sit inside the natural doc-frequency
+    // distribution. The count is a parameter probe (parquet footer
+    // metadata), not a data scan.
     "q59_docs_fingerprint_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val partial = d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 400000L).as("doc_id"),
           substring(col("text"), 1, 200).as("text"))
+      val mdf = math.max(1000L, d.count() / 5).min(Int.MaxValue.toLong).toInt
       Dedup.fingerprintPairs(d.unionByName(partial), "doc_id", "text",
-          k = 8, w = 4, minShared = 3, maxDocFreq = 1000)
+          k = 8, w = 4, minShared = 3, maxDocFreq = mdf)
         .filter(col("doc_a") % 5 === 0 && col("doc_b") === col("doc_a") + 400000L)
         .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"))
@@ -2528,7 +2539,7 @@ object QueryCatalog {
     // stand in for literal grams (same sizes — the q70-proven
     // no-collision regime).
     "q152_dedup_calibration" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val d = assertAscii(t(s, dir, "documents")).filter(col("doc_id") < 100)
         .select(col("doc_id"), col("text"))
       val mutated = d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"),

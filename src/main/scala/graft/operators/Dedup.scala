@@ -311,7 +311,11 @@ object Dedup {
     * must share the first `prefixLen` normalized characters OR the
     * last `prefixLen`, and have |length difference| ≤ `maxDist` (a
     * length gap > d already forces edit distance > d, so the length
-    * filter is lossless). Within a block the join is a shuffle on the
+    * filter is lossless). Single-typo pairs are guaranteed candidates
+    * only for keys of length ≥ 2·`prefixLen` (disjoint windows — an
+    * edit sits in at most one); for shorter keys an edit in the
+    * window overlap changes both blocks and the pair is missed, so
+    * pick `prefixLen` ≤ half the shortest expected key. Within a block the join is a shuffle on the
     * block key; Spark's codegen'd
     * `levenshtein(l, r, threshold)` band-limits the DP to O(len·d)
     * and early-exits past the threshold. At 100 TB the prefix blocks
@@ -332,10 +336,14 @@ object Dedup {
     // OR the last `prefixLen` (suffix equality survives edits anywhere
     // before the tail, including front insertions/deletions that shift
     // every other position). A pair is missed only when edits touch
-    // BOTH windows — in particular every single-typo (maxDist-capable)
-    // pair is caught, closing the prefix-only scheme's structural miss
-    // of typos inside the prefix. Two block rows per key; pairs found
-    // by both blocks collapse in the distinct.
+    // BOTH windows. For keys of length >= 2*prefixLen the windows are
+    // disjoint, so every single-typo pair is caught — the guarantee
+    // that closes the prefix-only scheme's structural miss. For
+    // SHORTER keys the windows overlap and one edit inside the overlap
+    // changes both blocks, so the single-typo guarantee does NOT hold:
+    // size prefixLen <= (shortest expected key)/2 when that guarantee
+    // matters. Two block rows per key; pairs found by both blocks
+    // collapse in the distinct.
     val keyed = base.withColumn("blk",
       explode(array(
         concat(lit("p:"), substring(col("key"), 1, prefixLen)),

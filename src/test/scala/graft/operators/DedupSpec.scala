@@ -331,6 +331,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L, 1L)))
   }
 
+  test("fuzzyPairs: the single-typo guarantee boundary is 2x prefixLen, as documented") {
+    // Keys shorter than 2*prefixLen have overlapping prefix/suffix
+    // windows: one edit inside the overlap changes BOTH blocks and the
+    // pair is structurally missed. This pins the documented boundary —
+    // the cure is a smaller prefixLen, not a code change.
+    val short = Seq((1L, "abcdefgh"), (2L, "abcXefgh")).toDF("doc_id", "key")
+    val missed = Dedup.fuzzyPairs(short, "doc_id", "key", maxDist = 3, prefixLen = 6)
+    assert(missed.count() === 0,
+      "len 8 < 2*6: the position-4 edit sits in both windows and must miss")
+    val caught = Dedup.fuzzyPairs(short, "doc_id", "key", maxDist = 3, prefixLen = 4)
+    assert(caught.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set((1L, 2L, 1L)), "len 8 >= 2*4: disjoint windows catch every single typo")
+  }
+
   test("fuzzyPairs: length prefilter is lossless at the threshold boundary") {
     val docs = Seq(
       (1L, "abcdef"),
