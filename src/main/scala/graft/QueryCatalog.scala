@@ -2893,6 +2893,60 @@ object QueryCatalog {
         .agg(sum(col("total_quantity_sold")).cast("long").as("total_quantity_sold"))
         .orderBy(col("product_category"))
     }),
+
+    // keyless point-in-interval range join: lineitems shipped inside
+    // the 30-day window after each urgent order, summed per order
+    // month. No equi-key exists between the sides — a bare inequality
+    // join would plan as a nested loop; RangeJoin buckets the day
+    // domain (w = window length) into an ordinary shuffled equi-join.
+    // Points are pre-collapsed to (ship_day, count) rows so the join
+    // scales with DISTINCT days, not lineitem rows — the pattern for
+    // any small-value-domain range join at 100 TB. Day numbers are
+    // exact integers (datediff from epoch); midnight timestamps make
+    // day arithmetic ≡ the oracle's timestamp BETWEEN.
+    "q166_range_join_shipments" -> ((s, dir) => {
+      val days = t(s, dir, "lineitem")
+        .select(datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ship_day"))
+        .groupBy(col("ship_day")).agg(count(lit(1)).as("n_ship"))
+      val wins = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 30L)
+      graft.operators.RangeJoin.pointInInterval(days, "ship_day", wins, "lo", "hi",
+          bucketWidth = 30L)
+        .groupBy(col("order_month"))
+        .agg(sum(col("n_ship")).as("n_shipped_30d"))
+        .orderBy(col("order_month"))
+    }),
+
+    // keyless interval-overlap join: 7-day windows after urgent orders
+    // × 7-day windows after low-priority orders, overlap pairs counted
+    // per urgent month. Both sides collapse to (start_day, weight)
+    // first — the overlap join runs on ~2.5K distinct days per side
+    // regardless of order count, and pair multiplicity is recovered as
+    // sum(wa·wb). Each overlapping pair is emitted from exactly one
+    // bucket (the one containing max(lo_a, lo_b)) — dedup by
+    // construction, no distinct shuffle.
+    "q167_interval_overlap" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("lo_a"))
+        .groupBy(col("order_month"), col("lo_a"))
+        .agg(count(lit(1)).as("wa"))
+        .withColumn("hi_a", col("lo_a") + 7L)
+      val low = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "5-LOW")
+        .select(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("lo_b"))
+        .groupBy(col("lo_b")).agg(count(lit(1)).as("wb"))
+        .withColumn("hi_b", col("lo_b") + 7L)
+      graft.operators.RangeJoin.intervalOverlap(urgent, "lo_a", "hi_a",
+          low, "lo_b", "hi_b", bucketWidth = 7L)
+        .groupBy(col("order_month"))
+        .agg(sum(col("wa") * col("wb")).as("n_overlap_pairs"))
+        .orderBy(col("order_month"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -5145,6 +5199,32 @@ object QueryCatalog {
         |       CAST(SUM(f.quantity_sold) AS BIGINT) AS total_quantity_sold
         |FROM inv f JOIN dim_product p ON f.product_id = p.product_id
         |WHERE year(f.date) = 1995
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q166/q167: the oracles state the range predicates directly on
+    // timestamps (midnight-aligned, so day-number arithmetic on the
+    // Spark side is exactly equivalent); DuckDB plans them as IEJoin.
+    "q166_range_join_shipments" ->
+      """WITH days AS (
+        |  SELECT l_shipdate AS d, COUNT(*) AS n FROM lineitem GROUP BY 1
+        |), wins AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderdate AS lo
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT order_month, CAST(SUM(n) AS BIGINT) AS n_shipped_30d
+        |FROM wins JOIN days ON d >= lo AND d < lo + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q167_interval_overlap" ->
+      """WITH ua AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderdate AS lo,
+        |         COUNT(*) AS w
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2
+        |), lb AS (
+        |  SELECT o_orderdate AS lo, COUNT(*) AS w
+        |  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1
+        |)
+        |SELECT ua.order_month, CAST(SUM(ua.w * lb.w) AS BIGINT) AS n_overlap_pairs
+        |FROM ua JOIN lb ON ua.lo < lb.lo + INTERVAL 7 DAY
+        |              AND lb.lo < ua.lo + INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q26: planted last-2-tokens-dropped pairs with exact word-3-gram
     // counts. The oracle rebuilds both token arrays (the mutation is a
