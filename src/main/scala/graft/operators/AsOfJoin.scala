@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join: for each left row, the single right row
   * with the greatest `rightTime` ≤ `leftTime` within the same key —
@@ -26,18 +26,29 @@ object AsOfJoin {
     * when no right row precedes the left row.
     *
     * @param prefix prepended to the carried right columns in the output
+    * @param tolerance maximum staleness of the match (e.g.
+    *   `expr("INTERVAL 1 HOUR")` for timestamps, a long literal for
+    *   integer times): a matched right row older than
+    *   `leftTime - tolerance` is masked back to null — kdb/pandas
+    *   `merge_asof(tolerance=...)` semantics. Applied as a
+    *   post-window mask, so it adds zero shuffles.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+      valueCols: Seq[String], prefix: String = "asof_",
+      tolerance: Option[Column] = None): DataFrame = {
     // field order must follow valueCols (not right.schema) so the null
-    // literal's struct type agrees with the real struct built below
-    val rvType = StructType(valueCols.map(c => right.schema(c)))
+    // literal's struct type agrees with the real struct built below;
+    // the matched right TIME rides along as field __rt for the
+    // tolerance mask
+    val rvType = StructType(
+      StructField("__rt", right.schema(rightTime).dataType) +:
+        valueCols.map(c => right.schema(c)))
     val lvType = StructType(left.schema.fields)
     val r2 = right.select(
       col(key).as("__k"), col(rightTime).as("__t"),
-      struct(valueCols.map(col): _*).as("__rv"),
+      struct(col(rightTime).as("__rt") +: valueCols.map(col): _*).as("__rv"),
       lit(0).as("__side"),
       lit(null).cast(lvType).as("__lv"))
     val l2 = left.select(
@@ -48,11 +59,15 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stale = tolerance.map(tol => col("__last.__rt") < col("__t") - tol)
     l2.unionByName(r2)
       .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(col("__lv.*") +:
-        valueCols.map(c => col(s"__last.$c").as(prefix + c)): _*)
+        valueCols.map { c =>
+          val v = col(s"__last.$c")
+          stale.fold(v)(s => when(s, lit(null)).otherwise(v)).as(prefix + c)
+        }: _*)
   }
 
   /** Point-in-time SCD2 lookup: resolve each fact row against the dim

@@ -26,4 +26,19 @@ class QueryCatalogSpec extends SparkSpec {
   test("entry() smoke: flagship query yields rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("dashboard serve-layer result cache survives repeated serves and dir switches") {
+    // q55 serves dashboard Q2 through the per-(session, dir) result
+    // cache; q164 derives from the same served result. Serving twice
+    // must be value-identical, and switching sf dirs must evict — a
+    // stale cached result from the other dir would differ in rows.
+    val q55 = SparkEntry.queries("q55_pipeline_dash_q2")
+    val first = q55(spark, sfDir).collect().toSeq
+    assert(first.nonEmpty)
+    assert(q55(spark, sfDir).collect().toSeq === first, "repeat serve diverged")
+    val other = q55(spark, "/root/testdata/sf0.01").collect().toSeq
+    assert(other.size !== first.size, "dir switch should change the result set")
+    assert(q55(spark, sfDir).collect().toSeq === first,
+      "switching back must rebuild and re-serve the original result")
+  }
 }

@@ -31,6 +31,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e3") === Some(300.0)) // ≥ semantics: same-instant row matches
   }
 
+  test("asofJoin tolerance masks stale matches to null, keeps fresh and boundary ones") {
+    import org.apache.spark.sql.functions.expr
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"),    // match 30 min old → kept
+      (1L, ts("2024-01-01 12:00:00"), "boundary"), // match exactly 1 h old → kept (≥)
+      (1L, ts("2024-01-01 14:00:00"), "stale"),    // match 3 h old → masked
+      (2L, ts("2024-01-01 11:00:00"), "none"),     // no match at all → null either way
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 200.0),
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.asofJoin(left, right, "k", "t", "t", Seq("v"),
+        tolerance = Some(expr("INTERVAL 1 HOUR")))
+      .select("name", "asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("fresh") === Some(100.0))
+    assert(out("boundary") === Some(200.0), "t - tolerance == match time is NOT stale")
+    assert(out("stale") === None, "match older than tolerance masks to null")
+    assert(out("none") === None)
+  }
+
   test("scd2Lookup resolves each fact to the dim version valid at fact time") {
     val dim = Seq(
       // key 1: v=old until 2024-01-01, then v=new
