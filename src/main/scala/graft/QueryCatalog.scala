@@ -2986,6 +2986,30 @@ object QueryCatalog {
           col("asof_value"))
         .orderBy(col("event_id"))
     }),
+
+    // corpus-frequent span removal (C4-style boilerplate scrub): an
+    // 8-token banner of out-of-vocabulary words is planted onto every
+    // sixth doc; its internal 5-grams hit df = nDocs/6. Three measured
+    // df bands must separate: natural content grams (max 4 at every
+    // scale), banner→content BOUNDARY grams — "…theta <w>" is shared
+    // by every planted doc whose text starts with the same word, so
+    // its df reaches nPlanted × max-first-word-share ≈ nDocs/24
+    // (measured 6/7/37 per scale — a fixed minDf = 6 clips content!)
+    // — and the banner internals at nDocs/6. minDf = nDocs/12 sits in
+    // the gap by construction (½ of banner, 2× boundary), so the
+    // oracle states the outcome from first principles: planted docs
+    // come back as their ORIGINAL text with n_removed = 8, untouched
+    // docs pass through whole.
+    "q169_docs_boilerplate_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val banner = "alpha beta gamma delta epsilon zeta eta theta"
+      val planted = d.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"), concat(lit(banner + " "), col("text")).as("text"))
+      val all = d.filter(col("doc_id") % 6 =!= 0).unionByName(planted)
+      val minDf = math.max(6L, d.count() / 12L)
+      Dedup.removeFrequentSpans(all, "doc_id", "text", n = 5, minDf = minDf)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -5276,6 +5300,18 @@ object QueryCatalog {
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
         |) r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // q169: the planted-banner outcome stated from first principles —
+    // the banner's internal grams are the only ones reaching
+    // minDf = nDocs/12 (measured bands: natural ≤ 4, boundary ≤
+    // nDocs/24, banner = nDocs/6), so cleaned text == the pre-plant
+    // original everywhere. Text is single-spaced in the testdata, so
+    // whitespace-normalized reconstruction is identity.
+    "q169_docs_boilerplate_scrub" ->
+      """SELECT doc_id, text AS cleaned,
+        |       CAST(CASE WHEN doc_id % 6 = 0 THEN 8 ELSE 0 END AS BIGINT) AS n_removed
+        |FROM documents
+        |WHERE length(trim(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
     // q26: planted last-2-tokens-dropped pairs with exact word-3-gram
     // counts. The oracle rebuilds both token arrays (the mutation is a
     // pure array slice) and the gram sets in SQL, and applies the 0.5

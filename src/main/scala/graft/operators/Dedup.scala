@@ -629,4 +629,64 @@ object Dedup {
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
   }
+
+  /** Corpus-frequent span removal (the C4/RefinedWeb boilerplate
+    * scrub, the span-level cousin of suffix-array substring dedup):
+    * any token `n`-gram appearing in ≥ `minDf` documents is
+    * boilerplate, and every token position it covers is dropped; the
+    * document is rebuilt from the surviving tokens in order. Returns
+    * (doc_id, cleaned, n_removed).
+    *
+    * Whole-document dedup cannot catch a shared banner pasted onto
+    * otherwise-unique pages — this removes the banner and keeps the
+    * page. `minDf` must sit ABOVE the corpus's natural n-gram
+    * document frequency (measure it; the q169 catalog query derives
+    * it from the corpus count) or organic phrases get scrubbed.
+    *
+    * Scale: per-doc gram generation is codegen'd HOFs (transform/
+    * slice — no per-gram rows until the single explode); the df count
+    * is one shuffle of distinct (gram, doc) pairs; the frequent-gram
+    * set is by construction SMALL (true boilerplate), so the
+    * coverage join broadcasts it; the rebuild is one groupBy(doc_id)
+    * whose collect_list is bounded by document length. Reconstruction
+    * is whitespace-normalized (tokens joined by single spaces).
+    */
+  def removeFrequentSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDf: Long = 6L): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(trim(`$textCol`), '\\\\s+'), x -> x != '')").as("toks"))
+    // (doc_id, 0-based gram start, gram) — one explode, grams built
+    // inside codegen
+    val grams = toks.select(col("doc_id"),
+        expr(s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), " +
+          s"i -> array_join(slice(toks, i, $n), ' '))").as("gs"))
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos0", "gram")))
+    val frequent = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"))
+    val covered = grams.join(broadcast(frequent), Seq("gram"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos0 + 1, pos0 + $n)")).as("p"))
+      .distinct()
+    val tokPos = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val rebuilt = tokPos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        // positions are unique per doc, so the struct sort is a total
+        // order and the collect_list's arrival order cannot leak
+        expr("array_join(transform(array_sort(collect_list(struct(p, tok))), s -> s.tok), ' ')")
+          .as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

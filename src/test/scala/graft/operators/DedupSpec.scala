@@ -306,6 +306,30 @@ class DedupSpec extends SparkSpec {
       s"expected file-relation leaves, got: ${leaves.map(_.getClass.getSimpleName)}")
   }
 
+  test("removeFrequentSpans scrubs corpus-frequent grams, keeps sub-threshold and unique text") {
+    // banner "x1 x2 x3 x4": its two internal 3-grams appear in 4 docs
+    // (df 4 ≥ minDf 3) and together cover all 4 banner positions.
+    // "k1 k2 k3" is shared by only 2 docs (df 2 < 3) → must survive.
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4 u1 u2 u3"),
+      (2L, "x1 x2 x3 x4 v1 v2"),
+      (3L, "x1 x2 x3 x4 w1 w2 w3 w4"),
+      (4L, "k1 k2 k3 p q"),
+      (5L, "k1 k2 k3 r s"),
+      (6L, "x1 x2 x3 x4"), // pure boilerplate → empty survivor
+      (7L, "   ")          // blank → filtered out entirely
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeFrequentSpans(docs, "doc_id", "text", n = 3, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("u1 u2 u3", 4L)))
+    assert(out(2L) === (("v1 v2", 4L)))
+    assert(out(3L) === (("w1 w2 w3 w4", 4L)))
+    assert(out(4L) === (("k1 k2 k3 p q", 0L)), "df 2 < minDf 3 must survive")
+    assert(out(5L) === (("k1 k2 k3 r s", 0L)))
+    assert(out(6L) === (("", 4L)), "a fully-boilerplate doc keeps nothing")
+    assert(!out.contains(7L), "blank docs are dropped, not emitted")
+  }
+
   test("fuzzyPairs: finds typo-distance keys inside a block, rejects far keys") {
     val docs = Seq(
       (1L, "spark engine tuning"),
