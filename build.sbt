@@ -19,6 +19,18 @@ Test / unmanagedJars ++= {
 }
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED. With the default
+// LoggedOutput strategy sbt wraps every Bench stdout line as
+// "[info] {...}" and appends its own "[success] Total time" trailer,
+// which defeated the driver's last-line JSON parse for five rounds
+// (BENCH_r0{1..5}.json all have "parsed": null while the JSON line is
+// visibly present in the tail). StdoutOutput = raw passthrough.
+run / outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's own "[success] Total time" trailer, so the forked
+// Bench's compact JSON really is the LAST stdout line a driver-side
+// last-line parser sees (belt to the StdoutOutput suspenders; Bench
+// additionally prints the JSON twice).
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,10 +26,28 @@ object Bench {
     // (r4: q55 +31% from exactly that).
     try QueryCatalog.warmDashboard(spark, sfDir)
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Environment canary: three stable reference queries (untouched
+    // since r4) timed against their r4-driver sf0.1 constants, so
+    // driver-vs-driver round comparisons can be normalized instead of
+    // reverse-engineered (r5's 1.32× median env drift had to be
+    // inferred after the fact). Only meaningful at sf0.1 — the
+    // constants were recorded there (BENCH_r04.json driver tail).
+    val canaryConstants = Seq(
+      "q45_tpch_q3" -> 0.754, "q46_tpch_q5" -> 0.855, "q50_word_count" -> 0.249)
+    val envFactor: Option[Double] =
+      if (!sfDir.contains("sf0.1")) None
+      else {
+        val ratios = canaryConstants.map { case (q, c) => timed(q) / c }.sorted
+        Some(ratios(ratios.size / 2)) // median
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      name -> timed(name)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -50,7 +68,16 @@ object Bench {
     val perQ = if (n > 0) total / n else 0.0
     // keep the contract's "queries" key (top-5 slowest only) so both
     // the original parser shape and the compact one find what they need
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":$n,"s_per_q":${num(perQ, 3)},"queries":$slowest,"sf":"$sfDir"}""")
+    val envField = envFactor.map(f => s""","env_factor":${num(f, 3)}""").getOrElse("")
+    val summary = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":$n,"s_per_q":${num(perQ, 3)}$envField,"queries":$slowest,"sf":"$sfDir"}"""
+    // Print TWICE (penultimate + final line): sbt can append its own
+    // "[success] Total time" trailer after the forked run's output, so
+    // a strict last-line parser needs the duplicate; a raw-line parser
+    // takes either copy. Combined with build.sbt's StdoutOutput
+    // passthrough (no "[info] " prefix) this closes the five-round
+    // "parsed": null integration defect.
+    println(summary)
+    println(summary)
     spark.stop()
   }
 }

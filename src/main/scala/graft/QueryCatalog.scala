@@ -551,9 +551,16 @@ object QueryCatalog {
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1),
             greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(1)))).as("text"))
       val all = d.unionByName(mutated)
-      val sets = all.select(col("doc_id"),
-        graft.expressions.GraftFunctions.shingleSet(col("text"), 3, charLevel = false).as("sh"))
-      Dedup.nearDupPairs(all, "doc_id", "text", threshold = 0.5, k = 48, bands = 24)
+      // ONE shingle/signature kernel pass, materialized: the plan below
+      // references the sets five times (banding, pair verification,
+      // and the two audit gram-count joins) — unmaterialized, each
+      // reference re-shingled the corpus and q26 was the slowest query
+      // in the r5 driver bench at 13.3 s. (localCheckpoint: bench-scale
+      // truncation; a cluster pipeline would use a reliable checkpoint.)
+      val prepared = Dedup.prepareNearDup(all, "doc_id", "text", k = 48, shingleSize = 3)
+        .localCheckpoint()
+      val sets = prepared.select(col("doc_id"), col("sh"))
+      Dedup.nearDupPairsPrepared(prepared, threshold = 0.5, k = 48, bands = 24)
         .filter(col("doc_a") % 7 === 0 && col("doc_b") === col("doc_a") + 200000L)
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
@@ -603,10 +610,12 @@ object QueryCatalog {
         .select((col("doc_id") + 300000L).as("doc_id"),
           concat(col("text"), lit(" appended tail")).as("text"))
       val all = d.unionByName(mutated)
-      val sets = all.select(col("doc_id"),
-        graft.expressions.GraftFunctions.shingleSet(col("text"), 6, charLevel = true).as("sh"))
-      Dedup.ngramJaccardPairs(all, "doc_id", "text",
-          n = 6, threshold = 0.8, k = 48, bands = 24)
+      // same single-pass materialization as q26 (char-level grams here)
+      val prepared = Dedup.prepareNearDup(all, "doc_id", "text",
+          k = 48, shingleSize = 6, charLevel = true)
+        .localCheckpoint()
+      val sets = prepared.select(col("doc_id"), col("sh"))
+      Dedup.nearDupPairsPrepared(prepared, threshold = 0.8, k = 48, bands = 24)
         .filter(col("doc_a") % 9 === 0 && col("doc_b") === col("doc_a") + 300000L)
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
@@ -829,13 +838,27 @@ object QueryCatalog {
     // min-id survivor per cluster (the fuzzy counterpart of q23's
     // exact keep list). Banding runs with the per-bucket neighbor cap,
     // so a mass-duplicated cluster costs O(m·cap) candidates.
+    // ORACLE-CHECKED (r6): the oracle recomputes the EXACT j ≥ 0.5
+    // token-3-gram pair graph in SQL (q73's recursive-reachability
+    // pattern, over the full corpus — measured ≤ 1 s in DuckDB even at
+    // sf0.1) and resolves it to min-reachable-id clusters, so the
+    // banding + verify + component loop is value-checked end to end,
+    // natural near-dups INCLUDED. Soundness: the threshold sits in a
+    // measured empty band — the weakest pair at any tested scale has
+    // j = 0.6 and NO pair lands in [0.4, 0.5) — so the oracle's exact
+    // integer gate and the engine's double compare cannot disagree;
+    // k = 48 / 24 bands (r = 2, vs the r = 4 default that would miss a
+    // j = 0.6 pair 57% of the time) puts a band miss at the weakest
+    // pair at (1-0.36)^24 ≈ 2e-5, and only component CONNECTIVITY (not
+    // pair listing) has to survive, which capped banding preserves.
     "q58_docs_neardup_resolve" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutated = d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1),
             greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(1)))).as("text"))
-      Dedup.resolveNearDups(d.unionByName(mutated), "doc_id", "text", threshold = 0.5)
+      Dedup.resolveNearDups(d.unionByName(mutated), "doc_id", "text",
+          threshold = 0.5, k = 48, bands = 24)
         .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
         .orderBy(col("keep_id"))
     }),
@@ -869,6 +892,15 @@ object QueryCatalog {
 
     // embedding near-dup resolution: LSH-bucketed candidate pairs →
     // exact-cosine verify → connected components → keep list.
+    // ORACLE-CHECKED (r6): the cluster structure is provably exactly
+    // the planted copies — the maximum NATURAL pairwise cosine in the
+    // embeddings table is 0.60 at sf0.1 (0.51 at sf0.01, 0.48 at
+    // sf0.001; measured exhaustively) vs the 0.95 gate, so no natural
+    // pair can merge on any engine, and a planted identical copy
+    // always pairs with its source (identical sign tests → same bucket
+    // in every hyperplane table, exact cosine 1 — q37's argument). The
+    // oracle therefore states the keep list from first principles:
+    // every vector keeps itself, %25 == 0 sources absorb their copy.
     "q60_emb_neardup_resolve" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val copies = e.filter(col("vec_id") % 25 === 0)
@@ -3907,6 +3939,60 @@ object QueryCatalog {
         |)
         |SELECT node AS doc_id, MIN(reached) AS component
         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    // q58: the FULL near-dup resolution keep list, value-checked. The
+    // oracle rebuilds the exact j >= 0.5 token-3-gram pair graph over
+    // the whole q58 corpus (original + last-2-tokens-dropped plants),
+    // resolves it with the q73 recursive-reachability walk, and
+    // aggregates cluster sizes. The 0.5 gate is integer
+    // cross-multiplication (2·∩ >= ∪); measured at every scale the
+    // weakest pair has j = 0.6 and [0.4, 0.5) is EMPTY, so the exact
+    // graph is engine-invariant (see the q58 query comment for the
+    // banding-recall argument on the Spark side).
+    "q58_docs_neardup_resolve" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |docs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string(t[1:CAST(GREATEST(len(t) - 2, 1) AS BIGINT)], ' ')
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM base WHERE doc_id % 7 = 0)
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM docs WHERE length(trim(text)) > 0
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+        |), sets AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter i
+        |  JOIN sets sa ON i.doc_a = sa.doc_id
+        |  JOIN sets sb ON i.doc_b = sb.doc_id
+        |  WHERE 2 * i.ni >= sa.n + sb.n - i.ni
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), walk(node, reached) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reached
+        |)
+        |SELECT keep_id, COUNT(*) AS cluster_size FROM (
+        |  SELECT node, MIN(reached) AS keep_id FROM walk GROUP BY node
+        |) GROUP BY keep_id ORDER BY keep_id""".stripMargin,
+    // q60: the embedding resolution keep list from first principles —
+    // max natural pairwise cosine is 0.60 at sf0.1 (exhaustively
+    // measured, vs the 0.95 gate) so the only clusters are the planted
+    // identical copies, which pair with probability 1 (q37's argument).
+    "q60_emb_neardup_resolve" ->
+      """SELECT vec_id AS keep_id,
+        |       CAST(CASE WHEN vec_id % 25 = 0 THEN 2 ELSE 1 END AS BIGINT) AS cluster_size
+        |FROM embeddings ORDER BY keep_id""".stripMargin,
     // decontamination: join on literal 13-token grams — equivalent to
     // the Spark side's join on 64-bit gram hashes (collision odds
     // negligible; the same argument value-grounds q70).

@@ -152,22 +152,33 @@ object Dedup {
     when(union === 0, lit(1.0)).otherwise(inter / union)
   }
 
-  /** Full near-dup pipeline: MinHash LSH candidates → exact token
-    * n-gram Jaccard verification ≥ threshold on precomputed sets.
-    * Returns (doc_a, doc_b, jaccard).
+  /** The per-document kernel pass of [[nearDupPairs]] in isolation:
+    * (doc_id, sh, sig) in ONE projection — the signature derives from
+    * the set column (MinHashFromSet), and codegen subexpression
+    * elimination computes the ShingleSet child once, so each document
+    * is tokenized/hashed exactly once per evaluation. Callers that
+    * reference the result more than once (verification joins, audit
+    * gram counts) should MATERIALIZE it (cache / localCheckpoint /
+    * reliable checkpoint on a cluster): the frame is unmaterialized
+    * lineage, and every downstream reference re-runs the kernel over
+    * the full corpus otherwise — q26 paid that three times over before
+    * this split.
     */
-  def nearDupPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 16, bands: Int = 4,
-      shingleSize: Int = 3, charLevel: Boolean = false,
-      neighborCap: Option[Int] = None): DataFrame = {
-    // set + signature in ONE projection: the signature derives from the
-    // set column (MinHashFromSet), and codegen subexpression
-    // elimination computes the ShingleSet child once — each branch
-    // below tokenizes/hashes a document exactly once.
+  def prepareNearDup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleSize: Int = 3, charLevel: Boolean = false): DataFrame = {
     val shExpr = GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel)
-    val prepared = docs.select(col(idCol).as("doc_id"), shExpr.as("sh"),
+    docs.select(col(idCol).as("doc_id"), shExpr.as("sh"),
       GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
+  }
+
+  /** [[nearDupPairs]] over a precomputed (doc_id, sh, sig) frame from
+    * [[prepareNearDup]] — LSH banding on `sig`, exact sorted-set
+    * Jaccard verification on `sh`. Lets a caller compute the expensive
+    * shingle/signature pass ONCE and share it between candidate
+    * generation, verification, and any caller-side reuse of the sets.
+    */
+  def nearDupPairsPrepared(prepared: DataFrame, threshold: Double,
+      k: Int, bands: Int, neighborCap: Option[Int] = None): DataFrame = {
     val cands = bandPairs(prepared.select(col("doc_id"), col("sig")), bands, k,
       neighborCap)
     val sets = prepared.select(col("doc_id"), col("sh"))
@@ -177,6 +188,18 @@ object Dedup {
     verifyJaccard(pairs, threshold)
   }
 
+  /** Full near-dup pipeline: MinHash LSH candidates → exact token
+    * n-gram Jaccard verification ≥ threshold on precomputed sets.
+    * Returns (doc_a, doc_b, jaccard).
+    */
+  def nearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 16, bands: Int = 4,
+      shingleSize: Int = 3, charLevel: Boolean = false,
+      neighborCap: Option[Int] = None): DataFrame =
+    nearDupPairsPrepared(prepareNearDup(docs, idCol, textCol, k, shingleSize, charLevel),
+      threshold, k, bands, neighborCap)
+
   /** Connected components over an undirected pair list by min-label
     * propagation with path halving: each round every node takes the
     * minimum of its own label, its neighbors' labels, and its label's
@@ -185,10 +208,11 @@ object Dedup {
     * (doc_id, component) where component = the minimum doc_id reachable.
     *
     * Each round is two shuffles (neighbor-min groupBy + the halving
-    * self-join) over (id, label) pairs only — no text, no signatures.
-    * The driver-side loop runs one count() action per round to test
-    * convergence; labels are truncated per round so the plan never
-    * grows superlinearly.
+    * self-join) over (id, label) pairs only — no text, no signatures —
+    * executed as ONE Spark job: the convergence test is an observe()
+    * metric collected during the round's own truncation action, not a
+    * separate count() job. Labels are truncated per round so the plan
+    * never grows superlinearly.
     *
     * Truncation mode: `checkpointDir = None` (default) uses
     * `localCheckpoint` — right for local mode, but the truncated
@@ -247,16 +271,31 @@ object Dedup {
         val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"), col("label").as("old"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        // path halving: label := label(label). The previous round's label
-        // rides along as `old` so the convergence test below is a filter
-        // over the truncated result — no extra join job per round.
+        // path halving: label := label(label). The convergence test
+        // RIDES THE SAME JOB as the truncation via observe(): the
+        // changed-label count is a CollectMetrics aggregate computed
+        // while the round's labels are written/checkpointed, so each
+        // round is exactly ONE Spark job. (The r5 shape ran a separate
+        // count job per round; with 2–3 jobs × O(log m) rounds the
+        // driver-side scheduling latency dominated — q58/q60 were the
+        // bench's worst scheduler amplifiers at 8.5/8.1 s.)
+        val obs = new org.apache.spark.sql.Observation()
         val halved = truncate(propagated.as("p")
           .join(propagated.select(col("doc_id").as("label"),
             col("label").as("ll")).as("g"), Seq("label"), "left")
           .select(col("doc_id"), col("old"),
-            least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
-        val changed = halved.filter(col("label") =!= col("old")).limit(1).count()
-        labels = halved.select(col("doc_id"), col("label"))
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          .observe(obs,
+            sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+          // `old` is only needed by the observed aggregate — dropping it
+          // here keeps it out of the checkpointed/written snapshot
+          .select(col("doc_id"), col("label")))
+        // sum() over an empty round is SQL NULL → 0 changed → converged
+        val changed = obs.get.get("changed") match {
+          case Some(n: Number) => n.longValue()
+          case _ => 0L
+        }
+        labels = halved
         done = changed == 0
         iter += 1
       }
@@ -279,8 +318,13 @@ object Dedup {
       threshold: Double, k: Int = 16, bands: Int = 4,
       shingleSize: Int = 3, charLevel: Boolean = false,
       neighborCap: Option[Int] = Some(8)): DataFrame = {
-    val pairs = nearDupPairs(docs, idCol, textCol, threshold, k, bands,
-      shingleSize, charLevel, neighborCap)
+    // materialize the shingle/signature pass: the pair plan references
+    // it three times (banding + both verification set lookups), and
+    // the component loop's edge cache fill would otherwise re-run the
+    // whole kernel pass through that tripled lineage
+    val prepared = prepareNearDup(docs, idCol, textCol, k, shingleSize, charLevel)
+      .localCheckpoint()
+    val pairs = nearDupPairsPrepared(prepared, threshold, k, bands, neighborCap)
     val comps = connectedComponents(pairs)
     docs.select(col(idCol).as("doc_id"))
       .join(comps, Seq("doc_id"), "left")
