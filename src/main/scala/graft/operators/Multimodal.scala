@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media is carried as an opaque `binary` payload plus typed metadata.
-  * The image path decodes REAL bytes: [[BmpCodec]] parses the public
-  * 24-bpp BMP format header-for-header (no image library needed), so
-  * [[imageStats]]/[[BmpDecoder]] feature-extract from actual decoded
-  * pixels. [[StubDecoder]] remains only as the pluggable-codec test
-  * fake for formats this environment cannot parse (JPEG/PNG/audio).
+  * The image path decodes REAL bytes twice over: [[BmpCodec]] parses
+  * the public 24-bpp BMP format header-for-header (no image library
+  * needed), and [[ImageIoCodec]] decodes JPEG/PNG/GIF via the JDK's
+  * built-in `javax.imageio` plugins — so
+  * [[imageStats]]/[[imageIoStats]]/[[BmpDecoder]] feature-extract from
+  * actual decoded pixels. [[StubDecoder]] remains only as the
+  * pluggable-codec test fake for genuinely unparseable payloads.
   *
   * Scale notes: decode runs in `mapPartitions` so a real decoder can
   * amortize per-partition init (model load, codec contexts) exactly
@@ -144,6 +146,70 @@ object Multimodal {
         val bmp = BmpCodec.encode(bytes, width)
         MediaRecord(id, "image", bmp, width, BmpCodec.heightFor(bytes.length, width), 0L)
       }
+  }
+
+  /** Build REAL PNG payloads from a text column via the JDK's
+    * `javax.imageio` plugins ([[ImageIoCodec]]): each row's UTF-8
+    * bytes pack into B,G,R pixel channels of a genuine PNG — the
+    * compressed-format sibling of [[bmpFromText]]. PNG is lossless, so
+    * decode recovers the exact bytes and the q170 oracle reproduces
+    * per-channel sums from the source text.
+    */
+  def pngFromText(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      width: Int = 16): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        MediaRecord(id, "image", ImageIoCodec.encodePng(bytes, width), width,
+          ImageIoCodec.heightFor(bytes.length, width), 0L)
+      }
+  }
+
+  /** JPEG sibling of [[pngFromText]] — lossy, so downstream stats are
+    * spec-gated (geometry exact, channel values approximate), never
+    * oracle-compared.
+    */
+  def jpegFromText(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      width: Int = 16): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        MediaRecord(id, "image", ImageIoCodec.encodeJpeg(bytes, width), width,
+          ImageIoCodec.heightFor(bytes.length, width), 0L)
+      }
+  }
+
+  /** [[imageStats]] for any `javax.imageio`-decodable payload
+    * (PNG/JPEG/GIF and the JDK's own BMP reader): same decode →
+    * per-channel integer sums contract, same mapPartitions position —
+    * only the codec differs. The two paths are interchangeable on BMP
+    * payloads (spec-asserted), which cross-validates the hand-rolled
+    * [[BmpCodec]] against the JDK's reference decoder.
+    */
+  def imageIoStats(records: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val img = ImageIoCodec.decode(r.payload)
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = (img.pixels(i) & 0xFF).toLong
+          (i % 3: @annotation.switch) match {
+            case 0 => sb += v
+            case 1 => sg += v
+            case 2 => sr += v
+          }
+          i += 1
+        }
+        ImageStats(r.media_id, img.width, img.height,
+          img.width.toLong * img.height, sb, sg, sr)
+      }
+    }
   }
 
   /** Build REAL audio payloads from a text column: each row's UTF-8

@@ -435,7 +435,7 @@ object Similarity {
 
   def signIvfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-      bits: Int = 5, nProbe: Int = 12,
+      bits: Int = 7, nProbe: Int = 48,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dims = quantDims(dim, bits)
     val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
@@ -449,7 +449,7 @@ object Similarity {
     * self-describing and any engine can recompute assignments.
     */
   def buildSignIvfIndex(
-      corpus: DataFrame, path: String, dim: Int, bits: Int = 5,
+      corpus: DataFrame, path: String, dim: Int, bits: Int = 7,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     corpus.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
@@ -469,7 +469,7 @@ object Similarity {
     * [[PartitionedLake.compact]] is the companion pass when they do.
     */
   def appendSignIvfIndex(
-      batch: DataFrame, path: String, dim: Int, bits: Int = 5,
+      batch: DataFrame, path: String, dim: Int, bits: Int = 7,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     batch.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
@@ -483,7 +483,7 @@ object Similarity {
     */
   def querySignIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, dim: Int, bits: Int = 5, nProbe: Int = 12,
+      queries: DataFrame, k: Int, dim: Int, bits: Int = 7, nProbe: Int = 48,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val lists = spark.read.parquet(s"$path/lists")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"), col("list_id"))

@@ -187,4 +187,67 @@ class MultimodalSpec extends SparkSpec {
     assert(audio.samples.length === 8000)
     assert(audio.samples.forall(_ === ('x' - 128) * 256))
   }
+
+  test("ImageIoCodec: PNG round-trips pixel bytes exactly (lossless)") {
+    val bytes = (0 until 200).map(i => (i * 7 % 251).toByte).toArray
+    val png = ImageIoCodec.encodePng(bytes, width = 16)
+    // a real PNG container, not a raw blob
+    assert(png.take(4).map(_ & 0xFF).toSeq === Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val img = ImageIoCodec.decode(png)
+    assert(img.width === 16)
+    assert(img.height === ImageIoCodec.heightFor(bytes.length, 16))
+    assert(img.pixels.take(bytes.length).toSeq === bytes.toSeq,
+      "PNG decode must recover the packed bytes bit-exactly")
+    assert(img.pixels.drop(bytes.length).forall(_ === 0), "padding must stay zero")
+  }
+
+  test("ImageIoCodec: decodes the hand-rolled BmpCodec's output identically") {
+    // cross-validation: the from-scratch BMP parser and the JDK's
+    // reference decoder must agree byte-for-byte on the same payload
+    val bytes = "cross codec check, with some text content".getBytes("UTF-8")
+    val bmp = BmpCodec.encode(bytes, 16)
+    val viaJdk = ImageIoCodec.decode(bmp)
+    val viaOwn = BmpCodec.decode(bmp)
+    assert(viaJdk.width === viaOwn.width && viaJdk.height === viaOwn.height)
+    assert(viaJdk.pixels.toSeq === viaOwn.pixels.toSeq)
+  }
+
+  test("ImageIoCodec: JPEG is decodable with exact geometry, bounded loss") {
+    val bytes = (0 until 480).map(i => ((i * 13) % 256).toByte).toArray
+    val jpg = ImageIoCodec.encodeJpeg(bytes, width = 16)
+    assert(jpg.take(2).map(_ & 0xFF).toSeq === Seq(0xFF, 0xD8), "JFIF SOI marker")
+    val img = ImageIoCodec.decode(jpg)
+    assert(img.width === 16)
+    assert(img.height === ImageIoCodec.heightFor(bytes.length, 16))
+    // lossy: values near, not equal. The packed-byte pattern is
+    // high-frequency (DCT worst case), so the bound is loose — the
+    // point is "real decode of a real JPEG", exactness is PNG's job.
+    val mae = bytes.indices.map { i =>
+      math.abs((img.pixels(i) & 0xFF) - (bytes(i) & 0xFF))
+    }.sum.toDouble / bytes.length
+    // measured ~17 at quality 0.95: independent-noise chroma is the
+    // pathological case (4:2:0 subsampling averages it away)
+    assert(mae < 32.0, s"JPEG mean abs channel error $mae too high")
+    // smooth content (the realistic case) must decode much closer
+    val smooth = (0 until 480).map(i => (i / 2).toByte).toArray
+    val smoothImg = ImageIoCodec.decode(ImageIoCodec.encodeJpeg(smooth, width = 16))
+    val smoothMae = smooth.indices.map { i =>
+      math.abs((smoothImg.pixels(i) & 0xFF) - (smooth(i) & 0xFF))
+    }.sum.toDouble / smooth.length
+    assert(smoothMae < 4.0, s"JPEG smooth-gradient error $smoothMae too high")
+  }
+
+  test("imageIoStats over PNG payloads ≡ imageStats over BMP payloads") {
+    // the q33/q170 shared-oracle premise, asserted end to end: both
+    // lossless codecs must yield identical geometry and channel sums
+    val docs = Seq((1L, "the quick brown fox"), (2L, ""), (3L, "z" * 100))
+      .toDF("doc_id", "text")
+    val viaPng = Multimodal.imageIoStats(
+        Multimodal.pngFromText(spark, docs, "doc_id", "text", width = 16))
+      .collect().sortBy(_.media_id)
+    val viaBmp = Multimodal.imageStats(
+        Multimodal.bmpFromText(spark, docs, "doc_id", "text", width = 16))
+      .collect().sortBy(_.media_id)
+    assert(viaPng.toSeq === viaBmp.toSeq)
+  }
 }
