@@ -258,6 +258,7 @@ object Similarity {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col(idCol), col(vecCol), col("cid").as("list_id"))
+      .repartition(col("list_id")) // one file per list, not per (task × list)
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -453,6 +454,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     corpus.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
+      // pre-shuffle on the partition key: an unshuffled partitionBy
+      // write mints (write tasks × 2^bits) small files — at 1000
+      // executors that is the classic small-files explosion. After the
+      // shuffle each list lands in exactly one task → ≤2^bits files
+      // per build, with up to 2^bits-way write parallelism.
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
 
   /** Incrementally add a batch to a persisted sign-IVF index. The
@@ -473,6 +480,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     batch.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
+      .repartition(col("list_id")) // ≤2^bits new files per batch, not per (task × list)
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
 
   /** Serve from a persisted sign-IVF index: probe lists via
