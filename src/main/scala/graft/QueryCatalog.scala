@@ -2058,7 +2058,11 @@ object QueryCatalog {
     }),
 
     // custom TypedImperativeAggregate: per-source MinHash-union group
-    // signature (elementwise min across member signatures).
+    // signature (elementwise min across member signatures). Lanes are
+    // emitted as (lane, sig) ROWS — every signature VALUE is
+    // oracle-checked (the r5 xxhash64 digest wasn't SQL-reproducible,
+    // which kept this rows-only; the oracle emulates the FNV+splitmix
+    // kernels in HUGEINT mod-2^64 arithmetic, see HashOracleSql).
     "q49_minhash_union_agg" -> ((s, dir) => {
       val sigs = t(s, dir, "documents")
         .select(col("source"),
@@ -2066,8 +2070,10 @@ object QueryCatalog {
       sigs.groupBy(col("source"))
         .agg(graft.expressions.GraftFunctions.minhashUnion(col("sig"), 16).as("group_sig"),
           count(lit(1)).as("n_docs"))
-        .select(col("source"), xxhash64(col("group_sig")).as("sig_hash"), col("n_docs"))
-        .orderBy(col("source"))
+        .select(col("source"), posexplode(col("group_sig")), col("n_docs"))
+        .select(col("source"), col("pos").cast("long").as("lane"),
+          col("col").as("sig"), col("n_docs"))
+        .orderBy(col("source"), col("lane"))
     }),
 
     // ordered-statistics aggregates: exact interpolated percentiles
@@ -3179,6 +3185,170 @@ object QueryCatalog {
   }
   private val signIvfOracle: String = signIvfOracleSql(dim = 64, bits = 7, nProbe = 48, k = 5)
 
+  /** SQL emulation of the compiled hash kernels
+    * (`graft.expressions.Kernels`): FNV-1a 64 over bytes + a splitmix64
+    * finalizer, reproduced in DuckDB as HUGEINT mod-2^64 arithmetic.
+    * 64-bit wrap-around multiply doesn't exist in SQL, so each multiply
+    * is staged: for the 41-bit FNV prime the direct HUGEINT product
+    * stays under 2^105 and a single `% 2^64` suffices; for the two
+    * 64-bit splitmix constants the product is split 32/32
+    * (`a*c mod 2^64 = a*c_lo + ((a mod 2^32)*c_hi mod 2^32)*2^32`,
+    * every term < 2^97 — safely inside HUGEINT). mix64 references its
+    * argument twice per stage, so stages are materialized as CTE
+    * COLUMNS (single-use chains — vectorized, no duplicated subtrees:
+    * the lambda-per-byte formulation of the same oracle ran 66 s at
+    * sf0.01; this one runs ~3 s). All constants are EMBEDDED FROM THE
+    * KERNEL'S OWN VALUES at SQL-generation time, so engine and oracle
+    * cannot drift. Engine comparisons are on SIGNED longs, so values
+    * convert to signed before any MIN/MAX.
+    */
+  private object HashOracleSql {
+    private val M = "18446744073709551616" // 2^64
+    private val HALF = "9223372036854775808" // 2^63
+    private def u(x: Long): BigInt = BigInt(java.lang.Long.toUnsignedString(x))
+    private val FnvPrime = u(0x100000001B3L)
+    private val FnvInit = u(0xCBF29CE484222325L)
+    // (FNV_INIT * FNV_PRIME) mod 2^64 — the first multiply of the
+    // token-shingle combine, pre-folded (Long wrap ≡ mod 2^64).
+    private val FnvInitTimesPrime = u(0xCBF29CE484222325L * 0x100000001B3L)
+
+    /** One CTE column computing (v * c) mod 2^64. */
+    private def mulmod(v: String, c: BigInt, out: String): String = {
+      val cLo = c & 0xFFFFFFFFL
+      val cHi = c >> 32
+      if (cHi == 0) s"(($v) * $cLo) % $M AS $out"
+      else s"((($v) * $cLo + (($v) % 4294967296) * $cHi % 4294967296 * 4294967296) % $M) AS $out"
+    }
+
+    /** CTE chain applying mix64 to `invar` of CTE `src`; the result
+      * column is `out` on CTE `<prefix>5`. `//` is the unsigned shift
+      * (values are nonnegative HUGEINTs).
+      */
+    private def mix64Stages(src: String, invar: String, prefix: String, out: String): String =
+      s"""${prefix}1 AS (SELECT *, xor($invar, $invar // 1073741824) AS ${prefix}z1 FROM $src),
+         |${prefix}2 AS (SELECT *, ${mulmod(s"${prefix}z1", u(0xBF58476D1CE4E5B9L), s"${prefix}z2")} FROM ${prefix}1),
+         |${prefix}3 AS (SELECT *, xor(${prefix}z2, ${prefix}z2 // 134217728) AS ${prefix}z3 FROM ${prefix}2),
+         |${prefix}4 AS (SELECT *, ${mulmod(s"${prefix}z3", u(0x94D049BB133111EBL), s"${prefix}z4")} FROM ${prefix}3),
+         |${prefix}5 AS (SELECT *, xor(${prefix}z4, ${prefix}z4 // 2147483648) AS $out FROM ${prefix}4)""".stripMargin
+
+    private def toSigned(v: String): String =
+      s"CAST(CASE WHEN $v >= $HALF THEN $v - $M ELSE $v END AS BIGINT)"
+
+    /** FNV-1a over the k bytes at positions i..i+k-1 of doc column
+      * `cs` (HUGEINT byte codes), UNROLLED — one single-use expression
+      * chain per step, fully vectorized.
+      */
+    private def fnvUnrolled(k: Int): String = {
+      var h = s"CAST($FnvInit AS HUGEINT)"
+      for (j <- 0 until k) h = s"(xor($h, cs[i + $j]) * $FnvPrime) % $M"
+      h
+    }
+
+    /** q32: winnowing fingerprint stats (Kernels.winnow, k-gram size
+      * `k`, window `w`). Output (n, min, max) over the selected window
+      * minima is ORDER-FREE, so the first-occurrence-order dedup of
+      * the engine's fingerprint array doesn't need reproducing — only
+      * the selected SET, via a signed windowed MIN.
+      */
+    def winnowStats(k: Int, w: Int): String =
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents
+         |), codes AS (
+         |  SELECT doc_id, len,
+         |         list_transform(generate_series(1, len),
+         |           j -> CAST(ord(substr(text, CAST(j AS INTEGER), 1)) AS HUGEINT)) AS cs
+         |  FROM d
+         |), pos AS (
+         |  SELECT doc_id, cs, unnest(generate_series(1, len - ${k - 1})) AS i FROM codes
+         |), f0 AS (
+         |  SELECT doc_id, i, ${fnvUnrolled(k)} AS h FROM pos
+         |), ${mix64Stages("f0", "h", "f", "ghu")},
+         |g AS (
+         |  SELECT doc_id, i, ${toSigned("ghu")} AS gh FROM f5
+         |), cnt AS (
+         |  SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id
+         |), wm AS (
+         |  SELECT g.doc_id, g.i, c.ng,
+         |         MIN(gh) OVER (PARTITION BY g.doc_id ORDER BY g.i
+         |                       ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+         |  FROM g JOIN cnt c ON g.doc_id = c.doc_id
+         |), sel AS (
+         |  SELECT doc_id, m FROM wm WHERE ng >= $w AND i <= ng - ${w - 1}
+         |  UNION ALL
+         |  SELECT doc_id, MIN(gh) AS m
+         |  FROM g JOIN cnt USING (doc_id) WHERE ng < $w GROUP BY doc_id
+         |), fp AS (
+         |  SELECT doc_id, COUNT(DISTINCT m) AS n, MIN(m) AS mn, MAX(m) AS mx
+         |  FROM sel GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(COALESCE(fp.n, 0) AS BIGINT) AS n_fingerprints,
+         |       fp.mn AS min_fp, fp.mx AS max_fp
+         |FROM d LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin
+
+    /** q49: per-(source, lane) MinHash-union signature values
+      * (Kernels.minhash token n-grams + MinHashUnion elementwise min).
+      * Token hashes are computed once per DISTINCT token (the corpus
+      * vocabulary is small), then joined back to positions; lane seeds
+      * are `Kernels.permSeed(j)` verbatim. The group lane value is the
+      * signed min over every shingle of every member doc; a group with
+      * no shingles keeps the Long.MaxValue sentinel.
+      */
+    def minhashUnionLanes(n: Int, k: Int): String = {
+      val seedRows = (0 until k).map { j =>
+        s"SELECT $j AS lane, CAST(${u(graft.expressions.Kernels.permSeed(j))} AS HUGEINT) AS seed"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text FROM documents
+         |), tk AS (
+         |  SELECT doc_id, source,
+         |         list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '') AS toks
+         |  FROM d
+         |), tp AS (
+         |  SELECT doc_id, source, toks, unnest(generate_series(1, len(toks))) AS t FROM tk
+         |), tpos AS (
+         |  SELECT doc_id, source, t, toks[t] AS tok FROM tp
+         |), vocab AS (
+         |  SELECT DISTINCT tok FROM tpos
+         |), v0 AS (
+         |  SELECT tok, list_reduce(list_prepend(CAST($FnvInit AS HUGEINT),
+         |           list_transform(generate_series(1, length(tok)),
+         |             j -> CAST(ord(substr(tok, CAST(j AS INTEGER), 1)) AS HUGEINT))),
+         |           (h, b) -> (xor(h, b) * $FnvPrime) % $M) AS hv
+         |  FROM vocab
+         |), ${mix64Stages("v0", "hv", "v", "th")},
+         |tokh AS (
+         |  SELECT doc_id, source, t, th FROM tpos JOIN v5 USING (tok)
+         |), sh0 AS (
+         |  SELECT doc_id, source, t, th,
+         |         ${(1 until n).map(j => s"LEAD(th, $j) OVER (PARTITION BY doc_id ORDER BY t) AS th$j").mkString(",\n         ")}
+         |  FROM tokh
+         |), sh1 AS (
+         |  SELECT doc_id, source,
+         |         ${(1 until n).foldLeft(s"xor(CAST($FnvInitTimesPrime AS HUGEINT), th)") {
+                      (acc, j) => s"xor(($acc * $FnvPrime) % $M, th$j)"
+                    }} AS hs
+         |  FROM sh0 WHERE th${n - 1} IS NOT NULL
+         |), ${mix64Stages("sh1", "hs", "s", "sh")},
+         |lanes AS (
+         |  $seedRows
+         |), p0 AS (
+         |  SELECT source, lane, xor(sh, seed) AS hp FROM s5 CROSS JOIN lanes
+         |), ${mix64Stages("p0", "hp", "p", "pm")},
+         |gm AS (
+         |  SELECT source, lane, MIN(${toSigned("pm")}) AS msig
+         |  FROM p5 GROUP BY source, lane
+         |), nd AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source
+         |)
+         |SELECT nd.source, CAST(l.lane AS BIGINT) AS lane,
+         |       COALESCE(gm.msig, 9223372036854775807) AS sig,
+         |       CAST(nd.n_docs AS BIGINT) AS n_docs
+         |FROM nd CROSS JOIN lanes l
+         |LEFT JOIN gm ON gm.source = nd.source AND gm.lane = l.lane
+         |ORDER BY nd.source, lane""".stripMargin
+    }
+  }
+
   /** Shared by q33 (hand-rolled BMP codec) and q170 (javax.imageio
     * PNG): both pack text byte i into pixel channel i mod 3 (B,G,R
     * interleaved, zero-padded to 16-px rows) inside a REAL image
@@ -3213,6 +3383,12 @@ object QueryCatalog {
   val oracleSql: Map[String, String] = Map(
     "q44_emb_ann_ivf" -> signIvfOracle,
     "q72_emb_ann_ivf_index" -> signIvfOracle,
+    // q32/q49: hash-kernel emulation oracles — FNV-1a + splitmix64 as
+    // HUGEINT mod-2^64 SQL, constants generated from the kernels
+    // themselves (HashOracleSql). Every fingerprint/signature VALUE is
+    // checked, not just row counts.
+    "q32_docs_fingerprint" -> HashOracleSql.winnowStats(k = 8, w = 4),
+    "q49_minhash_union_agg" -> HashOracleSql.minhashUnionLanes(n = 3, k = 16),
     // lang-id: same stopword tables, same argmax/tiebreak order
     // (en > fr > es > de, 'und' when nothing hits, CJK ⇒ zh); hits are
     // DISTINCT stopwords present (Spark array_intersect semantics),

@@ -35,6 +35,12 @@ object Kernels {
 
   @inline private def perm(h: Long, i: Int): Long = mix64(h ^ mix64(GOLDEN * (i + 1)))
 
+  /** The i-th MinHash permutation seed, exposed so the q49 oracle SQL
+    * embeds the SAME constants this kernel hashes with — generated, so
+    * engine and oracle cannot drift (the signIvfOracle design rule).
+    */
+  private[graft] def permSeed(i: Int): Long = mix64(GOLDEN * (i + 1))
+
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
 

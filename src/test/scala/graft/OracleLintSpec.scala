@@ -82,11 +82,11 @@ class OracleLintSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracle entries with no catalog query: $orphans")
     val rowsOnly = (qs -- SparkEntry.oracleSql.keySet).map(_.takeWhile(_ != '_'))
-    // r6: q58/q60 converted to full oracles (recursive-reachability
-    // keep list / planted-structure keep list) — remainder is q32
-    // (winnowing fingerprint arrays), q49 (MinHash-union agg state),
-    // q136 (deflate ratio — no SQL zlib).
-    val documented = Set("q32", "q49", "q136")
+    // r6: q32/q49 converted to hash-kernel-emulation oracles
+    // (HashOracleSql — FNV+splitmix64 in HUGEINT SQL); the remainder
+    // is exactly q136 (deflate ratio — no SQL zlib, legitimately
+    // un-oracle-able).
+    val documented = Set("q136")
     assert(rowsOnly == documented,
       s"rows-only set drifted from the documented remainder $documented: " +
         s"${rowsOnly.toSeq.sorted} — a dropped/typo'd oracle Map key silently " +
