@@ -27,6 +27,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet TIMESTAMP(isAdjustedToUTC=false) reads as classic
+      // TIMESTAMP (micros-since-epoch, rendered in the UTC session tz)
+      // instead of TIMESTAMP_NTZ: NTZ forbids casts to numeric types,
+      // and every engine the results are compared against (DuckDB
+      // epoch()) treats these naive values as UTC instants — so the
+      // legacy mapping is the cross-engine-deterministic one.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       // v2 commit: rename task output straight into the destination at
       // task commit instead of a second sequential job-commit rename

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (TESTDATA.md). One parquet file per table under a scale-factor dir.
@@ -29,10 +29,20 @@ object Tables {
     // long (spark.sql.legacy.parquet.nanosAsLong) — convert to a µs
     // timestamp with integral division (double division would lose
     // precision past 2^53 ns).
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+    val nanosFixed = df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case None => df
     }
+    // Naive parquet timestamps (isAdjustedToUTC=false, the driver's
+    // current testdata encoding) read as TIMESTAMP_NTZ on sessions with
+    // default NTZ inference — a type that forbids numeric casts and
+    // diverges from how the DuckDB oracle treats the same values
+    // (naive = UTC instant). Normalize to classic TIMESTAMP so every
+    // downstream cast/epoch computation behaves identically on ANY
+    // caller session (our mains additionally disable NTZ inference,
+    // making this a no-op there; a bare driver session hits this path).
+    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** Register every table as a temp view so `spark.sql` serves the same
