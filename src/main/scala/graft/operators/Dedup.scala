@@ -260,28 +260,51 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
     try {
-      var labels = truncate(edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")))
+      // Seeded init: label = min(own id, min 1-hop neighbor). Same
+      // single shuffle the old distinct-ids init cost, but star-shaped
+      // clusters (the common near-dup shape — every member pairs with
+      // the cluster min) are already converged after this seed, so most
+      // real inputs finish in ONE verification iteration instead of two
+      // propagation rounds plus one.
+      var labels = truncate(edges.groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label")))
+      // One propagation round: neighbor-min then path halving
+      // (label := label(label) — without halving a chain of length m
+      // needs m rounds; with it O(log m)).
+      def propagate(in: DataFrame): DataFrame = {
+        val neighborMin = edges
+          .join(in.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
+          .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
+        val p = in.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        p.as("p").join(p.select(col("doc_id").as("label"),
+            col("label").as("ll")).as("g"), Seq("label"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      }
       var iter = 0
       var done = false
       while (!done && iter < maxIter) {
-        val neighborMin = edges
-          .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
+        // TWO propagation rounds per truncation: the per-round cost at
+        // the driver is job scheduling, not shuffle volume (each round
+        // is (id,label) pairs only), so batching halves the job count
+        // at unchanged total shuffle work. The convergence test RIDES
+        // THE SAME JOB as the truncation via observe(): `changed`
+        // counts round-2 labels that differ from round-1's output
+        // (`old`), so changed == 0 means round 1's output was already
+        // a fixed point of propagate — converged.
+        val r1 = propagate(labels)
+        val neighborMin2 = edges
+          .join(r1.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nmin"))
-        val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
+        val p2 = r1.join(neighborMin2, Seq("doc_id"), "left")
           .select(col("doc_id"), col("label").as("old"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        // path halving: label := label(label). The convergence test
-        // RIDES THE SAME JOB as the truncation via observe(): the
-        // changed-label count is a CollectMetrics aggregate computed
-        // while the round's labels are written/checkpointed, so each
-        // round is exactly ONE Spark job. (The r5 shape ran a separate
-        // count job per round; with 2–3 jobs × O(log m) rounds the
-        // driver-side scheduling latency dominated — q58/q60 were the
-        // bench's worst scheduler amplifiers at 8.5/8.1 s.)
         val obs = new org.apache.spark.sql.Observation()
-        val halved = truncate(propagated.as("p")
-          .join(propagated.select(col("doc_id").as("label"),
+        val halved = truncate(p2.as("p")
+          .join(p2.select(col("doc_id").as("label"),
             col("label").as("ll")).as("g"), Seq("label"), "left")
           .select(col("doc_id"), col("old"),
             least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
@@ -312,24 +335,52 @@ object Dedup {
     * document with its verdict — the fuzzy-dedup counterpart of
     * [[exact]]'s keep list; filter `doc_id === keep_id` for survivors
     * or `doc_id =!= keep_id` for the drop list.
+    *
+    * `checkpointDir` mirrors [[connectedComponents]]'s contract: None
+    * (default) truncates via `localCheckpoint` — right for local mode,
+    * wrong for a real cluster where an executor loss mid-resolution
+    * kills the job unrecoverably. Pass a reliable dir (HDFS/S3) and
+    * both truncation points — the shared signature snapshot and every
+    * component round — are parquet-durable; everything this call wrote
+    * under the dir is freed before return except the final component
+    * labels, which the returned frame reads (freed when the caller is
+    * done, or by a TTL on the directory).
     */
   def resolveNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 16, bands: Int = 4,
       shingleSize: Int = 3, charLevel: Boolean = false,
-      neighborCap: Option[Int] = Some(8)): DataFrame = {
+      neighborCap: Option[Int] = Some(8),
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
     // materialize the shingle/signature pass: the pair plan references
     // it three times (banding + both verification set lookups), and
     // the component loop's edge cache fill would otherwise re-run the
     // whole kernel pass through that tripled lineage
-    val prepared = prepareNearDup(docs, idCol, textCol, k, shingleSize, charLevel)
-      .localCheckpoint()
-    val pairs = nearDupPairsPrepared(prepared, threshold, k, bands, neighborCap)
-    val comps = connectedComponents(pairs)
-    docs.select(col(idCol).as("doc_id"))
-      .join(comps, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("keep_id"))
+    val preparedRaw = prepareNearDup(docs, idCol, textCol, k, shingleSize, charLevel)
+    val preparedPath = checkpointDir.map(d => s"$d/prepared")
+    val prepared = preparedPath match {
+      case Some(path) =>
+        preparedRaw.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => preparedRaw.localCheckpoint()
+    }
+    try {
+      val pairs = nearDupPairsPrepared(prepared, threshold, k, bands, neighborCap)
+      val comps = connectedComponents(pairs,
+        checkpointDir = checkpointDir.map(d => s"$d/components"))
+      docs.select(col(idCol).as("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("keep_id"))
+    } finally preparedPath.foreach { path =>
+      // connectedComponents runs its rounds eagerly (each truncation is
+      // a write action) and its result reads the final round's parquet,
+      // so by this point nothing references the signature snapshot —
+      // free it whether we are returning normally or unwinding.
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Set-similarity join on character n-grams: MinHash signatures over

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (TESTDATA.md). One parquet file per table under a scale-factor dir.
@@ -24,25 +24,26 @@ object Tables {
     // the caller provides, not only our own mains'. Runtime-settable.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Naive parquet timestamps (isAdjustedToUTC=false, the driver's
+    // testdata encoding) would read as TIMESTAMP_NTZ on sessions with
+    // default NTZ inference — a type that forbids numeric casts and
+    // diverges from how the DuckDB oracle treats the same values
+    // (naive = UTC instant). Disabling inference at read time is
+    // tz-safe: the raw micros become a UTC instant directly, with no
+    // session-timezone fold (a post-read NTZ→TIMESTAMP cast would
+    // interpret the wall-clock in the session tz instead). Our own
+    // mains also set this at build time; a bare caller session relies
+    // on this runtime set.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(path(dir, name))
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
     // long (spark.sql.legacy.parquet.nanosAsLong) — convert to a µs
     // timestamp with integral division (double division would lose
     // precision past 2^53 ns).
-    val nanosFixed = df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case None => df
     }
-    // Naive parquet timestamps (isAdjustedToUTC=false, the driver's
-    // current testdata encoding) read as TIMESTAMP_NTZ on sessions with
-    // default NTZ inference — a type that forbids numeric casts and
-    // diverges from how the DuckDB oracle treats the same values
-    // (naive = UTC instant). Normalize to classic TIMESTAMP so every
-    // downstream cast/epoch computation behaves identically on ANY
-    // caller session (our mains additionally disable NTZ inference,
-    // making this a no-op there; a bare driver session hits this path).
-    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
-      .foldLeft(nanosFixed)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** Register every table as a temp view so `spark.sql` serves the same

@@ -306,6 +306,28 @@ class DedupSpec extends SparkSpec {
       s"expected file-relation leaves, got: ${leaves.map(_.getClass.getSimpleName)}")
   }
 
+  test("resolveNearDups: reliable-checkpoint mode ≡ local, intermediates freed") {
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base2 = "one two three four five six seven eight nine ten eleven twelve"
+    val d = docs(
+      1L -> base1, 2L -> (base1 + " lambda"), 3L -> (base1 + " mu"),
+      7L -> base2, 8L -> (base2 + " thirteen"),
+      9L -> "completely standalone text with no duplicate partner anywhere")
+    val local = Dedup.resolveNearDups(d, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_rsv_ckpt").toString
+    val reliable = Dedup.resolveNearDups(d, "doc_id", "text", threshold = 0.5,
+      checkpointDir = Some(dir))
+    assert(reliable.orderBy("doc_id").collect().toSeq === local)
+    // the signature snapshot is freed before return; only component
+    // label snapshots (the result's backing files) outlive the call
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "prepared")),
+      "signature snapshot must be deleted before resolveNearDups returns")
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "components"))
+    try assert(files.filter(java.nio.file.Files.isRegularFile(_)).count() > 0)
+    finally files.close()
+  }
+
   test("removeFrequentSpans scrubs corpus-frequent grams, keeps sub-threshold and unique text") {
     // banner "x1 x2 x3 x4": its two internal 3-grams appear in 4 docs
     // (df 4 ≥ minDf 3) and together cover all 4 banner positions.
