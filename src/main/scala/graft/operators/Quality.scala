@@ -77,9 +77,11 @@ object Quality {
     * ONE `java.util.zip.Deflater` (fixed level, reset between rows)
     * serves the whole partition — per-row construction would dominate
     * at 100 TB. Per-row compute, no shuffle; deterministic for a fixed
-    * JVM zlib, but not reproducible in a SQL engine → rows-only at the
-    * driver, value-grounded by specs (repetitive < prose ratio,
-    * partitioning-invariant).
+    * JVM zlib, but not reproducible in a SQL engine — per-doc values
+    * are value-grounded by specs (repetitive < prose ratio,
+    * partitioning-invariant), and the catalog grades the signal
+    * through a planted-class oracle (q136: exact class rates + strict
+    * ordering, both SQL-computable facts).
     */
   def compressionSignals(df: DataFrame, idCol: String, textCol: String,
       level: Int = 6): DataFrame = {
