@@ -3185,23 +3185,22 @@ object QueryCatalog {
     * results, so one oracle value-checks all three — the index ≡
     * in-flight equivalence becomes part of the driver gate. The SQL is
     * GENERATED from the same `Similarity.quantDims` the operator uses
-    * (1-indexed sign tests, multi-probe integer flip costs), so the
-    * quantizer dims, probe ranking, and probe budget cannot drift
-    * between engine and oracle. bits = 7 / nProbe = 48 (r6, was 5/12):
-    * the same 37.5% scan budget over 4× finer lists lifts measured
-    * recall@5 from 0.66/0.61 to 0.72/0.72 at sf0.01/sf0.1.
+    * (1-indexed sign tests), so the quantizer dims, probe ranking, and
+    * probe budget cannot drift between engine and oracle. Probe rule
+    * (r7, replacing multi-probe flip costs): lists rank by cosine
+    * proximity of the query to each list's integer centroid —
+    * component means of ⌊v·10⁴⌋ by exact floor division, score
+    * s2/√t2 compared via sign cases + cross-multiplied squares in
+    * HUGEINT (mirrors Spark's DECIMAL(38,0)), zero-centroid lists
+    * excluded, list_id breaking exact ties. Same 48-of-128 probe
+    * budget as r6; measured recall@5 0.72 → 0.86/0.79 at sf0.01/sf0.1.
     */
   private def signIvfOracleSql(dim: Int, bits: Int, nProbe: Int, k: Int): String = {
     val dims = Similarity.quantDims(dim, bits)
+    val scale = Similarity.centroidScale
     def bucket(v: String) = dims.zipWithIndex.map { case (d, j) =>
       s"(CASE WHEN $v[$d] > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n       + ")
-    val costs = dims.zipWithIndex.map { case (d, j) =>
-      s"CAST(floor(abs(qv[$d]) * 1000000) AS BIGINT) AS c$j"
-    }.mkString(",\n         ")
-    val costSum = (0 until bits).map { j =>
-      s"(CASE WHEN (xor(p, qlist) >> $j) & 1 = 1 THEN c$j ELSE 0 END)"
-    }.mkString("\n           + ")
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
        |  FROM embeddings WHERE vec_id % 50 = 0
@@ -3211,22 +3210,55 @@ object QueryCatalog {
        |  SELECT neighbor_id, cv,
        |         ${bucket("cv")} AS list_id
        |  FROM c
-       |), ql AS (
-       |  SELECT query_id, qv,
-       |         ${bucket("qv")} AS qlist,
-       |         $costs
-       |  FROM q
+       |), cs AS (
+       |  SELECT list_id, pos,
+       |         SUM(CAST(floor(cv[CAST(pos AS INTEGER)] * $scale) AS BIGINT)) AS s,
+       |         COUNT(*) AS cnt
+       |  FROM cl CROSS JOIN generate_series(1, $dim) AS g(pos)
+       |  GROUP BY list_id, pos
+       |), cm AS (
+       |  SELECT list_id, pos, (s - ((s % cnt) + cnt) % cnt) // cnt AS m FROM cs
+       |), ct AS (
+       |  SELECT list_id, SUM(m * m) AS t2 FROM cm GROUP BY list_id
+       |  HAVING SUM(m * m) > 0
+       |), qi AS (
+       |  SELECT query_id, pos,
+       |         CAST(floor(qv[CAST(pos AS INTEGER)] * $scale) AS BIGINT) AS qx
+       |  FROM q CROSS JOIN generate_series(1, $dim) AS g(pos)
+       |), sc AS (
+       |  SELECT qi.query_id, cm.list_id,
+       |         SUM(qi.qx * cm.m) AS s2, ANY_VALUE(ct.t2) AS t2
+       |  FROM qi JOIN cm ON qi.pos = cm.pos
+       |  JOIN ct ON cm.list_id = ct.list_id
+       |  GROUP BY qi.query_id, cm.list_id
+       |), pr AS (
+       |  SELECT a.query_id, a.list_id,
+       |         SUM(CASE
+       |           WHEN b.s2 >= 0 AND a.s2 < 0 THEN 1
+       |           WHEN b.s2 < 0 AND a.s2 >= 0 THEN 0
+       |           WHEN b.s2 >= 0 AND a.s2 >= 0
+       |                AND CAST(b.s2 AS HUGEINT) * b.s2 * a.t2
+       |                  > CAST(a.s2 AS HUGEINT) * a.s2 * b.t2 THEN 1
+       |           WHEN b.s2 < 0 AND a.s2 < 0
+       |                AND CAST(b.s2 AS HUGEINT) * b.s2 * a.t2
+       |                  < CAST(a.s2 AS HUGEINT) * a.s2 * b.t2 THEN 1
+       |           WHEN (b.s2 >= 0) = (a.s2 >= 0)
+       |                AND CAST(b.s2 AS HUGEINT) * b.s2 * a.t2
+       |                  = CAST(a.s2 AS HUGEINT) * a.s2 * b.t2
+       |                AND b.list_id < a.list_id THEN 1
+       |           ELSE 0 END) AS nbetter
+       |  FROM sc a JOIN sc b ON a.query_id = b.query_id
+       |  GROUP BY a.query_id, a.list_id
        |), probe AS (
-       |  SELECT query_id, qv, p AS list_id,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY
-       |             $costSum, p) AS prn
-       |  FROM ql CROSS JOIN generate_series(0, ${(1 << bits) - 1}) AS ps(p)
+       |  SELECT query_id, list_id FROM pr WHERE nbetter < $nProbe
        |), ranked AS (
        |  SELECT probe.query_id, cl.neighbor_id,
        |         row_number() OVER (PARTITION BY probe.query_id
-       |           ORDER BY floor(list_cosine_similarity(probe.qv, cl.cv) * 1000000) DESC, cl.neighbor_id) AS rank
-       |  FROM probe JOIN cl USING (list_id)
-       |  WHERE prn <= $nProbe AND probe.query_id <> cl.neighbor_id
+       |           ORDER BY floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) DESC, cl.neighbor_id) AS rank
+       |  FROM probe
+       |  JOIN q ON probe.query_id = q.query_id
+       |  JOIN cl USING (list_id)
+       |  WHERE probe.query_id <> cl.neighbor_id
        |)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
