@@ -82,11 +82,10 @@ class OracleLintSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracle entries with no catalog query: $orphans")
     val rowsOnly = (qs -- SparkEntry.oracleSql.keySet).map(_.takeWhile(_ != '_'))
-    // r6: q32/q49 converted to hash-kernel-emulation oracles
-    // (HashOracleSql — FNV+splitmix64 in HUGEINT SQL); the remainder
-    // is exactly q136 (deflate ratio — no SQL zlib, legitimately
-    // un-oracle-able).
-    val documented = Set("q136")
+    // r7: q136 converted to a planted-class oracle (exact class rates +
+    // strict rep<prose ordering; the deflate VALUES stay spec-graded) —
+    // the rows-only remainder is now empty and must stay that way.
+    val documented = Set.empty[String]
     assert(rowsOnly == documented,
       s"rows-only set drifted from the documented remainder $documented: " +
         s"${rowsOnly.toSeq.sorted} — a dropped/typo'd oracle Map key silently " +
