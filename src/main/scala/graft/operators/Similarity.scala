@@ -298,14 +298,20 @@ object Similarity {
     * the embedding-space counterpart of
     * [[graft.operators.Dedup.resolveNearDups]]. Every corpus vector
     * appears in the output; singletons keep themselves.
+    *
+    * `checkpointDir` has the same contract as the document-side path:
+    * None truncates component rounds via `localCheckpoint` (local
+    * mode); a reliable dir makes them parquet-durable on a cluster.
     */
   def resolveEmbeddingNearDups(
       corpus: DataFrame, threshold: Double, dim: Int,
       nPlanes: Int = 12, nTables: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = embeddingNearDupPairs(corpus, threshold, dim, nPlanes, nTables,
       idCol, vecCol)
-    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        checkpointDir = checkpointDir)
       .withColumnRenamed("doc_id", "vec_id")
     corpus.select(col(idCol).as("vec_id"))
       .join(comps, Seq("vec_id"), "left")
@@ -507,7 +513,14 @@ object Similarity {
     val dims = quantDims(dim, bits)
     val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
       signBucket(col(vecCol), dims).as("list_id"))
+    // materialize the ≤2^bits-row centroid table: the probe's pairwise
+    // rank references it on BOTH sides of its self-join, and without
+    // truncation each side re-runs the corpus-sized sum aggregation —
+    // two full corpus scans instead of one (visible in the q44 plan as
+    // twin aggregate trees). The index path doesn't need this: its
+    // centroids come from a tiny parquet read.
     val cents = signListCentroids(signListCentroidSums(corpus, dims, vecCol))
+      .localCheckpoint()
     rankSignCandidates(lists,
       centroidProbe(queries, cents, nProbe, idCol, vecCol), k)
   }
