@@ -479,7 +479,12 @@ object Similarity {
       .otherwise(crossB < crossA)
     val tieSmaller = (bPos === aPos) && (crossB === crossA) &&
       (col("b.list_b") < col("a.list_id"))
-    val ranked = a.join(broadcast(b), Seq("query_id"))
+    // no broadcast hint: the self-join keys on query_id, so at scale it
+    // is an ordinary co-partitioned join over (queries × 2^bits)-row
+    // sides — AQE broadcasts it when the query set is actually small;
+    // a hint here would ship the whole score set to every executor at
+    // 10⁶ queries
+    val ranked = a.join(b, Seq("query_id"))
       .groupBy(col("query_id"), col("a.list_id").as("list_id"))
       .agg(sum(when(better || tieSmaller, 1L).otherwise(0L)).as("__nbetter"))
       .filter(col("__nbetter") < nProbe)
