@@ -3129,8 +3129,8 @@ object QueryCatalog {
     // spec-gated (MultimodalSpec bounds the per-channel drift), never
     // oracle-compared.
     "q171_multimodal_jpeg" -> ((s, dir) => {
-      val media = Multimodal.jpegFromText(s, t(s, dir, "documents"), "doc_id", "text",
-        width = 16)
+      val media = Multimodal.jpegFromText(s, assertAscii(t(s, dir, "documents")),
+        "doc_id", "text", width = 16)
       Multimodal.imageIoStats(media).toDF()
         .select(col("media_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("n_pixels"))

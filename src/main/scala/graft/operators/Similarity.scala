@@ -460,11 +460,25 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       transform(col(vecCol),
         v => floor(v.cast("double") * centroidScale).cast("long")).as("qi"))
+    // Loud domain guard: the exact comparisons below live in
+    // DECIMAL(12,0), which holds because |v| < 1 keeps |s2| and t2
+    // under dim·scale² ≈ 6.4e9. Unnormalized embeddings would breach
+    // 1e12 and (on an ANSI-off session) overflow the casts to NULL,
+    // silently degrading the probe set to "all lists" — fail the query
+    // instead, at the row that breaches.
+    val dec12Max = 999999999999L
+    def guarded(x: Column, name: String): Column =
+      when(abs(x) > dec12Max,
+        raise_error(concat(lit(s"centroidProbe: |$name| exceeds the DECIMAL(12,0) " +
+          "domain — embeddings must satisfy |component| < 1 (got score "),
+          x.cast("string"), lit(")"))).cast("long"))
+        .otherwise(x)
     val scored = q.crossJoin(broadcast(cents))
-      .withColumn("s2",
+      .withColumn("s2", guarded(
         aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x))
-      .select(col("query_id"), col("list_id"), col("s2"), col("t2"))
+          lit(0L), (acc, x) => acc + x), "s2"))
+      .select(col("query_id"), col("list_id"), col("s2"),
+        guarded(col("t2"), "t2").as("t2"))
     val dec = org.apache.spark.sql.types.DecimalType(12, 0)
     val a = scored.as("a")
     val b = scored.select(col("query_id"), col("list_id").as("list_b"),
@@ -580,16 +594,28 @@ object Similarity {
     // Merge the batch's centroid sums into the stored ones: long sums
     // are exactly associative, so the merged table is bit-identical to
     // a one-shot rebuild over the union — the invariant the q134
-    // oracle checks. The existing sums are materialized (bounded:
-    // ≤ 2^bits·dim rows) before the overwrite of the path they came
-    // from.
-    val existing = spark.read.parquet(s"$path/centroid_sums").localCheckpoint()
-    existing.unionByName(
-        signListCentroidSums(batch, quantDims(dim, bits), vecCol))
+    // oracle checks. The merge WRITES TO A SIDE PATH and then swaps:
+    // overwriting the path being read would leave a window where a
+    // mid-write failure destroys the only durable copy of the sums
+    // (a localCheckpoint backup dies with the app). The swap narrows
+    // the exposure to a delete+rename pair of metadata ops; a crash
+    // inside it leaves `centroid_sums_next` intact for manual
+    // recovery. NOTE on retries: the list append above commits first,
+    // so a failure between it and the swap leaves lists ahead of sums
+    // — re-run the append only from a consistent snapshot (wrap the
+    // index in `VersionedTable.publishAll` when the deployment needs
+    // transactional appends).
+    val nextPath = new org.apache.hadoop.fs.Path(s"$path/centroid_sums_next")
+    val finalPath = new org.apache.hadoop.fs.Path(s"$path/centroid_sums")
+    spark.read.parquet(finalPath.toString)
+      .unionByName(signListCentroidSums(batch, quantDims(dim, bits), vecCol))
       .groupBy(col("list_id"), col("pos"))
       .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroid_sums")
+      .write.mode("overwrite").parquet(nextPath.toString)
+    val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(finalPath, true)
+    fs.rename(nextPath, finalPath)
   }
 
   /** Serve from a persisted sign-IVF index: rank lists by centroid

@@ -31,11 +31,18 @@ object Tables {
     // (naive = UTC instant). Disabling inference at read time is
     // tz-safe: the raw micros become a UTC instant directly, with no
     // session-timezone fold (a post-read NTZ→TIMESTAMP cast would
-    // interpret the wall-clock in the session tz instead). Our own
-    // mains also set this at build time; a bare caller session relies
-    // on this runtime set.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = spark.read.parquet(path(dir, name))
+    // interpret the wall-clock in the session tz instead). The conf is
+    // SAVED AND RESTORED around the read — schema inference happens
+    // eagerly at read(), so the returned frame keeps TIMESTAMP while
+    // the caller's own unrelated parquet reads keep their session's
+    // semantics (TablesSpec asserts both).
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val ntzSaved = spark.conf.get(ntzKey)
+    val df =
+      try {
+        spark.conf.set(ntzKey, "false")
+        spark.read.parquet(path(dir, name))
+      } finally spark.conf.set(ntzKey, ntzSaved)
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
     // long (spark.sql.legacy.parquet.nanosAsLong) — convert to a µs
     // timestamp with integral division (double division would lose

@@ -24,6 +24,10 @@ class TablesSpec extends SparkSpec {
       assert(raw.schema("o_orderdate").dataType.typeName == "timestamp_ntz")
       val viaLoader = Tables.load(spark, dir, "orders")
       assert(viaLoader.schema("o_orderdate").dataType == TimestampType)
+      // the loader must not leak its conf flip into the caller's session
+      // (the caller's OWN parquet reads keep NTZ semantics)
+      assert(spark.conf.get(key) == "true",
+        "Tables.load must restore the caller's NTZ-inference setting")
       // UTC-instant semantics: the epoch seconds must equal the raw
       // micros of the file (naive = UTC instant, no session-tz fold).
       spark.conf.set(key, "false")
