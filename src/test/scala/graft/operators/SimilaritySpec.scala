@@ -91,6 +91,13 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(resolved(1L) === 1L && resolved(2L) === 1L && resolved(3L) === 1L)
     assert(resolved(7L) === 7L)
+    // reliable-checkpoint mode matches local-mode truncation exactly
+    // (same contract as Dedup.resolveNearDups)
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_ckpt").toString
+    val reliable = Similarity.resolveEmbeddingNearDups(vecs, threshold = 0.99,
+        dim = 3, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === resolved)
   }
 
   test("trainCentroids is deterministic and returns nLists centroids") {
