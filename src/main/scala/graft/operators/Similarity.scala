@@ -568,6 +568,12 @@ object Similarity {
     signListCentroidSums(corpus, quantDims(dim, bits), vecCol)
       .coalesce(1) // ≤ 2^bits·dim tiny rows — one file, no shuffle
       .write.mode("overwrite").parquet(s"$path/centroid_sums")
+    // a rebuild supersedes any half-finished append: clear the swap
+    // side path so a stale `centroid_sums_next` from a crashed append
+    // can never be mistaken for recovery state of THIS index generation
+    val stale = new org.apache.hadoop.fs.Path(s"$path/centroid_sums_next")
+    stale.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(stale, true)
   }
 
   /** Incrementally add a batch to a persisted sign-IVF index. The
