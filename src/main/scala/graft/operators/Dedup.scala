@@ -551,22 +551,37 @@ object Dedup {
     * persist the history side already exploded by (band, bucket) so
     * step 2 is a shuffle of the batch only. Re-running the same batch
     * yields zero survivors (idempotent ingest).
+    *
+    * `checkpointDir` mirrors [[resolveNearDups]]: None (default)
+    * truncates the batch-bounded frames via `localCheckpoint` (local
+    * mode); a reliable dir makes every truncation point parquet-
+    * durable for cluster runs. The intermediate `no_exact` snapshot is
+    * freed before return; `fresh_exact` and the final component labels
+    * back the returned frame (freed by the caller / a dir TTL).
     */
   def dedupeIncrement(
       batchArt: DataFrame, historyArt: DataFrame,
       threshold: Double, k: Int = 16, bands: Int = 4,
       neighborCap: Option[Int] = Some(8),
-      historyBands: Option[DataFrame] = None): DataFrame = {
+      historyBands: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     def banded(art: DataFrame) =
       bandedSignatures(art.select(col("doc_id"), col("sig")), bands, k)
+    val spark = batchArt.sparkSession
+    def truncate(df: DataFrame, sub: String): DataFrame = checkpointDir match {
+      case Some(d) =>
+        df.write.mode("overwrite").parquet(s"$d/$sub")
+        spark.read.parquet(s"$d/$sub")
+      case None => df.localCheckpoint()
+    }
     // 1. exact-vs-history. The surviving-batch frames are materialized
     // (they are batch-bounded): the plan below references them many
     // times — banding, candidate joins, set lookups, and one
     // re-evaluation per connected-components round — and without a
     // boundary every reference re-derives the artifacts from text.
-    val noExact = batchArt.join(
-      historyArt.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti")
-      .localCheckpoint()
+    val noExact = truncate(batchArt.join(
+      historyArt.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti"),
+      "no_exact")
     // 2. near-vs-history: banded equi-join, Jaccard verify on sets.
     // With a persisted banded index (historyBands), history is NOT
     // re-banded per batch — only the batch side computes signatures.
@@ -592,18 +607,27 @@ object Dedup {
     // 3. within-batch: exact (min id per hash) then near (components)
     val exactKeep = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val freshExact = fresh.join(exactKeep, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val innerPairs = bandPairs(freshExact.select(col("doc_id"), col("sig")),
-        bands, k, neighborCap)
-      .join(freshExact.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(freshExact.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .filter(GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val comps = connectedComponents(innerPairs)
-    freshExact.join(comps, Seq("doc_id"), "left")
-      .filter(col("component").isNull || col("component") === col("doc_id"))
-      .drop("component")
+    val freshExact = truncate(fresh.join(exactKeep, Seq("doc_id"), "left_semi"),
+      "fresh_exact")
+    try {
+      val innerPairs = bandPairs(freshExact.select(col("doc_id"), col("sig")),
+          bands, k, neighborCap)
+        .join(freshExact.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(freshExact.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .filter(GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b")) >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+      val comps = connectedComponents(innerPairs,
+        checkpointDir = checkpointDir.map(d => s"$d/components"))
+      freshExact.join(comps, Seq("doc_id"), "left")
+        .filter(col("component").isNull || col("component") === col("doc_id"))
+        .drop("component")
+    } finally checkpointDir.foreach { d =>
+      // the component loop ran eagerly and `fresh_exact` + the final
+      // labels back the returned frame; the `no_exact` snapshot is dead
+      // — free it on success or unwind alike
+      val p = new org.apache.hadoop.fs.Path(s"$d/no_exact")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Persist the incremental-dedup history as a QUERYABLE INDEX:
@@ -683,12 +707,14 @@ object Dedup {
   def dedupeIncrementIndexed(
       spark: org.apache.spark.sql.SparkSession, batchArt: DataFrame,
       path: String, threshold: Double,
-      neighborCap: Option[Int] = Some(8)): DataFrame = {
+      neighborCap: Option[Int] = Some(8),
+      checkpointDir: Option[String] = None): DataFrame = {
     val (k, bands) = readIndexMeta(path)
     dedupeIncrement(batchArt,
       spark.read.schema(artifactSchema).parquet(s"$path/artifacts"),
       threshold, k, bands, neighborCap,
-      historyBands = Some(spark.read.schema(bandsSchema).parquet(s"$path/bands")))
+      historyBands = Some(spark.read.schema(bandsSchema).parquet(s"$path/bands")),
+      checkpointDir = checkpointDir)
   }
 
   /** Winnowing-fingerprint overlap join (the plagiarism-detection /

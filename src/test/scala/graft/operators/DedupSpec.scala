@@ -204,6 +204,14 @@ class DedupSpec extends SparkSpec {
     val grown = history.unionByName(
       Dedup.dedupeIncrement(batch, history, threshold = 0.5))
     assert(Dedup.dedupeIncrement(batch, grown, threshold = 0.5).count() === 0)
+    // reliable-checkpoint mode ≡ local, and the intermediate snapshot
+    // is freed before return (same contract as resolveNearDups)
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_ckpt").toString
+    val reliable = Dedup.dedupeIncrement(batch, history, threshold = 0.5,
+        checkpointDir = Some(dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reliable === survivors)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "no_exact")))
   }
 
   test("dedupeIncrementIndexed: persisted banded index serves identical survivors, appends stay equivalent") {
