@@ -731,14 +731,22 @@ object Dedup {
     */
   def fingerprintPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 2,
-      maxDocFreq: Int = 1000): DataFrame = {
+      maxDocFreq: Int = 1000,
+      checkpointDir: Option[String] = None): DataFrame = {
     // materialize the exploded (doc_id, fp) pairs once: the plan below
     // references them four times (doc-frequency filter + both join
     // sides), and without a boundary each reference re-winnows every
-    // document (swap for reliable checkpoint/cache on a real cluster)
-    val fps = fingerprints(docs, idCol, textCol, k, w)
+    // document. `checkpointDir` = the usual durable-truncation option
+    // (the snapshot backs the RETURNED lazy frame, so it lives until
+    // the caller is done — free by dir TTL or caller cleanup)
+    val fpsRaw = fingerprints(docs, idCol, textCol, k, w)
       .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-      .localCheckpoint()
+    val fps = checkpointDir match {
+      case Some(d) =>
+        fpsRaw.write.mode("overwrite").parquet(s"$d/fingerprints")
+        docs.sparkSession.read.parquet(s"$d/fingerprints")
+      case None => fpsRaw.localCheckpoint()
+    }
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
