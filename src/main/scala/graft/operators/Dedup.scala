@@ -224,7 +224,10 @@ object Dedup {
     * the loop advances, storage holds at most two label snapshots, a
     * failure cleans up everything this call wrote, and only the final
     * round's files outlive the call, freed when the caller is done
-    * with the result (or by a TTL on the directory).
+    * with the result (or by a TTL on the directory). Snapshots use
+    * fixed names under the dir — pass a DISTINCT dir per concurrent or
+    * result-overlapping call (this holds for every `checkpointDir`
+    * operator in this package).
     */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
