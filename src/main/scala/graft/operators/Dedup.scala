@@ -232,7 +232,6 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
-    val spark = pairs.sparkSession
     // Reliable mode severs lineage by writing each round's labels to
     // parquet under `checkpointDir` and reading them back — durable
     // storage like rdd.checkpoint(), but with NO session-global
@@ -244,20 +243,16 @@ object Dedup {
     // the final round's files outlive the call (the returned frame
     // reads them), freed when the caller is done with the result.
     var round = 0
-    def roundPath(i: Int) = s"${checkpointDir.get}/labels-$i"
-    def deleteRound(i: Int): Unit = checkpointDir.foreach { _ =>
-      val p = new org.apache.hadoop.fs.Path(roundPath(i))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+    def deleteRound(i: Int): Unit = checkpointDir.foreach { d =>
+      DurableSnapshots.delete(pairs, s"$d/labels-$i")
     }
-    def truncate(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(_) =>
-        val path = roundPath(round)
-        df.write.mode("overwrite").parquet(path)
+    def truncate(df: DataFrame): DataFrame = {
+      val out = DurableSnapshots.truncate(df, checkpointDir, s"labels-$round")
+      checkpointDir.foreach { _ =>
         round += 1
         if (round >= 2) deleteRound(round - 2)
-        spark.read.parquet(path)
-      case None => df.localCheckpoint()
+      }
+      out
     }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -355,19 +350,13 @@ object Dedup {
       shingleSize: Int = 3, charLevel: Boolean = false,
       neighborCap: Option[Int] = Some(8),
       checkpointDir: Option[String] = None): DataFrame = {
-    val spark = docs.sparkSession
     // materialize the shingle/signature pass: the pair plan references
     // it three times (banding + both verification set lookups), and
     // the component loop's edge cache fill would otherwise re-run the
     // whole kernel pass through that tripled lineage
-    val preparedRaw = prepareNearDup(docs, idCol, textCol, k, shingleSize, charLevel)
-    val preparedPath = checkpointDir.map(d => s"$d/prepared")
-    val prepared = preparedPath match {
-      case Some(path) =>
-        preparedRaw.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      case None => preparedRaw.localCheckpoint()
-    }
+    val prepared = DurableSnapshots.truncate(
+      prepareNearDup(docs, idCol, textCol, k, shingleSize, charLevel),
+      checkpointDir, "prepared")
     try {
       val pairs = nearDupPairsPrepared(prepared, threshold, k, bands, neighborCap)
       val comps = connectedComponents(pairs,
@@ -376,13 +365,12 @@ object Dedup {
         .join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("keep_id"))
-    } finally preparedPath.foreach { path =>
+    } finally checkpointDir.foreach { d =>
       // connectedComponents runs its rounds eagerly (each truncation is
       // a write action) and its result reads the final round's parquet,
       // so by this point nothing references the signature snapshot —
       // free it whether we are returning normally or unwinding.
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      DurableSnapshots.delete(docs, s"$d/prepared")
     }
   }
 
@@ -570,21 +558,14 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     def banded(art: DataFrame) =
       bandedSignatures(art.select(col("doc_id"), col("sig")), bands, k)
-    val spark = batchArt.sparkSession
-    def truncate(df: DataFrame, sub: String): DataFrame = checkpointDir match {
-      case Some(d) =>
-        df.write.mode("overwrite").parquet(s"$d/$sub")
-        spark.read.parquet(s"$d/$sub")
-      case None => df.localCheckpoint()
-    }
     // 1. exact-vs-history. The surviving-batch frames are materialized
     // (they are batch-bounded): the plan below references them many
     // times — banding, candidate joins, set lookups, and one
     // re-evaluation per connected-components round — and without a
     // boundary every reference re-derives the artifacts from text.
-    val noExact = truncate(batchArt.join(
+    val noExact = DurableSnapshots.truncate(batchArt.join(
       historyArt.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti"),
-      "no_exact")
+      checkpointDir, "no_exact")
     // 2. near-vs-history: banded equi-join, Jaccard verify on sets.
     // With a persisted banded index (historyBands), history is NOT
     // re-banded per batch — only the batch side computes signatures.
@@ -606,13 +587,21 @@ object Dedup {
             col("hist_id").cast("string"))).cast("boolean"))
         .otherwise(GraftFunctions.jaccardSorted(col("sh_b"), col("sh_h")) >= threshold))
       .select(col("batch_id").as("doc_id")).distinct()
-    val fresh = noExact.join(contaminated, Seq("doc_id"), "left_anti")
-    // 3. within-batch: exact (min id per hash) then near (components)
-    val exactKeep = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val freshExact = truncate(fresh.join(exactKeep, Seq("doc_id"), "left_semi"),
-      "fresh_exact")
+    // everything from here on (including the fresh_exact truncation —
+    // the write that forces the whole step-2 evaluation and carries
+    // the torn-index raise_error) runs inside the cleanup scope: on
+    // ANY failure both snapshots this call wrote are freed; on success
+    // only the dead no_exact one is, because fresh_exact and the final
+    // component labels back the returned frame (caller/TTL frees them)
+    var ok = false
     try {
+      val fresh = noExact.join(contaminated, Seq("doc_id"), "left_anti")
+      // 3. within-batch: exact (min id per hash) then near (components)
+      val exactKeep = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val freshExact = DurableSnapshots.truncate(
+        fresh.join(exactKeep, Seq("doc_id"), "left_semi"),
+        checkpointDir, "fresh_exact")
       val innerPairs = bandPairs(freshExact.select(col("doc_id"), col("sig")),
           bands, k, neighborCap)
         .join(freshExact.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -621,15 +610,14 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"))
       val comps = connectedComponents(innerPairs,
         checkpointDir = checkpointDir.map(d => s"$d/components"))
-      freshExact.join(comps, Seq("doc_id"), "left")
+      val result = freshExact.join(comps, Seq("doc_id"), "left")
         .filter(col("component").isNull || col("component") === col("doc_id"))
         .drop("component")
+      ok = true
+      result
     } finally checkpointDir.foreach { d =>
-      // the component loop ran eagerly and `fresh_exact` + the final
-      // labels back the returned frame; the `no_exact` snapshot is dead
-      // — free it on success or unwind alike
-      val p = new org.apache.hadoop.fs.Path(s"$d/no_exact")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      DurableSnapshots.delete(batchArt, s"$d/no_exact")
+      if (!ok) DurableSnapshots.delete(batchArt, s"$d/fresh_exact")
     }
   }
 
@@ -742,14 +730,10 @@ object Dedup {
     // document. `checkpointDir` = the usual durable-truncation option
     // (the snapshot backs the RETURNED lazy frame, so it lives until
     // the caller is done — free by dir TTL or caller cleanup)
-    val fpsRaw = fingerprints(docs, idCol, textCol, k, w)
-      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-    val fps = checkpointDir match {
-      case Some(d) =>
-        fpsRaw.write.mode("overwrite").parquet(s"$d/fingerprints")
-        docs.sparkSession.read.parquet(s"$d/fingerprints")
-      case None => fpsRaw.localCheckpoint()
-    }
+    val fps = DurableSnapshots.truncate(
+      fingerprints(docs, idCol, textCol, k, w)
+        .select(col("doc_id"), explode(col("fingerprints")).as("fp")),
+      checkpointDir, "fingerprints")
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)

@@ -66,7 +66,6 @@ object Funnel {
       tsCol: String, stages: Seq[String],
       checkpointDir: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "reachTimes needs at least one stage")
-    val spark = events.sparkSession
     // Stage-boundary materialization, same posture as
     // Dedup.connectedComponents: localCheckpoint locally (executor
     // block storage — an executor loss fails the job), or parquet
@@ -75,13 +74,9 @@ object Funnel {
     // is deleted as we go — on failure everything this call wrote is
     // cleaned up; on success the caller owns the dir's lifetime (TTL).
     var written = List.empty[String]
-    def materialize(df: DataFrame, i: Int): DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val path = s"$dir/stage-$i"
-        df.write.mode("overwrite").parquet(path)
-        written ::= path
-        spark.read.parquet(path)
-      case None => df.localCheckpoint()
+    def materialize(df: DataFrame, i: Int): DataFrame = {
+      checkpointDir.foreach(dir => written ::= s"$dir/stage-$i")
+      DurableSnapshots.truncate(df, checkpointDir, s"stage-$i")
     }
     val base = events.select(
       col(userCol).as("user_id"), col(typeCol).as("__type"), col(tsCol).as("__ts"))
@@ -105,10 +100,8 @@ object Funnel {
     } catch {
       case e: Throwable =>
         written.foreach { p =>
-          try {
-            val hp = new org.apache.hadoop.fs.Path(p)
-            hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-          } catch { case _: Throwable => () }
+          try DurableSnapshots.delete(events, p)
+          catch { case _: Throwable => () }
         }
         throw e
     }

@@ -528,7 +528,8 @@ object Similarity {
   def signIvfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bits: Int = 7, nProbe: Int = 48,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
     val dims = quantDims(dim, bits)
     val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
       signBucket(col(vecCol), dims).as("list_id"))
@@ -537,9 +538,12 @@ object Similarity {
     // truncation each side re-runs the corpus-sized sum aggregation —
     // two full corpus scans instead of one (visible in the q44 plan as
     // twin aggregate trees). The index path doesn't need this: its
-    // centroids come from a tiny parquet read.
-    val cents = signListCentroids(signListCentroidSums(corpus, dims, vecCol))
-      .localCheckpoint()
+    // centroids come from a tiny parquet read. `checkpointDir` is the
+    // package's usual durable-truncation option; the snapshot backs
+    // the returned frame (caller/TTL frees it).
+    val cents = DurableSnapshots.truncate(
+      signListCentroids(signListCentroidSums(corpus, dims, vecCol)),
+      checkpointDir, "probe_centroids")
     rankSignCandidates(lists,
       centroidProbe(queries, cents, nProbe, idCol, vecCol), k)
   }
@@ -556,6 +560,13 @@ object Similarity {
   def buildSignIvfIndex(
       corpus: DataFrame, path: String, dim: Int, bits: Int = 7,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // a rebuild supersedes any half-finished append: clear the swap
+    // side path FIRST, before any of this generation's data lands —
+    // deleting it only at the end would leave a crashed rebuild
+    // carrying a PRIOR generation's centroid_sums_next, which the
+    // append-recovery instructions would then wrongly rename over the
+    // new lists
+    DurableSnapshots.delete(corpus, s"$path/centroid_sums_next")
     corpus.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
       // pre-shuffle on the partition key: an unshuffled partitionBy
@@ -568,12 +579,6 @@ object Similarity {
     signListCentroidSums(corpus, quantDims(dim, bits), vecCol)
       .coalesce(1) // ≤ 2^bits·dim tiny rows — one file, no shuffle
       .write.mode("overwrite").parquet(s"$path/centroid_sums")
-    // a rebuild supersedes any half-finished append: clear the swap
-    // side path so a stale `centroid_sums_next` from a crashed append
-    // can never be mistaken for recovery state of THIS index generation
-    val stale = new org.apache.hadoop.fs.Path(s"$path/centroid_sums_next")
-    stale.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(stale, true)
   }
 
   /** Incrementally add a batch to a persisted sign-IVF index. The
