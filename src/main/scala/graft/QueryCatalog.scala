@@ -3136,6 +3136,61 @@ object QueryCatalog {
           col("height").cast("long").as("height"), col("n_pixels"))
         .orderBy(col("media_id"))
     }),
+
+    // CSV round-trip with explicit schema (S6's load path, upgraded
+    // from spec-only to a driver value check; q117 does the same for
+    // ORC): the FULL-WIDTH lineitem serialized to text and read back.
+    // Doubles survive because Java's Double.toString/parseDouble pair
+    // is round-trip exact; timestamps keep micros via an explicit
+    // 6-digit-fraction format. Oracle = the same aggregate over the
+    // parquet source, so any corruption in quoting, header handling,
+    // or numeric parsing flips the hash.
+    "q172_lineitem_csv_roundtrip" -> ((s, dir) => {
+      val path = scratchDir("graft_csv") + "/lineitem"
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      t(s, dir, "lineitem").write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", tsFmt)
+        .csv(path)
+      s.read
+        .schema("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+          "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+          "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+          "l_linestatus STRING, l_shipdate TIMESTAMP")
+        .option("header", "true").option("timestampFormat", tsFmt)
+        .csv(path)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_rows"),
+          max(col("l_orderkey")).as("max_orderkey"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // NDJSON round-trip (the reference's raw-events interchange shape):
+    // events serialized as JSON lines and read back with an explicit
+    // schema. The props column is itself a JSON-ish string, so the
+    // length aggregate catches any escaping/unescaping asymmetry; the
+    // epoch-second max catches timestamp drift.
+    "q173_events_json_roundtrip" -> ((s, dir) => {
+      val path = scratchDir("graft_json") + "/events"
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      t(s, dir, "events").write.mode("overwrite")
+        .option("timestampFormat", tsFmt).json(path)
+      s.read
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .option("timestampFormat", tsFmt).json(path)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum2(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(col("ts").cast("long")).as("max_ts_sec"),
+          max(length(col("props"))).cast("long").as("max_props_len"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3437,6 +3492,21 @@ object QueryCatalog {
     * q33/q170 hash match doubles as a BmpCodec ≡ JDK-decoder
     * cross-check at the driver.
     */
+  /** q172 (full-width CSV round-trip): a lossless format round-trip
+    * must leave every aggregate unchanged, so the oracle is this
+    * aggregate over the parquet source.
+    */
+  private val lineitemRoundtripOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       COUNT(*) AS n_rows,
+      |       MAX(l_orderkey) AS max_orderkey,
+      |       strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   private val pixelSumsOracle: String =
     """WITH d AS (
       |  SELECT doc_id, text, length(text) AS len FROM documents
@@ -3513,6 +3583,21 @@ object QueryCatalog {
         |       CAST(16 * GREATEST((length(text) + 47) // 48, 1) AS BIGINT) AS n_pixels
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+    // q172/q173: a lossless round-trip through another format must not
+    // change any aggregate, so the oracle is simply the same aggregate
+    // over the parquet source — a value mismatch isolates a defect in
+    // the tested writer/reader pair, not in the aggregate.
+    "q172_lineitem_csv_roundtrip" -> lineitemRoundtripOracle,
+    "q173_events_json_roundtrip" ->
+      """SELECT event_type,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS max_ts_sec,
+        |       CAST(MAX(length(props)) AS BIGINT) AS max_props_len
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

@@ -254,10 +254,40 @@ object Dedup {
       }
       out
     }
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edgesRaw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
+    val spark = pairs.sparkSession
+    val shufKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(shufKey)
     try {
+      // Materialize the edge cache under the CALLER's shuffle sizing
+      // (the distinct above is pairs-scale work), then size the label
+      // loop from the measured edge count: every frame the loop
+      // shuffles is ≤ |edges| rows of two longs, so the session
+      // default — sized for corpus-scale scans — leaves each loop
+      // stage scheduling mostly-empty tasks whose fixed cost dominates
+      // the whole resolution on small graphs (measured at sf0.1: 3.2 k
+      // pairs, 5.1 s CC → 1.1 s). ~1 M edge rows (≈ 32 MB shuffled)
+      // per partition, so giant graphs still fan out; the truncation
+      // actions compile their plans per-round, so the override applies
+      // to every round and is restored even on failure.
+      val nEdges = edgesRaw.count()
+      val loopParts = math.max(1L, math.min(nEdges / 1000000L + 1L, 100000L))
+      spark.conf.set(shufKey, loopParts.toString)
+      // Re-materialize the edge set at the loop's own sizing, hashed
+      // on the propagate join key: without this every loop stage still
+      // schedules one map task per CALLER-conf cache block (32-task
+      // map sides over a 3 k-row graph), which is where the fixed cost
+      // lives. One extra edge-sized job here removes it from all
+      // O(log m) rounds. Durable mode snapshots to parquet under
+      // `<dir>/edges` (freed in the finally) — the cache-only edge set
+      // would otherwise be the one loop input a lost executor could
+      // force a full pairs-lineage recompute of.
+      val edges = DurableSnapshots.truncate(
+        edgesRaw.repartition(loopParts.toInt, col("dst")),
+        checkpointDir, "edges")
+      edgesRaw.unpersist()
       // Seeded init: label = min(own id, min 1-hop neighbor). Same
       // single shuffle the old distinct-ids init cost, but star-shaped
       // clusters (the common near-dup shape — every member pairs with
@@ -325,7 +355,14 @@ object Dedup {
       case e: Throwable =>
         (0 until round).foreach(i => try deleteRound(i) catch { case _: Throwable => () })
         throw e
-    } finally edges.unpersist()
+    } finally {
+      spark.conf.set(shufKey, savedParts)
+      checkpointDir.foreach { d =>
+        try DurableSnapshots.delete(pairs, s"$d/edges")
+        catch { case _: Throwable => () }
+      }
+      edgesRaw.unpersist()
+    }
   }
 
   /** Near-duplicate RESOLUTION: pairs → connected components → one

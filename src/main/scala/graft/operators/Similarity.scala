@@ -258,7 +258,14 @@ object Similarity {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col(idCol), col(vecCol), col("cid").as("list_id"))
-      .repartition(col("list_id")) // one file per list, not per (task × list)
+      // explicit partition count: one file per list, not per
+      // (task × list) — AND nLists-way write parallelism. A keys-only
+      // repartition(col(...)) is an AQE-coalescible exchange: on a
+      // small build AQE folds it to ONE partition and a single task
+      // writes every list directory sequentially (~25 ms of parquet
+      // open/commit per directory — measured 3.1 s vs 0.9 s for the
+      // 128-list sign index). The explicit count pins the exchange.
+      .repartition(nLists, col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -573,8 +580,13 @@ object Similarity {
       // write mints (write tasks × 2^bits) small files — at 1000
       // executors that is the classic small-files explosion. After the
       // shuffle each list lands in exactly one task → ≤2^bits files
-      // per build, with up to 2^bits-way write parallelism.
-      .repartition(col("list_id"))
+      // per build, with up to 2^bits-way write parallelism. The count
+      // is EXPLICIT: a keys-only repartition is an AQE-coalescible
+      // exchange, and on a small build AQE folds it to one partition —
+      // a single task then writes all 2^bits directories sequentially
+      // (~25 ms parquet open/commit each; measured 3.1 s vs 0.9 s at
+      // 128 lists).
+      .repartition(1 << bits, col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
     signListCentroidSums(corpus, quantDims(dim, bits), vecCol)
       .coalesce(1) // ≤ 2^bits·dim tiny rows — one file, no shuffle
@@ -600,7 +612,10 @@ object Similarity {
     val spark = batch.sparkSession
     batch.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
-      .repartition(col("list_id")) // ≤2^bits new files per batch, not per (task × list)
+      // ≤2^bits new files per batch, not per (task × list); explicit
+      // count so AQE can't coalesce the exchange to one sequential
+      // writer task (see buildSignIvfIndex)
+      .repartition(1 << bits, col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
     // Merge the batch's centroid sums into the stored ones: long sums
     // are exactly associative, so the merged table is bit-identical to
