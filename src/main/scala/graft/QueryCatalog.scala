@@ -1787,7 +1787,20 @@ object QueryCatalog {
       val unitC = expr(
         "floor(l_extendedprice * 100 + 0.5) DIV greatest(floor(l_quantity), 1)")
         .cast("long")
+      // The selective part predicate is pushed BELOW the min-cost
+      // aggregation: per-part argmin is independent across parts, so
+      // restricting the part set first (broadcast semi-join — the
+      // filtered dim is tiny) and aggregating only those parts' offers
+      // is semantically identical to aggregating the world and
+      // filtering after, at a fraction of the shuffle. This is the
+      // manual form of a pushdown Catalyst cannot do on its own (the
+      // filter sits above two aggregations it would have to prove
+      // commute with it).
+      val sel = t(s, dir, "part")
+        .filter(col("p_size") === 10 && col("p_type") === "LARGE")
       val offers = t(s, dir, "lineitem")
+        .join(broadcast(sel.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .select(col("l_partkey"), col("l_suppkey"), unitC.as("unit_c"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("unit_c")).as("supp_min_c"))
@@ -1796,8 +1809,7 @@ object QueryCatalog {
       offers
         .join(best, col("l_partkey") === col("mp_partkey") &&
           col("supp_min_c") === col("part_min_c"))
-        .join(t(s, dir, "part").filter(col("p_size") === 10 &&
-          col("p_type") === "LARGE"), col("l_partkey") === col("p_partkey"))
+        .join(sel, col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
           col("s_name"), col("supp_min_c"))
@@ -1812,8 +1824,15 @@ object QueryCatalog {
     // spec-asserted via PartitionedLake.filesScanned.
     "q116_partitioned_prune" -> ((s, dir) => {
       val tmp = scratchDir("graft_lake")
+      // pre-shuffle on the partition key with an EXPLICIT count (the
+      // IVF-write lesson: a keys-only repartition is AQE-coalescible):
+      // one file per year written by its own task, instead of every
+      // scan task writing a slice of every year — fewer files AND
+      // year-parallel writes, and the dynamic-partition sort per task
+      // becomes trivial (single key value per task).
       PartitionedLake.writePartitioned(
-        t(s, dir, "lineitem").withColumn("ship_year", year(col("l_shipdate"))),
+        t(s, dir, "lineitem").withColumn("ship_year", year(col("l_shipdate")))
+          .repartition(8, col("ship_year")),
         tmp, "ship_year")
       PartitionedLake.read(s, tmp)
         .filter(col("ship_year") === 1997)
@@ -1834,6 +1853,10 @@ object QueryCatalog {
           floor(col("l_quantity")).cast("long").as("qty"),
           expr("floor(l_extendedprice * 100 + 0.5)").cast("long").as("ep_cents"),
           col("l_shipdate"))
+        // columnar encode is CPU-bound: fan the write out past the
+        // source scan's partitioning (a single ~25 MB parquet file
+        // scans as 1-3 splits, serializing the encode)
+        .repartition(16)
         .write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .groupBy(col("l_returnflag"),
@@ -3148,7 +3171,10 @@ object QueryCatalog {
     "q172_lineitem_csv_roundtrip" -> ((s, dir) => {
       val path = scratchDir("graft_csv") + "/lineitem"
       val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      t(s, dir, "lineitem").write.mode("overwrite")
+      // text encode/parse is CPU-bound: fan the write out past the
+      // source scan's 1-3 splits so both the serialize and the
+      // re-parse run wide
+      t(s, dir, "lineitem").repartition(16).write.mode("overwrite")
         .option("header", "true").option("timestampFormat", tsFmt)
         .csv(path)
       s.read
