@@ -3232,6 +3232,18 @@ object QueryCatalog {
           k = 5, dim = 64, m = 8, rerank = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // IVFADC (the FAISS default, q44 ∘ q174): centroid-probed lists cut
+    // the candidates sub-linearly, PQ/ADC scores only that cut in the
+    // compressed domain, exact cosine re-ranks the top 96. Oracle =
+    // the composition of the two already-verified generators.
+    // Measured recall@5: 0.94/0.86/0.77 at sf0.001/0.01/0.1.
+    "q175_emb_ann_ivfadc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfAdcTopK(e.filter(col("vec_id") % 50 === 0), e,
+          k = 5, dim = 64, bits = 7, nProbe = 48, m = 8, rerank = 96)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3291,13 +3303,19 @@ object QueryCatalog {
     * excluded, list_id breaking exact ties. Same 48-of-128 probe
     * budget as r6; measured recall@5 0.72 → 0.86/0.79 at sf0.01/sf0.1.
     */
-  private def signIvfOracleSql(dim: Int, bits: Int, nProbe: Int, k: Int): String = {
+  /** The sign-IVF probe as a reusable CTE chain (q, c, cl, …, probe):
+    * `signIvfOracleSql` closes it with the exact-cosine ranking;
+    * `ivfAdcOracleSql` (q175) splices the PQ CTEs between the probe
+    * and its own ranking. One generator, so the probe arithmetic
+    * cannot drift between the two oracles.
+    */
+  private def signIvfProbeCtes(dim: Int, bits: Int, nProbe: Int): String = {
     val dims = Similarity.quantDims(dim, bits)
     val scale = Similarity.centroidScale
     def bucket(v: String) = dims.zipWithIndex.map { case (d, j) =>
       s"(CASE WHEN $v[$d] > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n       + ")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
        |  FROM embeddings WHERE vec_id % 50 = 0
        |), c AS (
@@ -3347,7 +3365,11 @@ object QueryCatalog {
        |  GROUP BY a.query_id, a.list_id
        |), probe AS (
        |  SELECT query_id, list_id FROM pr WHERE nbetter < $nProbe
-       |), ranked AS (
+       |)""".stripMargin
+  }
+
+  private def signIvfOracleSql(dim: Int, bits: Int, nProbe: Int, k: Int): String =
+    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, ranked AS (
        |  SELECT probe.query_id, cl.neighbor_id,
        |         row_number() OVER (PARTITION BY probe.query_id
        |           ORDER BY floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) DESC, cl.neighbor_id) AS rank
@@ -3358,7 +3380,6 @@ object QueryCatalog {
        |)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  }
   private val signIvfOracle: String = signIvfOracleSql(dim = 64, bits = 7, nProbe = 48, k = 5)
 
   /** q174: PQ/ADC emulation. GENERATED from the same
@@ -3370,7 +3391,12 @@ object QueryCatalog {
     * All products live in BIGINT (|qx·mc| ≤ 10⁸, summed over ≤ 64
     * positions); DuckDB's SUM widens to HUGEINT harmlessly.
     */
-  private def pqAdcOracleSql(dim: Int, m: Int, rerank: Int, k: Int): String = {
+  /** The PQ arithmetic as a reusable CTE chain (pcodes → pcs → pcm →
+    * pqi → psc), referencing the q/c CTEs the caller's WITH already
+    * defines. Names are p-prefixed so the chain composes with the
+    * sign-IVF probe chain (q175) without collisions.
+    */
+  private def pqCtes(dim: Int, m: Int): String = {
     val blocks = Similarity.pqBlocks(dim, m)
     val w = dim / m
     val scale = Similarity.centroidScale
@@ -3382,37 +3408,34 @@ object QueryCatalog {
          |         ${codeExpr("cv", b)} AS code
          |  FROM c""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH q AS (
-       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-       |  FROM embeddings WHERE vec_id % 50 = 0
-       |), c AS (
-       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
-       |), codes AS (
+    s"""pcodes AS (
        |$codeBranches
-       |), cs AS (
+       |), pcs AS (
        |  SELECT sub, code, pp,
        |         SUM(CAST(floor(cv[CAST(sub * $w + pp AS INTEGER)] * $scale) AS BIGINT)) AS s,
        |         COUNT(*) AS cnt
-       |  FROM codes CROSS JOIN generate_series(1, $w) AS g(pp)
+       |  FROM pcodes CROSS JOIN generate_series(1, $w) AS g(pp)
        |  GROUP BY sub, code, pp
-       |), cm AS (
-       |  SELECT sub, code, pp, (s - ((s % cnt) + cnt) % cnt) // cnt AS mc FROM cs
-       |), qi AS (
+       |), pcm AS (
+       |  SELECT sub, code, pp, (s - ((s % cnt) + cnt) % cnt) // cnt AS mc FROM pcs
+       |), pqi AS (
        |  SELECT query_id, sub, pp,
        |         CAST(floor(qv[CAST(sub * $w + pp AS INTEGER)] * $scale) AS BIGINT) AS qx
        |  FROM q
        |  CROSS JOIN generate_series(0, ${m - 1}) AS sg(sub)
        |  CROSS JOIN generate_series(1, $w) AS g(pp)
-       |), sc AS (
+       |), psc AS (
        |  SELECT query_id, sub, code, SUM(qx * mc) AS sjc
-       |  FROM qi JOIN cm USING (sub, pp)
+       |  FROM pqi JOIN pcm USING (sub, pp)
        |  GROUP BY query_id, sub, code
-       |), adc AS (
-       |  SELECT sc.query_id, codes.neighbor_id, SUM(sc.sjc) AS adc
-       |  FROM codes JOIN sc ON codes.sub = sc.sub AND codes.code = sc.code
-       |  WHERE sc.query_id <> codes.neighbor_id
-       |  GROUP BY sc.query_id, codes.neighbor_id
-       |), topr AS (
+       |)""".stripMargin
+  }
+
+  /** Shared ADC→re-rank oracle tail: rank `adc` (query_id,
+    * neighbor_id, adc), cut at `rerank`, exact-cosine re-rank to k.
+    */
+  private def adcRerankSql(rerank: Int, k: Int): String =
+    s"""topr AS (
        |  SELECT query_id, neighbor_id,
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY adc DESC, neighbor_id) AS r
@@ -3428,7 +3451,39 @@ object QueryCatalog {
        |)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  private def pqAdcOracleSql(dim: Int, m: Int, rerank: Int, k: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0
+       |), c AS (
+       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+       |), ${pqCtes(dim, m)}, adc AS (
+       |  SELECT psc.query_id, pcodes.neighbor_id, SUM(psc.sjc) AS adc
+       |  FROM pcodes JOIN psc ON pcodes.sub = psc.sub AND pcodes.code = psc.code
+       |  WHERE psc.query_id <> pcodes.neighbor_id
+       |  GROUP BY psc.query_id, pcodes.neighbor_id
+       |), ${adcRerankSql(rerank, k)}""".stripMargin
+
+  /** q175: IVFADC — the q44 probe CTEs select the candidate lists, the
+    * q174 PQ CTEs score only those candidates, the shared tail
+    * re-ranks. Both halves are the already-verified generators, so the
+    * composition cannot drift from its parents.
+    */
+  private def ivfAdcOracleSql(
+      dim: Int, bits: Int, nProbe: Int, m: Int, rerank: Int, k: Int): String =
+    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, ${pqCtes(dim, m)}, cand AS (
+       |  SELECT probe.query_id, cl.neighbor_id
+       |  FROM probe JOIN cl USING (list_id)
+       |  WHERE probe.query_id <> cl.neighbor_id
+       |), adc AS (
+       |  SELECT cand.query_id, cand.neighbor_id, SUM(psc.sjc) AS adc
+       |  FROM cand
+       |  JOIN pcodes ON pcodes.neighbor_id = cand.neighbor_id
+       |  JOIN psc ON psc.query_id = cand.query_id
+       |         AND psc.sub = pcodes.sub AND psc.code = pcodes.code
+       |  GROUP BY cand.query_id, cand.neighbor_id
+       |), ${adcRerankSql(rerank, k)}""".stripMargin
 
   /** SQL emulation of the compiled hash kernels
     * (`graft.expressions.Kernels`): FNV-1a 64 over bytes + a splitmix64
@@ -3709,6 +3764,8 @@ object QueryCatalog {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q174_emb_ann_pq_adc" -> pqAdcOracleSql(dim = 64, m = 8, rerank = 64, k = 5),
+    "q175_emb_ann_ivfadc" ->
+      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 48, m = 8, rerank = 96, k = 5),
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

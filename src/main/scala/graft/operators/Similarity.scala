@@ -698,43 +698,79 @@ object Similarity {
     * with 9 digits to spare, ADC ties break on neighbor_id, and the
     * re-rank uses the 1e-6-grid cosine key every oracle mirrors.
     */
-  def pqAdcTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-      m: Int = 8, rerank: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val blocks = pqBlocks(dim, m)
+  /** (neighbor_id, sub, code, sv): one row per corpus sub-vector,
+    * carrying its block slice for the codebook sums. `corpusC` must
+    * expose (neighbor_id, cv2).
+    */
+  private def pqCodeRows(corpusC: DataFrame, dim: Int, m: Int): DataFrame = {
     val w = dim / m
-    val corpusC = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"))
-    // (neighbor_id, sub, code, sv): one row per sub-vector, carrying
-    // its block slice for the codebook sums
-    val subStructs = blocks.zipWithIndex.map { case (b, j) =>
+    val subStructs = pqBlocks(dim, m).zipWithIndex.map { case (b, j) =>
       struct(lit(j).as("sub"), signBucket(col("cv2"), b).as("code"),
         slice(col("cv2"), j * w + 1, w).as("sv"))
     }
-    val codeRows = corpusC
+    corpusC
       .select(col("neighbor_id"), explode(array(subStructs: _*)).as("s"))
       .select(col("neighbor_id"), col("s.sub").as("sub"),
         col("s.code").as("code"), col("s.sv").as("sv"))
-    // integer centroid per (sub, code, pp): floor-scaled component
-    // sums then the engine-neutral floor division (see
-    // [[signListCentroids]] for why not native DIV on negatives)
-    val cm = codeRows
+  }
+
+  /** Integer codebook per (sub, code, pp): floor-scaled component sums
+    * then the engine-neutral floor division (see [[signListCentroids]]
+    * for why not native DIV on negatives).
+    */
+  private def pqCodebook(codeRows: DataFrame): DataFrame =
+    codeRows
       .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pp0", "x")))
       .groupBy(col("sub"), col("code"), (col("pp0") + 1).as("pp"))
       .agg(sum(floor(col("x").cast("double") * centroidScale).cast("long")).as("s"),
         count(lit(1)).as("cnt"))
       .withColumn("mc", expr("(s - ((s % cnt) + cnt) % cnt) DIV cnt"))
       .select(col("sub"), col("code"), col("pp"), col("mc"))
-    // per-query lookup table: score of every (sub, code) cell
-    val qi = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+
+  /** Per-query ADC lookup table: the integer score of every
+    * (sub, code) cell — m·2^(dim/m) rows per query, from a broadcast
+    * codebook.
+    */
+  private def pqQueryTable(
+      queries: DataFrame, codebook: DataFrame, dim: Int, m: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val w = dim / m
+    queries
+      .select(col(idCol).as("query_id"),
         posexplode(col(vecCol)).as(Seq("p0", "x")))
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"),
         (col("p0") / w).cast("int").as("sub"), (col("p0") % w + 1).as("pp"),
         floor(col("x").cast("double") * centroidScale).cast("long").as("qx"))
-    val sc = qi.join(broadcast(cm), Seq("sub", "pp"))
+      .join(broadcast(codebook), Seq("sub", "pp"))
       .groupBy(col("query_id"), col("sub"), col("code"))
       .agg(sum(col("qx") * col("mc")).as("sjc"))
+  }
+
+  /** ADC-rank `pairs` (query_id, neighbor_id) by summed table lookups,
+    * keep the top `rerank` per query (ties on neighbor_id), then
+    * exact-cosine re-rank the short list to top-k.
+    */
+  private def adcRerank(
+      pairsScored: DataFrame, queries: DataFrame, corpusC: DataFrame,
+      k: Int, rerank: Int, idCol: String, vecCol: String): DataFrame = {
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val survivors = pairsScored.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    rankTopK(survivors
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
+      .join(corpusC, Seq("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2"))), k)
+  }
+
+  def pqAdcTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 8, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpusC = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"))
+    val codeRows = pqCodeRows(corpusC, dim, m)
+    val sc = pqQueryTable(queries, pqCodebook(codeRows), dim, m, idCol, vecCol)
     // compressed-domain scan: every candidate's ADC score is the sum
     // of its m table lookups — a join on (sub, code), never on floats
     val adc = codeRows.select(col("neighbor_id"), col("sub"), col("code"))
@@ -742,16 +778,53 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("sjc")).as("adc"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val survivors = adc.withColumn("r", row_number().over(wAdc))
-      .filter(col("r") <= rerank)
+    adcRerank(adc, queries, corpusC, k, rerank, idCol, vecCol)
+  }
+
+  /** IVFADC — the FAISS-default composition: the sign-IVF centroid
+    * probe cuts candidates to the `nProbe` nearest lists (sub-linear
+    * candidate generation), then PQ/ADC scores ONLY those candidates
+    * in the compressed domain, and the exact re-rank touches `rerank`
+    * vectors per query. Every stage is the already-oracle-checked
+    * arithmetic of its parent operator (q44's probe, q174's ADC), so
+    * the composition is value-checked end to end too (q175).
+    *
+    * At 100 TB: the probe reads nProbe/2^bits of the code table (codes
+    * are m bytes/vector, so even the probed fraction is ~32× smaller
+    * than the float corpus), the codebook and lookup tables are
+    * broadcast-sized, and float I/O is rerank·|Q| vectors.
+    */
+  def ivfAdcTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      bits: Int = 7, nProbe: Int = 48, m: Int = 8, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val dims = quantDims(dim, bits)
+    val corpusC = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
+      signBucket(col(vecCol), dims).as("list_id"))
+    // materialized for the same reason as signIvfTopK: the probe's
+    // pairwise rank references the centroid table on both sides
+    val cents = DurableSnapshots.truncate(
+      signListCentroids(signListCentroidSums(corpus, dims, vecCol)),
+      checkpointDir, "ivfadc_centroids")
+    val probed = centroidProbe(queries, cents, nProbe, idCol, vecCol)
+      .select(col("query_id"), col("list_id"))
+    // the IVF cut: candidate pairs exist only inside probed lists
+    val cands = probed
+      .join(corpusC.select(col("neighbor_id"), col("list_id")), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
-    // exact-cosine re-rank of the short list only
-    rankTopK(survivors
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
-      .join(corpusC, Seq("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2"))), k)
+    val codeRows = pqCodeRows(corpusC.select(col("neighbor_id"), col("cv2")), dim, m)
+    val sc = pqQueryTable(queries, pqCodebook(codeRows), dim, m, idCol, vecCol)
+    // ADC restricted to the cut: join candidates into the scoring, so
+    // the scored volume is (candidates × m), not (corpus × |Q| × m)
+    val adc = cands
+      .join(codeRows.select(col("neighbor_id"), col("sub"), col("code")), Seq("neighbor_id"))
+      .join(sc, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("sjc")).as("adc"))
+    adcRerank(adc, queries, corpusC.select(col("neighbor_id"), col("cv2")),
+      k, rerank, idCol, vecCol)
   }
 
   /** Approximate top-k via random-hyperplane LSH: score only pairs

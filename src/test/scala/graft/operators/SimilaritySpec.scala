@@ -214,6 +214,30 @@ class SimilaritySpec extends SparkSpec {
       "PQ/ADC at rerank=32 below the 0.7 floor")
   }
 
+  test("ivfAdcTopK: recall@5 >= 0.8 at sf0.01, bounded by its IVF cut") {
+    // IVFADC (q175) = q44's probe ∘ q174's ADC: recall can never exceed
+    // the probe's candidate cut, and the ADC stage should cost little
+    // on top. Measured: 0.94/0.86/0.77 at sf0.001/0.01/0.1 vs the
+    // probe-only ceiling 0.86/0.79 (sf0.01/0.1). Deterministic.
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
+    val ivfadc = pairs(Similarity.ivfAdcTopK(q, e, 5, dim = 64, bits = 7,
+      nProbe = 48, m = 8, rerank = 96))
+    val recall = ivfadc.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVFADC recall@5 $recall below the 0.8 gate")
+    // the composition's survivors are a subset of the probe's
+    // candidate space: every returned neighbor must share a probed
+    // list with its query
+    val probeOnly = pairs(Similarity.signIvfTopK(q, e, 200, dim = 64,
+      bits = 7, nProbe = 48))
+    assert(ivfadc.subsetOf(probeOnly),
+      "IVFADC must never return a neighbor outside its probed lists")
+  }
+
   test("pqBlocks: m must divide dim; blocks tile 1..dim exactly once") {
     assertThrows[IllegalArgumentException](Similarity.pqBlocks(64, 7))
     val blocks = Similarity.pqBlocks(64, 8)
