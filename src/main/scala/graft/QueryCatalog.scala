@@ -3244,6 +3244,20 @@ object QueryCatalog {
           k = 5, dim = 64, bits = 7, nProbe = 48, m = 8, rerank = 96)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // PQ serving path: persist codes (8 bytes/vector) + codebook, serve
+    // with floats fetched from the lake only for re-rank survivors.
+    // Shares q174's oracle at identical parameters, so index-serving
+    // ≡ in-flight is itself the driver-checked assertion (the q44/q72
+    // pattern applied to PQ).
+    "q176_emb_ann_pq_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = scratchDir("graft_pq_idx")
+      Similarity.buildPqIndex(e, path, dim = 64, m = 8)
+      Similarity.queryPqIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
+          k = 5, dim = 64, m = 8, rerank = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3451,6 +3465,9 @@ object QueryCatalog {
        |)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  private lazy val pqAdcOracle: String =
+    pqAdcOracleSql(dim = 64, m = 8, rerank = 64, k = 5)
 
   private def pqAdcOracleSql(dim: Int, m: Int, rerank: Int, k: Int): String =
     s"""WITH q AS (
@@ -3763,9 +3780,12 @@ object QueryCatalog {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
-    "q174_emb_ann_pq_adc" -> pqAdcOracleSql(dim = 64, m = 8, rerank = 64, k = 5),
+    "q174_emb_ann_pq_adc" -> pqAdcOracle,
     "q175_emb_ann_ivfadc" ->
       ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 48, m = 8, rerank = 96, k = 5),
+    // q176 ≡ q174 at equal parameters by construction — one oracle
+    // value-checks both, making the equivalence itself part of the gate
+    "q176_emb_ann_pq_index" -> pqAdcOracle,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

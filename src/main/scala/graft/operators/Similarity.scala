@@ -781,6 +781,53 @@ object Similarity {
     adcRerank(adc, queries, corpusC, k, rerank, idCol, vecCol)
   }
 
+  /** Persist the PQ index: per-vector code arrays (`m` longs — the
+    * 8-bytes-per-vector table that makes PQ the memory-bounded path)
+    * plus the integer codebook as a tiny side table. The FLOATS ARE
+    * NOT COPIED: at 100 TB the originals stay in the lake and serving
+    * fetches only the re-rank survivors from there — the index dir is
+    * ~32× smaller than the corpus it serves. Codes are structural
+    * (sign tests), so an append is encode-and-append with the same
+    * sums-merge the sign-IVF index uses; no retraining.
+    */
+  def buildPqIndex(
+      corpus: DataFrame, path: String, dim: Int, m: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val blocks = pqBlocks(dim, m)
+    corpus.select(col(idCol).as("neighbor_id"),
+        array(blocks.map(b => signBucket(col(vecCol), b)): _*).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    pqCodebook(pqCodeRows(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")), dim, m))
+      .coalesce(1) // ≤ m·2^(dim/m)·(dim/m) tiny rows — one file
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Serve from a persisted PQ index: lookup table from the stored
+    * codebook, ADC scan over the stored codes, exact re-rank fetching
+    * floats from `vectors` (the lake table the index was built from).
+    * Identical to [[pqAdcTopK]] at equal parameters — q176 shares
+    * q174's oracle, so index-serving ≡ in-flight is driver-checked.
+    */
+  def queryPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vectors: DataFrame, k: Int, dim: Int,
+      m: Int = 8, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sc = pqQueryTable(queries, spark.read.parquet(s"$path/codebook"),
+      dim, m, idCol, vecCol)
+    // posexplode index IS the sub id: codes[j] was built from block j
+    val codesFlat = spark.read.parquet(s"$path/codes")
+      .select(col("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+    val adc = codesFlat.join(sc, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("sjc")).as("adc"))
+    adcRerank(adc, queries,
+      vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
+      k, rerank, idCol, vecCol)
+  }
+
   /** IVFADC — the FAISS-default composition: the sign-IVF centroid
     * probe cuts candidates to the `nProbe` nearest lists (sub-linear
     * candidate generation), then PQ/ADC scores ONLY those candidates

@@ -238,6 +238,34 @@ class SimilaritySpec extends SparkSpec {
       "IVFADC must never return a neighbor outside its probed lists")
   }
 
+  test("persisted PQ index: serving ≡ in-flight pqAdcTopK exactly; floats not copied") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    Similarity.buildPqIndex(e, dir, dim = 64, m = 8)
+    val served = Similarity.queryPqIndex(spark, dir, q, e, k = 5, dim = 64,
+      m = 8, rerank = 64)
+    val inFlight = Similarity.pqAdcTopK(q, e, 5, dim = 64, m = 8, rerank = 64)
+    assert(served.orderBy("query_id", "rank").collect().toSeq ===
+      inFlight.orderBy("query_id", "rank").collect().toSeq,
+      "persisted PQ index must serve the exact in-flight result")
+    // the index holds codes + codebook only — the float corpus is NOT
+    // duplicated into the index dir (the 100 TB posture: 8 code bytes
+    // per vector, originals stay in the lake)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.map(_.toString).toList
+    } finally files.close()
+    assert(names.exists(_.contains("/codes")) && names.exists(_.contains("/codebook")))
+    assert(!names.exists(_.contains("/vectors")), "index must not copy the floats")
+    val bytes = names.filter(_.endsWith(".parquet")).map(p =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+    // 500 vectors × 256 float bytes ≈ 128 KB of floats; the whole index
+    // (codes + codebook + parquet overhead) must stay well under that
+    assert(bytes < 100 * 1024, s"PQ index unexpectedly large: $bytes bytes")
+  }
+
   test("pqBlocks: m must divide dim; blocks tile 1..dim exactly once") {
     assertThrows[IllegalArgumentException](Similarity.pqBlocks(64, 7))
     val blocks = Similarity.pqBlocks(64, 8)
