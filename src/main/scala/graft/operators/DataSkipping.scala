@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
   * oracle is the plain predicate over the original table — the q90
   * "optimization must be invisible" discipline); the win at 100 TB is
   * that a selective time-window query opens `overlapping/total` of the
-  * files instead of all of them. The manifest collect is #files rows on
-  * the driver — exactly what Delta/Iceberg planners hold in memory; at
-  * 1M files that is megabytes, and the manifest itself should be
-  * persisted and incrementally maintained rather than rebuilt (the
-  * build is provided here because the sandbox writes fresh snapshots
-  * per run).
+  * files instead of all of them. The pruning DECISION is distributed:
+  * the manifest stays a DataFrame end to end and the driver receives
+  * one row carrying only the surviving paths plus a count (at 1M
+  * manifest rows and a selective predicate, that is the handful of
+  * files the query opens — the irreducible planner state). The
+  * manifest itself should be persisted and incrementally maintained
+  * rather than rebuilt ([[prunedReadFromManifest]]; the per-query
+  * build is provided because the sandbox writes fresh snapshots per
+  * run).
   *
   * The skip column is cast to LONG in the manifest (epoch seconds, ids,
   * day numbers) — integer bounds compare identically everywhere,
@@ -57,23 +60,56 @@ object DataSkipping {
         max(col(statsCol).cast("long")).as("max_v"),
         count(lit(1)).as("n_rows"))
 
+  /** The pruning decision as a DataFrame transform: files whose
+    * [min_v, max_v] overlaps [lo, hi]. Pure plan — nothing executes
+    * here, so a persisted/incrementally-maintained manifest prunes the
+    * same way a freshly built one does.
+    */
+  def pruneFiles(manifest: DataFrame, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty interval: [$lo, $hi]")
+    manifest.filter(!(col("max_v") < lo || col("min_v") > hi)).select(col("file"))
+  }
+
   /** Read only the files whose [min_v, max_v] overlaps [lo, hi], with
     * the exact predicate re-applied. Returns the frame plus
     * (keptFiles, totalFiles) so callers — and specs — can assert the
     * skip actually skipped.
+    *
+    * The decision is DISTRIBUTED: the manifest frame is filtered by
+    * [[pruneFiles]] inside one aggregate job, and the driver receives
+    * a single row holding only the SURVIVING paths plus the total
+    * count — the full manifest is never materialized driver-side. At
+    * 100 TB a manifest is millions of rows; what a planner must hold
+    * is only the file list the query actually opens (for a selective
+    * predicate, a tiny fraction), which is irreducible — Spark's
+    * reader takes explicit paths.
     */
   def prunedRead(
       spark: SparkSession, dataDir: String, statsCol: String,
-      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+      lo: Long, hi: Long): (DataFrame, Int, Int) =
+    prunedReadFromManifest(spark, buildManifest(spark, dataDir, statsCol),
+      dataDir, statsCol, lo, hi)
+
+  /** [[prunedRead]] against a caller-supplied manifest frame — the
+    * production shape, where the manifest is persisted parquet that is
+    * incrementally maintained as files land, not rebuilt per query.
+    */
+  def prunedReadFromManifest(
+      spark: SparkSession, manifest: DataFrame, dataDir: String,
+      statsCol: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
     require(lo <= hi, s"empty interval: [$lo, $hi]")
-    val manifest = buildManifest(spark, dataDir, statsCol).collect()
-    val kept = manifest.filter { r =>
-      !(r.getAs[Long]("max_v") < lo || r.getAs[Long]("min_v") > hi)
-    }.map(_.getAs[String]("file"))
+    // one job, one driver row: total file count + the surviving paths
+    val row = manifest
+      .agg(count(lit(1)).as("total"),
+        collect_list(when(!(col("max_v") < lo || col("min_v") > hi),
+          col("file"))).as("kept"))
+      .head()
+    val total = row.getAs[Long]("total").toInt
+    val kept = row.getSeq[String](row.fieldIndex("kept")).toIndexedSeq
     val pred = col(statsCol).cast("long").between(lo, hi)
     val df =
       if (kept.isEmpty) spark.read.parquet(dataDir).filter(pred).limit(0)
-      else spark.read.parquet(kept.toIndexedSeq: _*).filter(pred)
-    (df, kept.length, manifest.length)
+      else spark.read.parquet(kept: _*).filter(pred)
+    (df, kept.length, total)
   }
 }

@@ -228,6 +228,16 @@ object Dedup {
     * fixed names under the dir — pass a DISTINCT dir per concurrent or
     * result-overlapping call (this holds for every `checkpointDir`
     * operator in this package).
+    *
+    * SINGLE-WRITER ASSUMPTION: the label loop sizes its shuffles by
+    * temporarily setting `spark.sql.shuffle.partitions` on the session
+    * (saved and restored on this thread, even on failure). Session
+    * conf is process-global, so a query submitted CONCURRENTLY on the
+    * same SparkSession while the loop runs would compile with the
+    * loop's partition count (possibly 1). Run this call without
+    * concurrent writers on the session, or hand concurrent work its
+    * own session (`spark.newSession()` shares the catalog but isolates
+    * the conf).
     */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
@@ -260,6 +270,7 @@ object Dedup {
     val spark = pairs.sparkSession
     val shufKey = "spark.sql.shuffle.partitions"
     val savedParts = spark.conf.get(shufKey)
+    var edges: DataFrame = null
     try {
       // Materialize the edge cache under the CALLER's shuffle sizing
       // (the distinct above is pairs-scale work), then size the label
@@ -283,10 +294,23 @@ object Dedup {
       // O(log m) rounds. Durable mode snapshots to parquet under
       // `<dir>/edges` (freed in the finally) — the cache-only edge set
       // would otherwise be the one loop input a lost executor could
-      // force a full pairs-lineage recompute of.
-      val edges = DurableSnapshots.truncate(
-        edgesRaw.repartition(loopParts.toInt, col("dst")),
-        checkpointDir, "edges")
+      // force a full pairs-lineage recompute of. Non-durable mode uses
+      // persist() (NOT localCheckpoint): the loop holds this frame for
+      // its whole life and persist blocks free DETERMINISTICALLY in
+      // the finally's unpersist, where checkpoint blocks would sit in
+      // executor block storage until RDD GC — a cache leak for
+      // long-lived sessions resolving many corpora. Lineage severance
+      // buys nothing for edges (one repartition over the materialized
+      // distinct; it is the LOOP-CARRIED labels that need truncation).
+      edges = checkpointDir match {
+        case Some(_) => DurableSnapshots.truncate(
+          edgesRaw.repartition(loopParts.toInt, col("dst")),
+          checkpointDir, "edges")
+        case None =>
+          val e = edgesRaw.repartition(loopParts.toInt, col("dst")).persist()
+          e.count()
+          e
+      }
       edgesRaw.unpersist()
       // Seeded init: label = min(own id, min 1-hop neighbor). Same
       // single shuffle the old distinct-ids init cost, but star-shaped
@@ -361,6 +385,7 @@ object Dedup {
         try DurableSnapshots.delete(pairs, s"$d/edges")
         catch { case _: Throwable => () }
       }
+      if (edges ne null) edges.unpersist()
       edgesRaw.unpersist()
     }
   }

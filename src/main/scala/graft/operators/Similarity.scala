@@ -671,6 +671,16 @@ object Similarity {
     require(dim % m == 0 && m > 0,
       s"pqBlocks: m=$m must divide dim=$dim")
     val w = dim / m
+    // Loud bound, not just m | dim: the sign code packs one bit per
+    // block component into a LONG (1L << j in signBucket), so w > 62
+    // silently overflows to negative/colliding codes — and the
+    // codebook/lookup table is m·2^w rows, astronomically sized long
+    // before that. 16 is the practical ceiling (65 536-cell codebook);
+    // real PQ uses w of 4–8.
+    require(w <= 16,
+      s"pqBlocks: dim/m = $w sub-vector components > 16 — the sign " +
+        s"code is one bit per component, so the codebook has m·2^$w " +
+        "cells; raise m so dim/m <= 16")
     (0 until m).map(j => (1 to w).map(i => j * w + i))
   }
 

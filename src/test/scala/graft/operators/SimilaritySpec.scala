@@ -268,6 +268,10 @@ class SimilaritySpec extends SparkSpec {
 
   test("pqBlocks: m must divide dim; blocks tile 1..dim exactly once") {
     assertThrows[IllegalArgumentException](Similarity.pqBlocks(64, 7))
+    // wide sub-vectors fail LOUDLY: dim/m = 32 > 16 would overflow the
+    // one-bit-per-component sign code long before its 2^32-cell
+    // codebook finished materializing (ADVICE r8)
+    assertThrows[IllegalArgumentException](Similarity.pqBlocks(64, 2))
     val blocks = Similarity.pqBlocks(64, 8)
     assert(blocks.flatten.sorted === (1 to 64))
     assert(blocks.forall(_.size === 8))

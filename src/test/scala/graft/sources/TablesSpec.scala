@@ -40,6 +40,31 @@ class TablesSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("load is session-timezone-invariant: non-UTC sessions read the same UTC instants") {
+    // The tz-safety claim in Tables.load's scaladoc: disabling NTZ
+    // inference AT READ TIME maps the file's naive micros straight to
+    // a UTC instant, where a post-read NTZ→TIMESTAMP cast would fold
+    // through the session wall-clock and shift every value by the
+    // session offset. Pin it with an actual non-UTC session.
+    val tzKey = "spark.sql.session.timeZone"
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val savedTz = spark.conf.get(tzKey)
+    val savedNtz = spark.conf.get(ntzKey)
+    try {
+      val utc = Tables.load(spark, dir, "orders")
+        .agg(min(unix_timestamp(col("o_orderdate")))).head.getLong(0)
+      spark.conf.set(ntzKey, "true") // a caller session at Spark defaults…
+      spark.conf.set(tzKey, "America/Los_Angeles") // …in a non-UTC zone
+      val la = Tables.load(spark, dir, "orders")
+        .agg(min(unix_timestamp(col("o_orderdate")))).head.getLong(0)
+      assert(la == utc,
+        s"naive micros must land on the same UTC instant in any session tz (got $la vs $utc)")
+    } finally {
+      spark.conf.set(tzKey, savedTz)
+      spark.conf.set(ntzKey, savedNtz)
+    }
+  }
+
   test("load leaves the session readable for every table under NTZ defaults") {
     val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
     val saved = spark.conf.get(key)
