@@ -3233,15 +3233,20 @@ object QueryCatalog {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVFADC (the FAISS default, q44 ∘ q174): centroid-probed lists cut
-    // the candidates sub-linearly, PQ/ADC scores only that cut in the
-    // compressed domain, exact cosine re-ranks the top 96. Oracle =
-    // the composition of the two already-verified generators.
-    // Measured recall@5: 0.94/0.86/0.77 at sf0.001/0.01/0.1.
+    // IVFADC, residual-encoded (the canonical FAISS composition, r9):
+    // centroid-probed lists cut the candidates sub-linearly, PQ/ADC
+    // scores that cut in the compressed domain with corpus codes
+    // trained on RESIDUALS against each list's centroid — the ADC
+    // score is exact-⟨q, c_L⟩ plus quantized-residual lookups — and
+    // exact cosine re-ranks the top 96. Oracle = the probe chain's own
+    // CTEs extended with the residual codebook arithmetic. Residual
+    // codes track the probe ceiling closely: recall@5 0.96/0.94/0.825
+    // at sf0.001/0.01/0.1 vs sign-IVF's 0.835 at the same 56-list
+    // budget (r8 raw-vector codes: 0.77 at 48 lists).
     "q175_emb_ann_ivfadc" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfAdcTopK(e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = 7, nProbe = 48, m = 8, rerank = 96)
+          k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3482,25 +3487,69 @@ object QueryCatalog {
        |  GROUP BY psc.query_id, pcodes.neighbor_id
        |), ${adcRerankSql(rerank, k)}""".stripMargin
 
-  /** q175: IVFADC — the q44 probe CTEs select the candidate lists, the
-    * q174 PQ CTEs score only those candidates, the shared tail
-    * re-ranks. Both halves are the already-verified generators, so the
-    * composition cannot drift from its parents.
+  /** q175: residual-encoded IVFADC (canonical FAISS composition, r9).
+    * The q44 probe CTEs select the candidate lists; corpus vectors are
+    * PQ-coded as integer RESIDUALS against their own list centroid
+    * (`cm` — the UNFILTERED per-(list, pos) centroid the probe chain
+    * already computes); the ADC score decomposes the inner product as
+    * exact-list-constant + quantized-residual: ⟨q, c_L⟩ (the `lc` CTE,
+    * exact integer dot) + Σⱼ⟨q_j, r̂_code_j⟩ (residual-codebook
+    * lookups). Every piece reuses the probe chain's own CTEs, so the
+    * composition cannot drift from its parents; all arithmetic is
+    * integer-exact (|rx| ≤ 2·10⁴, products ≤ 4·10⁸, sums ≤ 2·10¹⁰ —
+    * BIGINT everywhere, HUGEINT only inside DuckDB SUMs).
     */
   private def ivfAdcOracleSql(
-      dim: Int, bits: Int, nProbe: Int, m: Int, rerank: Int, k: Int): String =
-    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, ${pqCtes(dim, m)}, cand AS (
-       |  SELECT probe.query_id, cl.neighbor_id
+      dim: Int, bits: Int, nProbe: Int, m: Int, rerank: Int, k: Int): String = {
+    val w = dim / m
+    val scale = Similarity.centroidScale
+    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, rres AS (
+       |  SELECT cl.neighbor_id, cl.list_id, g.pos,
+       |         CAST(floor(cl.cv[CAST(g.pos AS INTEGER)] * $scale) AS BIGINT) - cm.m AS rx
+       |  FROM cl CROSS JOIN generate_series(1, $dim) AS g(pos)
+       |  JOIN cm ON cm.list_id = cl.list_id AND cm.pos = g.pos
+       |), rcodes AS (
+       |  SELECT neighbor_id, list_id, CAST((pos - 1) // $w AS INTEGER) AS sub,
+       |         SUM(CASE WHEN rx > 0
+       |             THEN (CAST(1 AS BIGINT) << CAST((pos - 1) % $w AS INTEGER))
+       |             ELSE 0 END) AS code
+       |  FROM rres GROUP BY 1, 2, 3
+       |), rcb AS (
+       |  SELECT rc.sub, rc.code, CAST((rr.pos - 1) % $w AS INTEGER) + 1 AS pp,
+       |         SUM(rr.rx) AS s, COUNT(*) AS cnt
+       |  FROM rres rr
+       |  JOIN rcodes rc ON rc.neighbor_id = rr.neighbor_id
+       |   AND rc.sub = CAST((rr.pos - 1) // $w AS INTEGER)
+       |  GROUP BY 1, 2, 3
+       |), rcm AS (
+       |  SELECT sub, code, pp, (s - ((s % cnt) + cnt) % cnt) // cnt AS mc FROM rcb
+       |), rsc AS (
+       |  SELECT qi.query_id, rcm.sub, rcm.code, SUM(qi.qx * rcm.mc) AS sjc
+       |  FROM qi JOIN rcm ON rcm.sub = CAST((qi.pos - 1) // $w AS INTEGER)
+       |                  AND rcm.pp = CAST((qi.pos - 1) % $w AS INTEGER) + 1
+       |  GROUP BY 1, 2, 3
+       |), lc AS (
+       |  SELECT probe.query_id, probe.list_id, SUM(qi.qx * cm.m) AS lc
+       |  FROM probe
+       |  JOIN qi ON qi.query_id = probe.query_id
+       |  JOIN cm ON cm.list_id = probe.list_id AND cm.pos = qi.pos
+       |  GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT probe.query_id, cl.neighbor_id, cl.list_id
        |  FROM probe JOIN cl USING (list_id)
        |  WHERE probe.query_id <> cl.neighbor_id
-       |), adc AS (
-       |  SELECT cand.query_id, cand.neighbor_id, SUM(psc.sjc) AS adc
+       |), adcr AS (
+       |  SELECT cand.query_id, cand.neighbor_id, cand.list_id, SUM(rsc.sjc) AS rs
        |  FROM cand
-       |  JOIN pcodes ON pcodes.neighbor_id = cand.neighbor_id
-       |  JOIN psc ON psc.query_id = cand.query_id
-       |         AND psc.sub = pcodes.sub AND psc.code = pcodes.code
-       |  GROUP BY cand.query_id, cand.neighbor_id
+       |  JOIN rcodes rc ON rc.neighbor_id = cand.neighbor_id
+       |  JOIN rsc ON rsc.query_id = cand.query_id
+       |         AND rsc.sub = rc.sub AND rsc.code = rc.code
+       |  GROUP BY 1, 2, 3
+       |), adc AS (
+       |  SELECT adcr.query_id, adcr.neighbor_id, adcr.rs + lc.lc AS adc
+       |  FROM adcr JOIN lc ON lc.query_id = adcr.query_id AND lc.list_id = adcr.list_id
        |), ${adcRerankSql(rerank, k)}""".stripMargin
+  }
 
   /** SQL emulation of the compiled hash kernels
     * (`graft.expressions.Kernels`): FNV-1a 64 over bytes + a splitmix64
@@ -3782,7 +3831,7 @@ object QueryCatalog {
         |ORDER BY event_type""".stripMargin,
     "q174_emb_ann_pq_adc" -> pqAdcOracle,
     "q175_emb_ann_ivfadc" ->
-      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 48, m = 8, rerank = 96, k = 5),
+      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5),
     // q176 ≡ q174 at equal parameters by construction — one oracle
     // value-checks both, making the equivalence itself part of the gate
     "q176_emb_ann_pq_index" -> pqAdcOracle,

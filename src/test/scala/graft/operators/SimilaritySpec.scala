@@ -214,11 +214,14 @@ class SimilaritySpec extends SparkSpec {
       "PQ/ADC at rerank=32 below the 0.7 floor")
   }
 
-  test("ivfAdcTopK: recall@5 >= 0.8 at sf0.01, bounded by its IVF cut") {
-    // IVFADC (q175) = q44's probe ∘ q174's ADC: recall can never exceed
-    // the probe's candidate cut, and the ADC stage should cost little
-    // on top. Measured: 0.94/0.86/0.77 at sf0.001/0.01/0.1 vs the
-    // probe-only ceiling 0.86/0.79 (sf0.01/0.1). Deterministic.
+  test("ivfAdcTopK: recall@5 >= 0.9 at sf0.01, bounded by its IVF cut") {
+    // IVFADC (q175) = q44's probe ∘ residual ADC: recall can never
+    // exceed the probe's candidate cut, and with RESIDUAL codes (r9)
+    // the ADC stage costs almost nothing on top of it — measured
+    // 0.96/0.94/0.825 at sf0.001/0.01/0.1 at the 56-list budget vs the
+    // probe-only ceiling 0.94/0.835 (sf0.01/0.1); r8 raw-vector codes
+    // sat at 0.86/0.77. Deterministic: cannot drift without a code
+    // change.
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val q = e.filter($"vec_id" % 50 === 0)
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -226,16 +229,34 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
     val ivfadc = pairs(Similarity.ivfAdcTopK(q, e, 5, dim = 64, bits = 7,
-      nProbe = 48, m = 8, rerank = 96))
+      nProbe = 56, m = 8, rerank = 96))
     val recall = ivfadc.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.8, s"IVFADC recall@5 $recall below the 0.8 gate")
+    assert(recall >= 0.9, s"IVFADC recall@5 $recall below the 0.9 gate")
     // the composition's survivors are a subset of the probe's
     // candidate space: every returned neighbor must share a probed
     // list with its query
     val probeOnly = pairs(Similarity.signIvfTopK(q, e, 200, dim = 64,
-      bits = 7, nProbe = 48))
+      bits = 7, nProbe = 56))
     assert(ivfadc.subsetOf(probeOnly),
       "IVFADC must never return a neighbor outside its probed lists")
+  }
+
+  test("ivfAdcTopK: recall@5 >= 0.80 at sf0.1 (the family gate, VERDICT r8 #2)") {
+    // The one number below the 0.80 family bar in r8 (raw-vector codes:
+    // 0.77). Residual encoding at the 56-list probe budget measures
+    // 0.825 — the sf0.1 gate the family is held to everywhere else.
+    // Deterministic data, deterministic arithmetic: no flake margin
+    // needed.
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
+    val ivfadc = pairs(Similarity.ivfAdcTopK(q, e, 5, dim = 64, bits = 7,
+      nProbe = 56, m = 8, rerank = 96))
+    val recall = ivfadc.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.80, s"IVFADC sf0.1 recall@5 $recall below the 0.80 gate")
   }
 
   test("persisted PQ index: serving ≡ in-flight pqAdcTopK exactly; floats not copied") {
