@@ -3263,6 +3263,20 @@ object QueryCatalog {
           k = 5, dim = 64, m = 8, rerank = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // Recall-vs-nProbe calibration (VERDICT r8 #8): the tuning curve a
+    // serving team reads to pick a probe budget — recall@5 of sign-IVF
+    // and residual IVFADC at 8/24/56 probed lists, against brute-force
+    // ground truth, as exact integer hits/n_pairs. One probe ranking +
+    // one ADC pass serve all grid points (everything below the budget
+    // cut is nProbe-independent), so the sweep costs ~one IVFADC run.
+    "q177_ann_recall_calibration" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallProbeCurve(e.filter(col("vec_id") % 50 === 0), e,
+          k = 5, dim = 64, bits = 7, probeGrid = Seq(8, 24, 56),
+          m = 8, rerank = 96)
+        .orderBy(col("family"), col("n_probe"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3499,11 +3513,15 @@ object QueryCatalog {
     * integer-exact (|rx| ≤ 2·10⁴, products ≤ 4·10⁸, sums ≤ 2·10¹⁰ —
     * BIGINT everywhere, HUGEINT only inside DuckDB SUMs).
     */
-  private def ivfAdcOracleSql(
-      dim: Int, bits: Int, nProbe: Int, m: Int, rerank: Int, k: Int): String = {
+  /** The residual-PQ arithmetic as a reusable CTE chain (rres →
+    * rcodes → rcb → rcm → rsc), referencing the probe chain's cl/cm/qi
+    * CTEs. Shared by q175 (IVFADC) and q177 (calibration sweep) so the
+    * residual codebook arithmetic cannot drift between them.
+    */
+  private def residualPqCtes(dim: Int, m: Int): String = {
     val w = dim / m
     val scale = Similarity.centroidScale
-    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, rres AS (
+    s"""rres AS (
        |  SELECT cl.neighbor_id, cl.list_id, g.pos,
        |         CAST(floor(cl.cv[CAST(g.pos AS INTEGER)] * $scale) AS BIGINT) - cm.m AS rx
        |  FROM cl CROSS JOIN generate_series(1, $dim) AS g(pos)
@@ -3528,7 +3546,12 @@ object QueryCatalog {
        |  FROM qi JOIN rcm ON rcm.sub = CAST((qi.pos - 1) // $w AS INTEGER)
        |                  AND rcm.pp = CAST((qi.pos - 1) % $w AS INTEGER) + 1
        |  GROUP BY 1, 2, 3
-       |), lc AS (
+       |)""".stripMargin
+  }
+
+  private def ivfAdcOracleSql(
+      dim: Int, bits: Int, nProbe: Int, m: Int, rerank: Int, k: Int): String = {
+    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, ${residualPqCtes(dim, m)}, lc AS (
        |  SELECT probe.query_id, probe.list_id, SUM(qi.qx * cm.m) AS lc
        |  FROM probe
        |  JOIN qi ON qi.query_id = probe.query_id
@@ -3549,6 +3572,90 @@ object QueryCatalog {
        |  SELECT adcr.query_id, adcr.neighbor_id, adcr.rs + lc.lc AS adc
        |  FROM adcr JOIN lc ON lc.query_id = adcr.query_id AND lc.list_id = adcr.list_id
        |), ${adcRerankSql(rerank, k)}""".stripMargin
+  }
+
+  /** q177: the recall-vs-nProbe calibration sweep. One probe chain at
+    * the WIDEST grid budget (its `pr` CTE carries the cut-free
+    * `nbetter` rank) plus one residual-PQ chain serve every grid
+    * point; each point is a filter + window. Ground truth is q29's
+    * brute-force ranking. Everything integer: hits and n_pairs are
+    * counts, so the whole curve hashes exactly.
+    */
+  private def recallCalibrationOracleSql(
+      dim: Int, bits: Int, grid: Seq[Int], m: Int, rerank: Int, k: Int): String = {
+    val maxP = grid.max
+    val pointCtes = grid.map { n =>
+      s"""s_$n AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ck DESC, neighbor_id) AS rank
+         |    FROM cand WHERE nbetter < $n)
+         |  WHERE rank <= $k
+         |), asurv_$n AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc DESC, neighbor_id) AS r
+         |    FROM adca WHERE nbetter < $n)
+         |  WHERE r <= $rerank
+         |), atop_$n AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.query_id, a.neighbor_id,
+         |           row_number() OVER (PARTITION BY a.query_id
+         |             ORDER BY cand.ck DESC, a.neighbor_id) AS rank
+         |    FROM asurv_$n a
+         |    JOIN cand ON cand.query_id = a.query_id
+         |             AND cand.neighbor_id = a.neighbor_id)
+         |  WHERE rank <= $k
+         |)""".stripMargin
+    }.mkString(", ")
+    val pointRows = grid.flatMap { n =>
+      Seq(
+        s"""SELECT 'sign_ivf' AS family, $n AS n_probe,
+           |  (SELECT COUNT(*) FROM s_$n JOIN truth USING (query_id, neighbor_id)) AS hits,
+           |  (SELECT n_pairs FROM npairs) AS n_pairs""".stripMargin,
+        s"""SELECT 'ivfadc' AS family, $n AS n_probe,
+           |  (SELECT COUNT(*) FROM atop_$n JOIN truth USING (query_id, neighbor_id)) AS hits,
+           |  (SELECT n_pairs FROM npairs) AS n_pairs""".stripMargin)
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${signIvfProbeCtes(dim, bits, maxP)}, ${residualPqCtes(dim, m)}, truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY floor(list_cosine_similarity(qv, cv) * 1000000) DESC, neighbor_id) AS rank
+       |    FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+       |  WHERE rank <= $k
+       |), npairs AS (
+       |  SELECT COUNT(*) AS n_pairs FROM truth
+       |), cand AS (
+       |  SELECT pr.query_id, cl.neighbor_id, cl.list_id, pr.nbetter,
+       |         floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) AS ck
+       |  FROM pr
+       |  JOIN q ON q.query_id = pr.query_id
+       |  JOIN cl ON cl.list_id = pr.list_id
+       |  WHERE pr.nbetter < $maxP AND pr.query_id <> cl.neighbor_id
+       |), lc AS (
+       |  SELECT pr.query_id, pr.list_id, SUM(qi.qx * cm.m) AS lc
+       |  FROM pr
+       |  JOIN qi ON qi.query_id = pr.query_id
+       |  JOIN cm ON cm.list_id = pr.list_id AND cm.pos = qi.pos
+       |  WHERE pr.nbetter < $maxP
+       |  GROUP BY 1, 2
+       |), adcr AS (
+       |  SELECT cand.query_id, cand.neighbor_id, cand.list_id, cand.nbetter,
+       |         SUM(rsc.sjc) AS rs
+       |  FROM cand
+       |  JOIN rcodes rc ON rc.neighbor_id = cand.neighbor_id
+       |  JOIN rsc ON rsc.query_id = cand.query_id
+       |         AND rsc.sub = rc.sub AND rsc.code = rc.code
+       |  GROUP BY 1, 2, 3, 4
+       |), adca AS (
+       |  SELECT adcr.query_id, adcr.neighbor_id, adcr.nbetter, adcr.rs + lc.lc AS adc
+       |  FROM adcr JOIN lc ON lc.query_id = adcr.query_id AND lc.list_id = adcr.list_id
+       |), $pointCtes
+       |$pointRows
+       |ORDER BY family, n_probe""".stripMargin
   }
 
   /** SQL emulation of the compiled hash kernels
@@ -3835,6 +3942,9 @@ object QueryCatalog {
     // q176 ≡ q174 at equal parameters by construction — one oracle
     // value-checks both, making the equivalence itself part of the gate
     "q176_emb_ann_pq_index" -> pqAdcOracle,
+    "q177_ann_recall_calibration" ->
+      recallCalibrationOracleSql(dim = 64, bits = 7, grid = Seq(8, 24, 56),
+        m = 8, rerank = 96, k = 5),
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

@@ -480,6 +480,20 @@ object Similarity {
     */
   private def centroidProbe(
       queries: DataFrame, cents: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame =
+    centroidProbeRanks(queries, cents, idCol, vecCol)
+      .filter(col("nbetter") < nProbe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+
+  /** [[centroidProbe]] without the budget cut: every (query, list)
+    * pair with its probe rank `nbetter` (the count of strictly-better
+    * lists — `nbetter < nProbe` IS the probe set at that budget). One
+    * computation serves a whole recall-vs-nProbe calibration sweep
+    * ([[recallProbeCurve]]): the ranking is nProbe-independent, so the
+    * grid points differ only by a filter.
+    */
+  private def centroidProbeRanks(
+      queries: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       transform(col(vecCol),
@@ -524,10 +538,9 @@ object Similarity {
     // 10⁶ queries
     val ranked = a.join(b, Seq("query_id"))
       .groupBy(col("query_id"), col("a.list_id").as("list_id"))
-      .agg(sum(when(better || tieSmaller, 1L).otherwise(0L)).as("__nbetter"))
-      .filter(col("__nbetter") < nProbe)
+      .agg(sum(when(better || tieSmaller, 1L).otherwise(0L)).as("nbetter"))
     ranked.join(q.select(col("query_id"), col("qv")), Seq("query_id"))
-      .select(col("query_id"), col("qv"), col("list_id"))
+      .select(col("query_id"), col("qv"), col("list_id"), col("nbetter"))
   }
 
   /** IVF with a sign-pattern coarse quantizer: 2^bits lists keyed by
@@ -955,6 +968,114 @@ object Similarity {
         explode(array(subStructs: _*)).as("s"))
       .select(col("neighbor_id"), col("list_id"), col("s.sub").as("sub"),
         col("s.code").as("code"), col("s.sv").as("sv"))
+  }
+
+  /** Recall-vs-nProbe calibration for the sign-IVF ANN family — the
+    * operational artifact a serving team reads to pick a probe budget:
+    * for each grid point, recall@k of (a) sign-IVF (exact cosine
+    * inside probed lists) and (b) residual IVFADC (compressed-domain
+    * ADC + rerank cut) against brute-force ground truth. Output one
+    * row per (family, n_probe): integer `hits` (ANN∩truth pairs) and
+    * `n_pairs` (truth pairs) — recall = hits/n_pairs, kept as exact
+    * integers so the whole curve is oracle-checkable (q177).
+    *
+    * ONE shared computation serves the sweep: probe ranks (`nbetter`),
+    * candidate cosines, and ADC scores are all nProbe-independent —
+    * [[centroidProbeRanks]]' cut-free ranking is computed once at the
+    * WIDEST budget and each grid point is a filter + window over the
+    * materialized intermediates. The sweep costs ~one IVFADC run plus
+    * the ground truth, not |grid| independent runs — the property that
+    * makes calibration affordable to re-run as the corpus drifts.
+    * (Ground truth is the documented brute-force baseline; calibrate
+    * on a query SAMPLE at scale, like every recall evaluation.)
+    */
+  def recallProbeCurve(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      bits: Int, probeGrid: Seq[Int], m: Int = 8, rerank: Int = 96,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(probeGrid.nonEmpty, "probeGrid must not be empty")
+    val maxP = probeGrid.max
+    val dims = quantDims(dim, bits)
+    val corpusC = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
+      signBucket(col(vecCol), dims).as("list_id"))
+    val lvecs = DurableSnapshots.truncate(
+      listCentroidVectors(signListCentroidSums(corpus, dims, vecCol)),
+      checkpointDir, "recall_centroids")
+    val cents = signListCentroidsFromVectors(lvecs)
+    val ranks = DurableSnapshots.truncate(
+      centroidProbeRanks(queries, cents, idCol, vecCol)
+        .filter(col("nbetter") < maxP),
+      checkpointDir, "recall_ranks")
+    // widest-budget candidate pool, exact cosine attached ONCE
+    val cands = DurableSnapshots.truncate(
+      ranks.join(corpusC, Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("list_id"), col("nbetter"),
+          VectorFunctions.cosine(col("qv"), col("cv2")).as("cosine")),
+      checkpointDir, "recall_cands")
+    val truth = DurableSnapshots.truncate(
+      bruteForceTopK(queries, corpus, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id")),
+      checkpointDir, "recall_truth")
+    // residual ADC scores over the widest pool (also nProbe-independent)
+    val corpusR = corpusC
+      .join(broadcast(lvecs.select(col("list_id"), col("mvec"))), Seq("list_id"))
+      .select(col("neighbor_id"), col("list_id"),
+        zip_with(
+          transform(col("cv2"), v => floor(v.cast("double") * centroidScale).cast("long")),
+          col("mvec"), (a, b) => a - b).as("rv"))
+    val codeRows = residualCodeRows(corpusR, dim, m)
+    val sc = pqQueryTable(queries, residualCodebook(codeRows), dim, m, idCol, vecCol)
+    val qi = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol),
+        v => floor(v.cast("double") * centroidScale).cast("long")).as("qi"))
+    val listConst = ranks.select(col("query_id"), col("list_id"))
+      .join(qi, Seq("query_id"))
+      .join(broadcast(lvecs.select(col("list_id"), col("mvec"))), Seq("list_id"))
+      .select(col("query_id"), col("list_id"),
+        aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("lc"))
+    val adcAll = DurableSnapshots.truncate(
+      cands.select(col("query_id"), col("neighbor_id"), col("list_id"), col("nbetter"))
+        .join(codeRows.select(col("neighbor_id"), col("sub"), col("code")), Seq("neighbor_id"))
+        .join(sc, Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("list_id"), col("nbetter"))
+        .agg(sum(col("sjc")).as("rs"))
+        .join(listConst, Seq("query_id", "list_id"))
+        .select(col("query_id"), col("neighbor_id"), col("nbetter"),
+          (col("rs") + col("lc")).as("adc")),
+      checkpointDir, "recall_adc")
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    def hitsRow(top: DataFrame, family: String, nP: Int): DataFrame =
+      top.join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(family).as("family"), lit(nP).as("n_probe"), col("hits"))
+    val perPoint = probeGrid.map { nP =>
+      // sign-IVF at this budget: cosine top-k inside the nP-cut pool
+      val signTop = cands.filter(col("nbetter") < nP)
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      // IVFADC at this budget: ADC rerank-cut, then cosine top-k
+      val survivors = adcAll.filter(col("nbetter") < nP)
+        .withColumn("r", row_number().over(wAdc))
+        .filter(col("r") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val adcTop = survivors
+        .join(cands.select(col("query_id"), col("neighbor_id"), col("cosine")),
+          Seq("query_id", "neighbor_id"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      hitsRow(signTop, "sign_ivf", nP).unionByName(hitsRow(adcTop, "ivfadc", nP))
+    }.reduce(_ unionByName _)
+    perPoint
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_pairs"))))
+      .select(col("family"), col("n_probe"), col("hits"), col("n_pairs"))
   }
 
   /** [[pqCodebook]] over residual code rows: the components are
