@@ -685,7 +685,12 @@ object QueryCatalog {
     "q31_emb_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
-      Similarity.signLshTopK(queries, e, k = 5, nTables = 8, planesPerTable = 4)
+      // occupancy-tuned plane count (r9): 4 at every driver-gated
+      // scale (n <= 2000 — the regime the oracle's 4-plane SQL pins),
+      // growing with log2(n) beyond so buckets never degrade to a
+      // full scan (sf1.0 sweep: fixed 4 planes cost 21x sf0.1)
+      val planes = Similarity.autoPlanesPerTable(e.count(), nTables = 8, dim = 64)
+      Similarity.signLshTopK(queries, e, k = 5, nTables = 8, planesPerTable = planes)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2198,7 +2203,13 @@ object QueryCatalog {
       val keyed = t(s, dir, "documents")
         .withColumn("fkey",
           substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 24))
-      Dedup.fuzzyPairs(keyed, "doc_id", "fkey", maxDist = 3, prefixLen = 6)
+      // neighborCap = 8 (r9): near-duplicate corpora make hot prefix
+      // blocks the norm — uncapped, a block of m same-key docs emits
+      // m²/2 pairs (the sf1.0 sweep measured 46× sf0.1 cost); capped,
+      // each doc pairs with its next 8 in-block neighbors (O(m·cap),
+      // chains keep clusters connected for component resolution)
+      Dedup.fuzzyPairs(keyed, "doc_id", "fkey", maxDist = 3, prefixLen = 6,
+          neighborCap = Some(8))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -5407,24 +5418,34 @@ object QueryCatalog {
         |  GROUP BY c_custkey, c_name, n_name
         |  ORDER BY revenue DESC, c_custkey LIMIT 20
         |) t ORDER BY revenue DESC, c_custkey""".stripMargin,
-    // q128: same normalize → prefix-block → thresholded levenshtein.
-    // DuckDB's regexp_replace needs the 'g' flag (Spark replaces all
-    // matches by default); its levenshtein has no threshold arg, so
-    // the filter does the banding.
+    // q128: same normalize → prefix/suffix-block → rank-capped
+    // neighbor join (cap 8, r9) → thresholded levenshtein. DuckDB's
+    // regexp_replace needs the 'g' flag (Spark replaces all matches by
+    // default); its levenshtein has no threshold arg, so the filter
+    // does the banding. The cap is deterministic (rank by doc_id
+    // inside each block), so it reproduces exactly.
     "q128_docs_fuzzy_match" ->
       """WITH keyed AS (
         |  SELECT doc_id,
         |         substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 24) AS fkey
         |  FROM documents WHERE text IS NOT NULL
+        |), blocks AS (
+        |  SELECT doc_id, fkey, 'p:' || substr(fkey, 1, 6) AS blk FROM keyed
+        |  UNION ALL
+        |  SELECT doc_id, fkey, 's:' || right(fkey, 6) AS blk FROM keyed
+        |), ranked AS (
+        |  SELECT doc_id, fkey, blk,
+        |         row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        |  FROM blocks
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |         l.fkey AS lk, r.fkey AS rk
+        |  FROM ranked l JOIN ranked r
+        |    ON l.blk = r.blk AND r.rn > l.rn AND r.rn <= l.rn + 8
+        |   AND abs(length(l.fkey) - length(r.fkey)) <= 3
         |)
-        |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-        |       CAST(levenshtein(l.fkey, r.fkey) AS BIGINT) AS dist
-        |FROM keyed l JOIN keyed r
-        |  ON (substr(l.fkey, 1, 6) = substr(r.fkey, 1, 6)
-        |      OR right(l.fkey, 6) = right(r.fkey, 6))
-        | AND l.doc_id < r.doc_id
-        | AND abs(length(l.fkey) - length(r.fkey)) <= 3
-        |WHERE levenshtein(l.fkey, r.fkey) <= 3
+        |SELECT doc_a, doc_b, CAST(levenshtein(lk, rk) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(lk, rk) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     // q129: the compacted copy must answer exactly like the original.
     "q129_events_compaction" ->

@@ -472,7 +472,8 @@ object Dedup {
     * ([[ScaleJoins]]), not an algorithmic wall.
     */
   def fuzzyPairs(docs: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int = 3, prefixLen: Int = 6): DataFrame = {
+      maxDist: Int = 3, prefixLen: Int = 6,
+      neighborCap: Option[Int] = None): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
     val base = docs.select(
@@ -496,12 +497,40 @@ object Dedup {
       explode(array(
         concat(lit("p:"), substring(col("key"), 1, prefixLen)),
         concat(lit("s:"), expr(s"right(key, $prefixLen)")))))
-    keyed.as("l").join(keyed.as("r"),
-        col("l.blk") === col("r.blk") &&
-          col("l.doc_id") < col("r.doc_id") &&
-          abs(col("l.len") - col("r.len")) <= maxDist)
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.key").as("lk"), col("r.key").as("rk"))
+    // `neighborCap` is [[bandPairs]]' bound applied to prefix blocks: a
+    // block of m boilerplate-identical keys otherwise emits m(m-1)/2
+    // pairs (the r9 sf1.0 sweep measured q128 at 46× its sf0.1 cost
+    // from exactly this — near-duplicate corpora make hot prefix
+    // blocks the NORM, not a skew corner). With a cap, block members
+    // rank by doc_id and each pairs only with its next `cap`
+    // neighbors — O(m·cap) via an equi-join on (blk, rank), never an
+    // m² intermediate. Chains keep every same-key cluster connected
+    // for downstream component resolution; direct far-rank pairs are
+    // the documented trade.
+    val candidates = neighborCap match {
+      case None =>
+        keyed.as("l").join(keyed.as("r"),
+            col("l.blk") === col("r.blk") &&
+              col("l.doc_id") < col("r.doc_id") &&
+              abs(col("l.len") - col("r.len")) <= maxDist)
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+            col("l.key").as("lk"), col("r.key").as("rk"))
+      case Some(cap) =>
+        require(cap >= 1, s"neighborCap must be >= 1, got $cap")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk")).orderBy(col("doc_id"))
+        val ranked = keyed.withColumn("rn", row_number().over(w))
+        val shifted = ranked.select(col("doc_id").as("doc_b"),
+            col("key").as("rk"), col("len").as("rlen"), col("blk"),
+            explode(sequence(col("rn") - cap, col("rn") - 1)).as("rn"))
+          .filter(col("rn") >= 1)
+        ranked.select(col("doc_id").as("doc_a"), col("key").as("lk"),
+            col("len").as("llen"), col("blk"), col("rn"))
+          .join(shifted, Seq("blk", "rn"))
+          .filter(abs(col("llen") - col("rlen")) <= maxDist)
+          .select(col("doc_a"), col("doc_b"), col("lk"), col("rk"))
+    }
+    candidates
       .distinct()
       .withColumn("dist", levenshtein(col("lk"), col("rk"), maxDist).cast("long"))
       // the thresholded builtin returns -1 when distance exceeds maxDist

@@ -372,6 +372,25 @@ object Similarity {
     * the DuckDB oracle reproduces the same buckets with CASE on array
     * elements (q31).
     */
+  /** Occupancy-tuned plane count for [[signLshTopK]]: enough sign
+    * planes that expected bucket occupancy n/2^planes stays near
+    * `targetOccupancy`, clamped to [4, dim/nTables]. With a FIXED
+    * plane count, LSH silently degrades to a full scan as the corpus
+    * grows (at 10× sf0.1 the 4-plane buckets hold ~1250 vectors each
+    * and every query scans most of the corpus — the r9 sf1.0 sweep
+    * measured q31 at 21× its sf0.1 cost from exactly this); growing
+    * planes with log2(n) is the standard LSH posture. At every
+    * driver-gated scale (n ≤ 2000) this returns 4, so the oracle's
+    * pinned 4-plane SQL stays exact where it is checked.
+    */
+  def autoPlanesPerTable(
+      n: Long, nTables: Int = 8, dim: Int = 64,
+      targetOccupancy: Int = 125): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(math.max(4, needed), dim / nTables)
+  }
+
   def signLshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nTables: Int = 8, planesPerTable: Int = 4,
