@@ -940,7 +940,16 @@ object Similarity {
         zip_with(
           transform(col("cv2"), v => floor(v.cast("double") * centroidScale).cast("long")),
           col("mvec"), (a, b) => a - b).as("rv"))
-    val codeRows = residualCodeRows(corpusR, dim, m)
+    // materialize the code rows ONCE: the codebook aggregation and the
+    // ADC scan both consume them, and without truncation each re-runs
+    // the full corpus residual-encode pass (scan + centroid join +
+    // per-row kernel) inside one plan tree. m small-int rows per
+    // vector — the snapshot IS the compressed index, ~32× smaller than
+    // the float corpus. Durable mode: outlives the call like the
+    // centroid snapshot (the returned frame reads it; caller/TTL
+    // frees).
+    val codeRows = DurableSnapshots.truncate(
+      residualCodeRows(corpusR, dim, m), checkpointDir, "ivfadc_codes")
     // lookup table: RAW query components against the RESIDUAL codebook
     // (⟨q, r̂_v⟩ — the quantized half of the decomposition)
     val sc = pqQueryTable(queries, residualCodebook(codeRows), dim, m, idCol, vecCol)
@@ -1044,7 +1053,8 @@ object Similarity {
         zip_with(
           transform(col("cv2"), v => floor(v.cast("double") * centroidScale).cast("long")),
           col("mvec"), (a, b) => a - b).as("rv"))
-    val codeRows = residualCodeRows(corpusR, dim, m)
+    val codeRows = DurableSnapshots.truncate(
+      residualCodeRows(corpusR, dim, m), checkpointDir, "recall_codes")
     val sc = pqQueryTable(queries, residualCodebook(codeRows), dim, m, idCol, vecCol)
     val qi = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol),
@@ -1065,34 +1075,47 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("nbetter"),
           (col("rs") + col("lc")).as("adc")),
       checkpointDir, "recall_adc")
-    val wCos = Window.partitionBy(col("query_id"))
+    // One pass per family for the WHOLE grid: explode each candidate
+    // row once per grid point that admits it, window over
+    // (query, n_probe) — 2 window jobs total instead of 2·|grid|
+    // (measured ~2× on q177: the per-point loop's cost was job
+    // scheduling, not data volume).
+    val gridLit = array(probeGrid.map(lit(_)): _*)
+    def withGrid(df: DataFrame): DataFrame =
+      df.withColumn("n_probe", explode(gridLit))
+        .filter(col("nbetter") < col("n_probe"))
+    val wCosG = Window.partitionBy(col("query_id"), col("n_probe"))
       .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
-    val wAdc = Window.partitionBy(col("query_id"))
+    val wAdcG = Window.partitionBy(col("query_id"), col("n_probe"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    def hitsRow(top: DataFrame, family: String, nP: Int): DataFrame =
-      top.join(truth, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(family).as("family"), lit(nP).as("n_probe"), col("hits"))
-    val perPoint = probeGrid.map { nP =>
-      // sign-IVF at this budget: cosine top-k inside the nP-cut pool
-      val signTop = cands.filter(col("nbetter") < nP)
-        .withColumn("rank", row_number().over(wCos))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"))
-      // IVFADC at this budget: ADC rerank-cut, then cosine top-k
-      val survivors = adcAll.filter(col("nbetter") < nP)
-        .withColumn("r", row_number().over(wAdc))
-        .filter(col("r") <= rerank)
-        .select(col("query_id"), col("neighbor_id"))
-      val adcTop = survivors
-        .join(cands.select(col("query_id"), col("neighbor_id"), col("cosine")),
-          Seq("query_id", "neighbor_id"))
-        .withColumn("rank", row_number().over(wCos))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"))
-      hitsRow(signTop, "sign_ivf", nP).unionByName(hitsRow(adcTop, "ivfadc", nP))
-    }.reduce(_ unionByName _)
-    perPoint
+    // sign-IVF per budget: cosine top-k inside each cut pool
+    val signHits = withGrid(cands)
+      .withColumn("rank", row_number().over(wCosG))
+      .filter(col("rank") <= k)
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
+      .select(lit("sign_ivf").as("family"), col("n_probe"), col("hits"))
+    // IVFADC per budget: ADC rerank-cut, then cosine top-k
+    val adcHits = withGrid(adcAll)
+      .withColumn("r", row_number().over(wAdcG))
+      .filter(col("r") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("n_probe"))
+      .join(cands.select(col("query_id"), col("neighbor_id"), col("cosine")),
+        Seq("query_id", "neighbor_id"))
+      .withColumn("rank", row_number().over(wCosG))
+      .filter(col("rank") <= k)
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
+      .select(lit("ivfadc").as("family"), col("n_probe"), col("hits"))
+    // grid × family scaffold so zero-hit points still emit a row
+    val sess = queries.sparkSession
+    import sess.implicits._
+    val scaffold = probeGrid.toDF("n_probe")
+      .crossJoin(Seq("sign_ivf", "ivfadc").toDF("family"))
+    scaffold
+      .join(signHits.unionByName(adcHits), Seq("family", "n_probe"), "left")
+      .select(col("family"), col("n_probe"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_pairs"))))
       .select(col("family"), col("n_probe"), col("hits"), col("n_pairs"))
   }
