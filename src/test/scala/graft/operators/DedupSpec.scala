@@ -431,4 +431,41 @@ class DedupSpec extends SparkSpec {
       "len-gap 4 cannot be within edit distance 3")
     assert(pairs.contains((2L, 3L, 2L)))
   }
+
+  test("fuzzyPairs neighborCap: subset of uncapped, O(m·cap) on a hot block, cluster stays connected") {
+    // a 40-member boilerplate block (identical keys) plus two organic
+    // typo pairs — the r9 sf1.0 regression shape in miniature
+    val hot = (1L to 40L).map(i => (i, "identicalkey"))
+    val organic = Seq((100L, "organicpairx"), (101L, "organicpairy"),
+      (200L, "unrelatedkey"))
+    val docs = (hot ++ organic).toDF("doc_id", "key")
+    val uncapped = Dedup.fuzzyPairs(docs, "doc_id", "key", maxDist = 3, prefixLen = 6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.fuzzyPairs(docs, "doc_id", "key", maxDist = 3, prefixLen = 6,
+        neighborCap = Some(4))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "the cap must only DROP pairs, never invent them")
+    // organic pairs (blocks smaller than the cap) are untouched
+    assert(capped.contains((100L, 101L)))
+    // hot block emits O(m·cap), not m²/2: 40 members × cap 4 per block
+    // family (prefix + suffix collapse to the same pairs here)
+    val hotPairs = capped.count { case (a, b) => a <= 40L && b <= 40L }
+    assert(hotPairs <= 40 * 4, s"cap leaked: $hotPairs hot-block pairs")
+    assert(hotPairs < 40 * 39 / 2, "cap did not bound the hot block at all")
+    // chains keep the cluster CONNECTED for component resolution
+    val comps = Dedup.connectedComponents(
+        Dedup.fuzzyPairs(docs, "doc_id", "key", maxDist = 3, prefixLen = 6,
+          neighborCap = Some(4)).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 40L).map(comps).toSet.size === 1,
+      "every hot-block member must resolve to one component")
+  }
+
+  test("autoPlanesPerTable: 4 at every gated scale, grows with log2(n), clamped by dim") {
+    import graft.operators.Similarity.autoPlanesPerTable
+    // the driver-gated regime (n <= 2000) pins the oracle's 4-plane SQL
+    assert(Seq(20L, 200L, 2000L).map(autoPlanesPerTable(_)).forall(_ == 4))
+    assert(autoPlanesPerTable(20000L) === 8) // sf1.0: occupancy back to ~78
+    assert(autoPlanesPerTable(1000000000L) === 8, "clamped to dim/nTables")
+  }
 }
