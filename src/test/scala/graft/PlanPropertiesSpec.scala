@@ -118,4 +118,38 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"orderBy().limit(10) must compile to per-partition top-N:\n$p")
   }
+
+  test("q175: residual IVFADC joins only equi-keys past the centroid broadcast") {
+    // the ONLY nested-loop in the tree may be the ≤2^bits-row centroid
+    // cross (an explicit broadcast by design — the probe's pairwise
+    // rank); every corpus-sized join (codes, candidates, ADC lookups,
+    // list constants) must be an equi-join, or the compressed-domain
+    // scan silently goes quadratic in floats
+    val p = plan("q175_emb_ann_ivfadc")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cartesian may survive:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the centroid/codebook sides must broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"corpus-side joins must be equi-joins:\n$p")
+  }
+
+  test("q177: the calibration sweep is one window pass per family, not one per grid point") {
+    // the r9 restructure: grid points share the probe/ADC computation
+    // and rank inside a (query_id, n_probe)-partitioned window — if a
+    // future edit reintroduces the per-point loop, the plan fans out
+    // into |grid| window subtrees and this count triples
+    val df = SparkEntry.queries("q177_ann_recall_calibration")(spark, dir)
+    val p = planOf(df)
+    val windows = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p).size +
+      "WindowGroupLimit".r.findAllIn(p).size
+    // sign-IVF rank + ADC cut + ADC cosine re-rank, each planning a
+    // Window plus partial/final WindowGroupLimit pairs = 12 stages,
+    // independent of grid size (the per-point loop planned ~3× this
+    // for the 3-point grid)
+    assert(windows <= 12, s"window stages multiplied with the grid ($windows):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scaffold/constant crosses must be broadcast:\n$p")
+  }
 }
