@@ -3288,6 +3288,22 @@ object QueryCatalog {
           m = 8, rerank = 96)
         .orderBy(col("family"), col("n_probe"))
     }),
+
+    // Persisted IVFADC index (r9): the full FAISS serving shape on
+    // disk — centroids (probe table), residual codes partitioned by
+    // list_id (the probe cut becomes partition pruning), residual
+    // codebook; floats stay in the lake, fetched only for re-rank
+    // survivors. Shares q175's oracle at identical parameters, so
+    // index-serving ≡ in-flight is driver-checked (the q72/q176
+    // pattern applied to the composition).
+    "q178_emb_ann_ivfadc_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = scratchDir("graft_ivfadc_idx")
+      Similarity.buildIvfAdcIndex(e, path, dim = 64, bits = 7, m = 8)
+      Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
+          k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3956,6 +3972,10 @@ object QueryCatalog {
     "q177_ann_recall_calibration" ->
       recallCalibrationOracleSql(dim = 64, bits = 7, grid = Seq(8, 24, 56),
         m = 8, rerank = 96, k = 5),
+    // q178 ≡ q175 at equal parameters by construction — one oracle
+    // value-checks both, making the equivalence itself driver-checked
+    "q178_emb_ann_ivfadc_index" ->
+      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5),
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

@@ -887,6 +887,95 @@ object Similarity {
       k, rerank, idCol, vecCol)
   }
 
+  /** Persist the full IVFADC serving index — the FAISS on-disk shape:
+    * per-list centroid VECTORS (the probe table), residual CODES
+    * partitioned by list id (m longs per vector; the probe's list cut
+    * becomes partition pruning on this table), and the residual
+    * codebook. THE FLOATS ARE NOT COPIED: serving fetches only the
+    * `rerank` survivors per query from the lake table the index was
+    * built from — at 100 TB the index is ~32× smaller than the corpus
+    * it serves, and a probe reads nProbe/2^bits of it.
+    * [[queryIvfAdcIndex]] is value-identical to [[ivfAdcTopK]] at
+    * equal parameters (q178 shares q175's oracle, so index-serving ≡
+    * in-flight is driver-checked — the q72/q176 pattern).
+    */
+  def buildIvfAdcIndex(
+      corpus: DataFrame, path: String, dim: Int, bits: Int = 7, m: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val dims = quantDims(dim, bits)
+    listCentroidVectors(signListCentroidSums(corpus, dims, vecCol))
+      .coalesce(1) // ≤ 2^bits tiny rows — one file
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // residual-encode against the STORED centroids (the same table
+    // serving will read — one source of truth for the arithmetic)
+    val lvecs = spark.read.parquet(s"$path/centroids")
+    val corpusR = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
+        signBucket(col(vecCol), dims).as("list_id"))
+      .join(broadcast(lvecs), Seq("list_id"))
+      .select(col("neighbor_id"), col("list_id"),
+        zip_with(
+          transform(col("cv2"), v => floor(v.cast("double") * centroidScale).cast("long")),
+          col("mvec"), (a, b) => a - b).as("rv"))
+    val blocks = pqBlocks(dim, m)
+    corpusR
+      .select(col("neighbor_id"), col("list_id"),
+        array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
+      // explicit count so AQE can't fold the exchange to one
+      // sequential writer task (see buildSignIvfIndex)
+      .repartition(1 << bits, col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+    residualCodebook(residualCodeRows(corpusR, dim, m))
+      .coalesce(1) // ≤ m·2^(dim/m)·(dim/m) tiny rows — one file
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Serve from a persisted IVFADC index: probe the stored centroids,
+    * scan ONLY the probed `list_id` partitions of the code table, ADC
+    * with the stored codebook, fetch floats from `vectors` (the lake
+    * table) for the exact re-rank of the top `rerank`. Identical
+    * arithmetic to [[ivfAdcTopK]] at equal parameters.
+    */
+  def queryIvfAdcIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vectors: DataFrame, k: Int, dim: Int,
+      bits: Int = 7, nProbe: Int = 48, m: Int = 8, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lvecs = spark.read.parquet(s"$path/centroids")
+    val cents = signListCentroidsFromVectors(lvecs)
+    val probed = centroidProbe(queries, cents, nProbe, idCol, vecCol)
+      .select(col("query_id"), col("list_id"))
+    // probed lists join the code table on its PARTITION column — the
+    // list cut reaches the scan as (dynamic) partition pruning
+    val codes = spark.read.parquet(s"$path/codes")
+    val cands = probed.join(codes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val sc = pqQueryTable(queries, spark.read.parquet(s"$path/codebook"),
+      dim, m, idCol, vecCol)
+    val qi = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol),
+        v => floor(v.cast("double") * centroidScale).cast("long")).as("qi"))
+    val listConst = probed
+      .join(qi, Seq("query_id"))
+      .join(broadcast(lvecs), Seq("list_id"))
+      .select(col("query_id"), col("list_id"),
+        aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("lc"))
+    // posexplode index IS the sub id: codes[j] was built from block j
+    val adc = cands
+      .select(col("query_id"), col("neighbor_id"), col("list_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(sc, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("list_id"))
+      .agg(sum(col("sjc")).as("rs"))
+      .join(listConst, Seq("query_id", "list_id"))
+      .select(col("query_id"), col("neighbor_id"), (col("rs") + col("lc")).as("adc"))
+    adcRerank(adc, queries,
+      vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
+      k, rerank, idCol, vecCol)
+  }
+
   /** IVFADC — the FAISS-default composition: the sign-IVF centroid
     * probe cuts candidates to the `nProbe` nearest lists (sub-linear
     * candidate generation), then PQ/ADC scores ONLY those candidates

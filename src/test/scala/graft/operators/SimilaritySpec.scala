@@ -259,6 +259,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.80, s"IVFADC sf0.1 recall@5 $recall below the 0.80 gate")
   }
 
+  test("persisted IVFADC index: serving ≡ in-flight exactly; probed lists prune partitions; floats not copied") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc").toString
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    Similarity.buildIvfAdcIndex(e, dir, dim = 64, bits = 7, m = 8)
+    val served = Similarity.queryIvfAdcIndex(spark, dir, q, e, k = 5, dim = 64,
+      bits = 7, nProbe = 56, m = 8, rerank = 96)
+    val inFlight = Similarity.ivfAdcTopK(q, e, 5, dim = 64, bits = 7,
+      nProbe = 56, m = 8, rerank = 96)
+    assert(served.orderBy("query_id", "rank").collect().toSeq ===
+      inFlight.orderBy("query_id", "rank").collect().toSeq,
+      "persisted IVFADC index must serve the exact in-flight result")
+    // the probe's list cut must reach the code-table scan as a
+    // partition filter — the pruning the partitioned layout exists for
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
+      s"probed code scan should carry a partition filter:\n$plan")
+    // floats are NOT copied: centroids + codes + codebook only. The
+    // corpus stores 64 floats/vector; the code table m=8 longs → the
+    // whole index dir must stay well under the corpus footprint even
+    // with per-partition parquet overhead at this tiny scale.
+    def sizeOf(p: java.io.File): Long =
+      if (p.isFile) p.length
+      else Option(p.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+    val idxBytes = sizeOf(new java.io.File(dir))
+    assert(idxBytes < 600 * 1024, s"IVFADC index unexpectedly large: $idxBytes bytes")
+  }
+
   test("persisted PQ index: serving ≡ in-flight pqAdcTopK exactly; floats not copied") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
