@@ -3304,6 +3304,28 @@ object QueryCatalog {
           k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // IVFADC incremental maintenance (r9): build on two thirds, append
+    // the rest against the FROZEN coarse quantizer (the FAISS
+    // posture — centroids never retrain on append; codebook SUMS merge
+    // associatively; new-list vectors encode against the zero centroid
+    // and stay unprobeable until a rebuild, exactly like a frozen
+    // k-means quantizer). Oracle = the q175 generator with the
+    // centroid population restricted to the build subset, so the whole
+    // frozen-quantizer serving arithmetic is value-checked; the
+    // append-associativity invariant (append(B);append(C) ≡
+    // append(B∪C)) is spec-pinned.
+    "q179_emb_ann_ivfadc_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = scratchDir("graft_ivfadc_app")
+      Similarity.buildIvfAdcIndex(e.filter(col("vec_id") % 3 =!= 0), path,
+        dim = 64, bits = 7, m = 8)
+      Similarity.appendIvfAdcIndex(e.filter(col("vec_id") % 3 === 0), path,
+        dim = 64, bits = 7, m = 8)
+      Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
+          k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3369,12 +3391,18 @@ object QueryCatalog {
     * and its own ranking. One generator, so the probe arithmetic
     * cannot drift between the two oracles.
     */
-  private def signIvfProbeCtes(dim: Int, bits: Int, nProbe: Int): String = {
+  private def signIvfProbeCtes(
+      dim: Int, bits: Int, nProbe: Int,
+      centroidWhere: String = ""): String = {
     val dims = Similarity.quantDims(dim, bits)
     val scale = Similarity.centroidScale
     def bucket(v: String) = dims.zipWithIndex.map { case (d, j) =>
       s"(CASE WHEN $v[$d] > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n       + ")
+    // `centroidWhere` restricts the POPULATION the centroids are
+    // computed from (q179's frozen-at-build-time coarse quantizer);
+    // empty = centroids over the whole corpus (q44/q72/q134/q175...).
+    val cw = if (centroidWhere.isEmpty) "" else s"\n  WHERE $centroidWhere"
     s"""q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
        |  FROM embeddings WHERE vec_id % 50 = 0
@@ -3388,7 +3416,7 @@ object QueryCatalog {
        |  SELECT list_id, pos,
        |         SUM(CAST(floor(cv[CAST(pos AS INTEGER)] * $scale) AS BIGINT)) AS s,
        |         COUNT(*) AS cnt
-       |  FROM cl CROSS JOIN generate_series(1, $dim) AS g(pos)
+       |  FROM cl CROSS JOIN generate_series(1, $dim) AS g(pos)$cw
        |  GROUP BY list_id, pos
        |), cm AS (
        |  SELECT list_id, pos, (s - ((s % cnt) + cnt) % cnt) // cnt AS m FROM cs
@@ -3550,9 +3578,10 @@ object QueryCatalog {
     val scale = Similarity.centroidScale
     s"""rres AS (
        |  SELECT cl.neighbor_id, cl.list_id, g.pos,
-       |         CAST(floor(cl.cv[CAST(g.pos AS INTEGER)] * $scale) AS BIGINT) - cm.m AS rx
+       |         CAST(floor(cl.cv[CAST(g.pos AS INTEGER)] * $scale) AS BIGINT)
+       |           - COALESCE(cm.m, 0) AS rx
        |  FROM cl CROSS JOIN generate_series(1, $dim) AS g(pos)
-       |  JOIN cm ON cm.list_id = cl.list_id AND cm.pos = g.pos
+       |  LEFT JOIN cm ON cm.list_id = cl.list_id AND cm.pos = g.pos
        |), rcodes AS (
        |  SELECT neighbor_id, list_id, CAST((pos - 1) // $w AS INTEGER) AS sub,
        |         SUM(CASE WHEN rx > 0
@@ -3577,8 +3606,9 @@ object QueryCatalog {
   }
 
   private def ivfAdcOracleSql(
-      dim: Int, bits: Int, nProbe: Int, m: Int, rerank: Int, k: Int): String = {
-    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, ${residualPqCtes(dim, m)}, lc AS (
+      dim: Int, bits: Int, nProbe: Int, m: Int, rerank: Int, k: Int,
+      centroidWhere: String = ""): String = {
+    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe, centroidWhere)}, ${residualPqCtes(dim, m)}, lc AS (
        |  SELECT probe.query_id, probe.list_id, SUM(qi.qx * cm.m) AS lc
        |  FROM probe
        |  JOIN qi ON qi.query_id = probe.query_id
@@ -3976,6 +4006,13 @@ object QueryCatalog {
     // value-checks both, making the equivalence itself driver-checked
     "q178_emb_ann_ivfadc_index" ->
       ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5),
+    // q179: the SAME generator with the centroid population restricted
+    // to the build subset — the frozen-coarse-quantizer serving
+    // arithmetic (codes/codebook over everything, centroids from the
+    // build two-thirds) value-checked end to end
+    "q179_emb_ann_ivfadc_append" ->
+      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5,
+        centroidWhere = "neighbor_id % 3 <> 0"),
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

@@ -926,9 +926,68 @@ object Similarity {
       // sequential writer task (see buildSignIvfIndex)
       .repartition(1 << bits, col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
-    residualCodebook(residualCodeRows(corpusR, dim, m))
+    // SUMS, not means: long sums merge associatively, so
+    // [[appendIvfAdcIndex]] keeps the codebook bit-identical to a
+    // one-shot rebuild over the same encoding (serving derives the
+    // means). A rebuild also supersedes any half-finished append swap.
+    DurableSnapshots.delete(corpus, s"$path/codebook_sums_next")
+    residualCodebookSums(residualCodeRows(corpusR, dim, m))
       .coalesce(1) // ≤ m·2^(dim/m)·(dim/m) tiny rows — one file
-      .write.mode("overwrite").parquet(s"$path/codebook")
+      .write.mode("overwrite").parquet(s"$path/codebook_sums")
+  }
+
+  /** Incrementally add a batch to a persisted IVFADC index — the FAISS
+    * maintenance posture: the coarse quantizer is FROZEN at build time
+    * (the stored centroids are never retrained), new vectors encode
+    * residuals against those frozen centroids and append into their
+    * `list_id` partitions, and the codebook SUMS merge associatively.
+    * Batch vectors landing in a sign-list the build never saw encode
+    * against the zero centroid (rv = ⌊v·scale⌋) — and stay unservable
+    * until a rebuild, because the probe ranks only lists with stored
+    * centroids; FAISS has the same property (a frozen quantizer cannot
+    * probe a cell it does not know). Consequently append ≡ rebuild
+    * does NOT hold here (a rebuild retrains centroids on the union);
+    * what DOES hold, exactly, is ASSOCIATIVITY —
+    * append(B); append(C) ≡ append(B ∪ C) — the invariant the spec
+    * pins, and q179 value-checks the whole frozen-quantizer serving
+    * arithmetic against the DuckDB oracle. Retrain policy is the
+    * k-means story: rebuild when drift (measured by q130-style
+    * composition deltas or falling recall on a canary set) warrants.
+    */
+  def appendIvfAdcIndex(
+      batch: DataFrame, path: String, dim: Int, bits: Int = 7, m: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val dims = quantDims(dim, bits)
+    val lvecs = spark.read.parquet(s"$path/centroids")
+    val zeroVec = array((1 to dim).map(_ => lit(0L)): _*)
+    val batchR = batch
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
+        signBucket(col(vecCol), dims).as("list_id"))
+      .join(broadcast(lvecs), Seq("list_id"), "left")
+      .select(col("neighbor_id"), col("list_id"),
+        zip_with(
+          transform(col("cv2"), v => floor(v.cast("double") * centroidScale).cast("long")),
+          coalesce(col("mvec"), zeroVec), (a, b) => a - b).as("rv"))
+    val blocks = pqBlocks(dim, m)
+    batchR
+      .select(col("neighbor_id"), col("list_id"),
+        array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
+      .repartition(1 << bits, col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+    // sums merge via the side-path swap (see appendSignIvfIndex for
+    // the crash-window analysis)
+    val nextPath = new org.apache.hadoop.fs.Path(s"$path/codebook_sums_next")
+    val finalPath = new org.apache.hadoop.fs.Path(s"$path/codebook_sums")
+    spark.read.parquet(finalPath.toString)
+      .unionByName(residualCodebookSums(residualCodeRows(batchR, dim, m)))
+      .groupBy(col("sub"), col("code"), col("pp"))
+      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(nextPath.toString)
+    val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(finalPath, true)
+    fs.rename(nextPath, finalPath)
   }
 
   /** Serve from a persisted IVFADC index: probe the stored centroids,
@@ -951,7 +1010,8 @@ object Similarity {
     val codes = spark.read.parquet(s"$path/codes")
     val cands = probed.join(codes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val sc = pqQueryTable(queries, spark.read.parquet(s"$path/codebook"),
+    val sc = pqQueryTable(queries,
+      residualCodebookFromSums(spark.read.parquet(s"$path/codebook_sums")),
       dim, m, idCol, vecCol)
     val qi = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol),
@@ -1209,17 +1269,31 @@ object Similarity {
       .select(col("family"), col("n_probe"), col("hits"), col("n_pairs"))
   }
 
+  /** Residual-codebook SUMS per (sub, code, pp): what an INCREMENTAL
+    * index stores — long sums are exactly associative, so
+    * append-merged sums equal one-shot sums bit-for-bit (the q134
+    * property applied to the PQ codebook).
+    */
+  private def residualCodebookSums(codeRows: DataFrame): DataFrame =
+    codeRows
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pp0", "x")))
+      .groupBy(col("sub"), col("code"), (col("pp0") + 1).as("pp"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+
+  /** Integer cell means from the stored sums (engine-neutral floor
+    * division — see [[signListCentroids]]).
+    */
+  private def residualCodebookFromSums(sums: DataFrame): DataFrame =
+    sums
+      .withColumn("mc", expr("(s - ((s % cnt) + cnt) % cnt) DIV cnt"))
+      .select(col("sub"), col("code"), col("pp"), col("mc"))
+
   /** [[pqCodebook]] over residual code rows: the components are
     * ALREADY integer (no floor-scaling), so cells are plain integer
     * means by the engine-neutral floor division.
     */
   private def residualCodebook(codeRows: DataFrame): DataFrame =
-    codeRows
-      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pp0", "x")))
-      .groupBy(col("sub"), col("code"), (col("pp0") + 1).as("pp"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-      .withColumn("mc", expr("(s - ((s % cnt) + cnt) % cnt) DIV cnt"))
-      .select(col("sub"), col("code"), col("pp"), col("mc"))
+    residualCodebookFromSums(residualCodebookSums(codeRows))
 
   /** Approximate top-k via random-hyperplane LSH: score only pairs
     * sharing a bucket (`nPlanes` sign bits per table, `nTables`

@@ -287,6 +287,43 @@ class SimilaritySpec extends SparkSpec {
     assert(idxBytes < 600 * 1024, s"IVFADC index unexpectedly large: $idxBytes bytes")
   }
 
+  test("appendIvfAdcIndex: associative (two appends ≡ one), frozen centroids, new lists handled") {
+    // append ≡ rebuild does NOT hold for IVFADC (a rebuild retrains
+    // the coarse quantizer); the exact invariant of the frozen-
+    // quantizer design is ASSOCIATIVITY: the serving result depends
+    // only on the SET of appended vectors, not on the batch
+    // boundaries. Codebook sums merge in longs (exactly associative)
+    // and each vector's codes depend only on itself + the frozen
+    // centroids, so this must hold bit-for-bit.
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.filter($"vec_id" % 3 =!= 0)
+    val restB = e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 === 0)
+    val restC = e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 =!= 0)
+    val q = e.filter($"vec_id" % 50 === 0)
+    val twoStep = java.nio.file.Files.createTempDirectory("graft_ivfadc_two").toString
+    val oneStep = java.nio.file.Files.createTempDirectory("graft_ivfadc_one").toString
+    Similarity.buildIvfAdcIndex(base, twoStep, dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(restB, twoStep, dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(restC, twoStep, dim = 64, bits = 7, m = 8)
+    Similarity.buildIvfAdcIndex(base, oneStep, dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(restB.unionByName(restC), oneStep,
+      dim = 64, bits = 7, m = 8)
+    def serve(p: String) = Similarity.queryIvfAdcIndex(spark, p, q, e,
+      k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(twoStep) === serve(oneStep),
+      "append must be associative: batch boundaries cannot change the served result")
+    // the frozen quantizer really is frozen: centroids identical to a
+    // base-only build (appends never touch them)
+    val baseOnly = java.nio.file.Files.createTempDirectory("graft_ivfadc_base").toString
+    Similarity.buildIvfAdcIndex(base, baseOnly, dim = 64, bits = 7, m = 8)
+    val centsA = spark.read.parquet(s"$twoStep/centroids")
+      .orderBy("list_id").collect().toSeq
+    val centsB = spark.read.parquet(s"$baseOnly/centroids")
+      .orderBy("list_id").collect().toSeq
+    assert(centsA === centsB, "append must not retrain the coarse quantizer")
+  }
+
   test("persisted PQ index: serving ≡ in-flight pqAdcTopK exactly; floats not copied") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
