@@ -3146,7 +3146,11 @@ object QueryCatalog {
     // format half of the multimodal decode story (JPEG rides the same
     // codec, spec-gated because it's lossy).
     "q170_multimodal_png" -> ((s, dir) => {
-      val media = Multimodal.pngFromText(s, t(s, dir, "documents"), "doc_id", "text",
+      // codec work is CPU-bound: fan out past the source's splits (the
+      // q117/q172 discipline — the r9 sf3 sweep measured the JPEG twin
+      // at 12× on a 2-split source: 30 idle cores)
+      val media = Multimodal.pngFromText(s,
+        t(s, dir, "documents").repartition(32), "doc_id", "text",
         width = 16)
       Multimodal.imageIoStats(media).toDF()
         .select(col("media_id"), col("width").cast("long").as("width"),
@@ -3163,7 +3167,9 @@ object QueryCatalog {
     // spec-gated (MultimodalSpec bounds the per-channel drift), never
     // oracle-compared.
     "q171_multimodal_jpeg" -> ((s, dir) => {
-      val media = Multimodal.jpegFromText(s, assertAscii(t(s, dir, "documents")),
+      // CPU-bound codec: explicit fan-out, see q170
+      val media = Multimodal.jpegFromText(s,
+        assertAscii(t(s, dir, "documents")).repartition(32),
         "doc_id", "text", width = 16)
       Multimodal.imageIoStats(media).toDF()
         .select(col("media_id"), col("width").cast("long").as("width"),
