@@ -910,6 +910,10 @@ object Similarity {
     // residual-encode against the STORED centroids (the same table
     // serving will read — one source of truth for the arithmetic)
     val lvecs = spark.read.parquet(s"$path/centroids")
+    // persisted across the two write actions below (codes + codebook
+    // sums), each of which would otherwise re-run the corpus scan +
+    // centroid join + residual encode; bounded scope, so the blocks
+    // free deterministically in the finally
     val corpusR = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
         signBucket(col(vecCol), dims).as("list_id"))
@@ -918,22 +922,25 @@ object Similarity {
         zip_with(
           transform(col("cv2"), v => floor(v.cast("double") * centroidScale).cast("long")),
           col("mvec"), (a, b) => a - b).as("rv"))
-    val blocks = pqBlocks(dim, m)
-    corpusR
-      .select(col("neighbor_id"), col("list_id"),
-        array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
-      // explicit count so AQE can't fold the exchange to one
-      // sequential writer task (see buildSignIvfIndex)
-      .repartition(1 << bits, col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
-    // SUMS, not means: long sums merge associatively, so
-    // [[appendIvfAdcIndex]] keeps the codebook bit-identical to a
-    // one-shot rebuild over the same encoding (serving derives the
-    // means). A rebuild also supersedes any half-finished append swap.
-    DurableSnapshots.delete(corpus, s"$path/codebook_sums_next")
-    residualCodebookSums(residualCodeRows(corpusR, dim, m))
-      .coalesce(1) // ≤ m·2^(dim/m)·(dim/m) tiny rows — one file
-      .write.mode("overwrite").parquet(s"$path/codebook_sums")
+      .persist()
+    try {
+      val blocks = pqBlocks(dim, m)
+      corpusR
+        .select(col("neighbor_id"), col("list_id"),
+          array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
+        // explicit count so AQE can't fold the exchange to one
+        // sequential writer task (see buildSignIvfIndex)
+        .repartition(1 << bits, col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+      // SUMS, not means: long sums merge associatively, so
+      // [[appendIvfAdcIndex]] keeps the codebook bit-identical to a
+      // one-shot rebuild over the same encoding (serving derives the
+      // means). A rebuild also supersedes any half-finished append swap.
+      DurableSnapshots.delete(corpus, s"$path/codebook_sums_next")
+      residualCodebookSums(residualCodeRows(corpusR, dim, m))
+        .coalesce(1) // ≤ m·2^(dim/m)·(dim/m) tiny rows — one file
+        .write.mode("overwrite").parquet(s"$path/codebook_sums")
+    } finally corpusR.unpersist()
   }
 
   /** Incrementally add a batch to a persisted IVFADC index — the FAISS
@@ -961,6 +968,7 @@ object Similarity {
     val dims = quantDims(dim, bits)
     val lvecs = spark.read.parquet(s"$path/centroids")
     val zeroVec = array((1 to dim).map(_ => lit(0L)): _*)
+    // persisted across codes-append + sums-merge (see buildIvfAdcIndex)
     val batchR = batch
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"),
         signBucket(col(vecCol), dims).as("list_id"))
@@ -969,25 +977,28 @@ object Similarity {
         zip_with(
           transform(col("cv2"), v => floor(v.cast("double") * centroidScale).cast("long")),
           coalesce(col("mvec"), zeroVec), (a, b) => a - b).as("rv"))
-    val blocks = pqBlocks(dim, m)
-    batchR
-      .select(col("neighbor_id"), col("list_id"),
-        array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
-      .repartition(1 << bits, col("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
-    // sums merge via the side-path swap (see appendSignIvfIndex for
-    // the crash-window analysis)
-    val nextPath = new org.apache.hadoop.fs.Path(s"$path/codebook_sums_next")
-    val finalPath = new org.apache.hadoop.fs.Path(s"$path/codebook_sums")
-    spark.read.parquet(finalPath.toString)
-      .unionByName(residualCodebookSums(residualCodeRows(batchR, dim, m)))
-      .groupBy(col("sub"), col("code"), col("pp"))
-      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(nextPath.toString)
-    val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(finalPath, true)
-    fs.rename(nextPath, finalPath)
+      .persist()
+    try {
+      val blocks = pqBlocks(dim, m)
+      batchR
+        .select(col("neighbor_id"), col("list_id"),
+          array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
+        .repartition(1 << bits, col("list_id"))
+        .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+      // sums merge via the side-path swap (see appendSignIvfIndex for
+      // the crash-window analysis)
+      val nextPath = new org.apache.hadoop.fs.Path(s"$path/codebook_sums_next")
+      val finalPath = new org.apache.hadoop.fs.Path(s"$path/codebook_sums")
+      spark.read.parquet(finalPath.toString)
+        .unionByName(residualCodebookSums(residualCodeRows(batchR, dim, m)))
+        .groupBy(col("sub"), col("code"), col("pp"))
+        .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(nextPath.toString)
+      val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(finalPath, true)
+      fs.rename(nextPath, finalPath)
+    } finally batchR.unpersist()
   }
 
   /** Serve from a persisted IVFADC index: probe the stored centroids,
