@@ -80,9 +80,22 @@ object Bench {
       v.map(f => s""","env_factor$tag":${num(f, 3)}""").getOrElse("")
     val envJson = envFields("", envStart) + envFields("_mid", envMid) +
       envFields("_end", envEnd)
+    // Env-normalized per-query cost (r10, VERDICT r9 #6): s_per_q
+    // divided by the MEDIAN of the three canary factors — the number
+    // cross-round comparisons should read directly instead of
+    // hand-dividing by whichever canary the judge trusts. Only at
+    // sf0.1 (where the canary constants were recorded).
+    val envMedian = {
+      val all = Seq(envStart, envMid, envEnd).flatten.sorted
+      if (all.isEmpty) None else Some(all(all.size / 2))
+    }
     val warmJson = warmRuns.map { case (k, v) => s"\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup_s":${num(warmupS, 2)}$envJson,"queries_warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
+    val nQ = results.size
+    val perQ0 = if (nQ > 0) total / nQ else 0.0
+    val normJson = envMedian
+      .map(f => s""","s_per_q_normalized":${num(perQ0 / f, 3)}""").getOrElse("")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup_s":${num(warmupS, 2)}$envJson$normJson,"queries_warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query map goes to a file; stdout gets a compact summary
     // as the LAST line. The driver keeps only a ~2 KB stdout tail, so
     // printing the ~6 KB full map decapitated the JSON and the driver
@@ -96,7 +109,7 @@ object Bench {
     // keep the contract's "queries" key (top-5 slowest, cold) so both
     // the original parser shape and the compact one find what they
     // need; "queries_warm" carries the same five re-timed warm.
-    val summary = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":$n,"s_per_q":${num(perQ, 3)},"warmup_s":${num(warmupS, 2)}$envJson,"queries":$slowest,"queries_warm":$warmJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":$n,"s_per_q":${num(perQ, 3)}$normJson,"warmup_s":${num(warmupS, 2)}$envJson,"queries":$slowest,"queries_warm":$warmJson,"sf":"$sfDir"}"""
     // Print TWICE (penultimate + final line): sbt can append its own
     // "[success] Total time" trailer after the forked run's output, so
     // a strict last-line parser needs the duplicate; a raw-line parser

@@ -2313,7 +2313,7 @@ object QueryCatalog {
       Similarity.buildSignIvfIndex(e.filter(col("vec_id") % 3 =!= 0), path,
         dim = 64, bits = 7)
       Similarity.appendSignIvfIndex(e.filter(col("vec_id") % 3 === 0), path,
-        dim = 64, bits = 7)
+        batchId = "b1", dim = 64, bits = 7)
       val queries = e.filter(col("vec_id") % 50 === 0)
       Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64,
           bits = 7, nProbe = 48)
@@ -3327,7 +3327,7 @@ object QueryCatalog {
       Similarity.buildIvfAdcIndex(e.filter(col("vec_id") % 3 =!= 0), path,
         dim = 64, bits = 7, m = 8)
       Similarity.appendIvfAdcIndex(e.filter(col("vec_id") % 3 === 0), path,
-        dim = 64, bits = 7, m = 8)
+        batchId = "b1", dim = 64, bits = 7, m = 8)
       Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
           k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
         .orderBy(col("query_id"), col("rank"))

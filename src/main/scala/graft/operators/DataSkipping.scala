@@ -98,14 +98,17 @@ object DataSkipping {
       spark: SparkSession, manifest: DataFrame, dataDir: String,
       statsCol: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
     require(lo <= hi, s"empty interval: [$lo, $hi]")
-    // one job, one driver row: total file count + the surviving paths
-    val row = manifest
-      .agg(count(lit(1)).as("total"),
-        collect_list(when(!(col("max_v") < lo || col("min_v") > hi),
-          col("file"))).as("kept"))
-      .head()
-    val total = row.getAs[Long]("total").toInt
-    val kept = row.getSeq[String](row.fieldIndex("kept")).toIndexedSeq
+    // Surviving paths collect from the FILTERED frame (r10): only kept
+    // rows cross to the driver, delivered in per-task chunks — not one
+    // collect_list cell built by a single final-aggregation task, which
+    // approached the single-row result limit whenever the predicate was
+    // weakly selective over a large manifest. The kept list itself is
+    // irreducible planner state (Spark's reader takes explicit paths);
+    // the count() is a second, metadata-cheap job over the #files-row
+    // manifest.
+    val total = manifest.count().toInt
+    val kept = pruneFiles(manifest, lo, hi)
+      .collect().map(_.getString(0)).toIndexedSeq
     val pred = col(statsCol).cast("long").between(lo, hi)
     val df =
       if (kept.isEmpty) spark.read.parquet(dataDir).filter(pred).limit(0)

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -17,7 +17,20 @@ import graft.sources.Tables
   * the boilerplate-heavy shape those operators are built for and a
   * deliberate stress of their bucket caps.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies>
+  * EXACT TWINS ARE USELESS FOR ANN RECALL, though: every query's true
+  * top-k is its own copies at cosine 1.0, which every quantizer also
+  * ranks first, so recall reads trivially 1.0 at any scale (the r9
+  * sweep trap). `--perturb-embeddings` fixes that for the embeddings
+  * table: copy 0 stays byte-exact (catalog oracles that only read the
+  * base span still hold) and copies i ≥ 1 blend each component with
+  * deterministic hash noise — v' = (1−λ)·v + λ·u, λ = ¼,
+  * u(vec_id, pos) ∈ [−1, 1] — giving an ORGANIC graded neighbor
+  * structure (perturbed copies sit at cosine ≈ 0.9, not 1.0) while
+  * keeping every |component| < 1 (the centroid-probe domain guard).
+  * Ground truth stays computable by brute force, which is all a
+  * recall measurement needs.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies> [--perturb-embeddings]
   * (local tooling only — the driver's own testdata is read-only).
   */
 object ScaleUp {
@@ -35,15 +48,41 @@ object ScaleUp {
 
   private def roundSpan(maxKey: Long): Long = ((maxKey / 1000L) + 1L) * 1000L
 
+  /** Deterministic pseudo-noise in [−1, 1] from (id, pos) — no RNG, so
+    * reruns regenerate the identical corpus.
+    */
+  private def hashNoise(id: Column, pos: Column): Column =
+    pmod(xxhash64(id, pos), lit(2000001L)).cast("double") / 1000000.0 - 1.0
+
+  /** Copy-i embeddings perturbed toward hash noise; copy 0 untouched.
+    * Applied AFTER key shifting, so the noise is unique per output row.
+    */
+  private def perturbEmbedding(copyIdx: Column): Column =
+    when(copyIdx === 0, col("embedding")).otherwise(
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * lit(0.75) + lit(0.25) * hashNoise(col("vec_id"), i))
+          .cast("float")))
+
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ScaleUp <srcDir> <outDir> <copies> [--perturb-embeddings]")
     val Array(srcDir, outDir, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    require(copies >= 1, s"copies must be >= 1 (got $copies)")
+    require(new java.io.File(srcDir).getCanonicalPath !=
+        new java.io.File(outDir).getCanonicalPath,
+      s"srcDir == outDir ($srcDir): mode(overwrite) would destroy the " +
+        "source mid-read while copies are still computed from it")
+    val perturb = args.drop(3).contains("--perturb-embeddings")
     val spark = graft.GraftSession.default()
     spark.sparkContext.setLogLevel("WARN")
     // spans from the SOURCE data, one tiny agg per keyed table
-    def span(table: String, key: String): Long =
-      roundSpan(Tables.load(spark, srcDir, table)
-        .agg(max(col(key))).head.getLong(0))
+    def span(table: String, key: String): Long = {
+      val row = Tables.load(spark, srcDir, table).agg(max(col(key))).head
+      require(!row.isNullAt(0),
+        s"ScaleUp: source table '$table' is empty — nothing to scale")
+      roundSpan(row.getLong(0))
+    }
     val spans: Map[String, Long] = Map(
       "customer" -> span("customer", "c_custkey"),
       "supplier" -> span("supplier", "s_suppkey"),
@@ -63,7 +102,11 @@ object ScaleUp {
           val shifted = cols.foldLeft(crossed) { case (df, (c, spanKey)) =>
             df.withColumn(c, col(c) + col("__i") * spans(spanKey))
           }
-          shifted.drop("__i")
+          val maybePerturbed =
+            if (perturb && t == "embeddings")
+              shifted.withColumn("embedding", perturbEmbedding(col("__i")))
+            else shifted
+          maybePerturbed.drop("__i")
       }
       out.write.mode("overwrite").parquet(Tables.path(outDir, t))
       println(s"[scaleup] $t -> ${Tables.path(outDir, t)}")

@@ -303,11 +303,11 @@ class SimilaritySpec extends SparkSpec {
     val twoStep = java.nio.file.Files.createTempDirectory("graft_ivfadc_two").toString
     val oneStep = java.nio.file.Files.createTempDirectory("graft_ivfadc_one").toString
     Similarity.buildIvfAdcIndex(base, twoStep, dim = 64, bits = 7, m = 8)
-    Similarity.appendIvfAdcIndex(restB, twoStep, dim = 64, bits = 7, m = 8)
-    Similarity.appendIvfAdcIndex(restC, twoStep, dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(restB, twoStep, batchId = "b1", dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(restC, twoStep, batchId = "b2", dim = 64, bits = 7, m = 8)
     Similarity.buildIvfAdcIndex(base, oneStep, dim = 64, bits = 7, m = 8)
     Similarity.appendIvfAdcIndex(restB.unionByName(restC), oneStep,
-      dim = 64, bits = 7, m = 8)
+      batchId = "b1", dim = 64, bits = 7, m = 8)
     def serve(p: String) = Similarity.queryIvfAdcIndex(spark, p, q, e,
       k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
       .orderBy("query_id", "rank").collect().toSeq
@@ -372,9 +372,11 @@ class SimilaritySpec extends SparkSpec {
     Similarity.buildSignIvfIndex(e.filter($"vec_id" % 3 =!= 0), incr, dim = 64, bits = 7)
     // two append batches: maintenance is repeatable, not one-shot-only
     Similarity.appendSignIvfIndex(
-      e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 === 0), incr, dim = 64, bits = 7)
+      e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 === 0), incr, batchId = "b1",
+      dim = 64, bits = 7)
     Similarity.appendSignIvfIndex(
-      e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 =!= 0), incr, dim = 64, bits = 7)
+      e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 =!= 0), incr, batchId = "b2",
+      dim = 64, bits = 7)
     // identical index CONTENT per list...
     def content(p: String) = spark.read.parquet(s"$p/lists")
       .select($"vec_id", $"list_id".cast("int"))
