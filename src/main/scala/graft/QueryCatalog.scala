@@ -3332,6 +3332,27 @@ object QueryCatalog {
           k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // Frozen-quantizer servability audit (r10, VERDICT r9 #4): q179's
+    // build/append split, then the operational report a serving team
+    // watches to decide when the retrain is due — per list: build-time
+    // rows, appended rows, and whether the probe can reach the list at
+    // all (a stored centroid with direction exists; appends into lists
+    // the build never saw are unprobeable until rebuild). The audit
+    // reads ONLY the index (codes partitions + the tiny centroids
+    // table); the oracle recomputes the same report from the corpus
+    // with the frozen-quantizer arithmetic — so index-on-disk ≡
+    // corpus-derived is itself driver-checked.
+    "q180_ann_ivfadc_servability" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = scratchDir("graft_ivfadc_aud")
+      Similarity.buildIvfAdcIndex(e.filter(col("vec_id") % 3 =!= 0), path,
+        dim = 64, bits = 7, m = 8)
+      Similarity.appendIvfAdcIndex(e.filter(col("vec_id") % 3 === 0), path,
+        batchId = "b1", dim = 64, bits = 7, m = 8)
+      Similarity.ivfAdcServabilityAudit(s, path)
+        .orderBy(col("list_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3635,6 +3656,49 @@ object QueryCatalog {
        |  SELECT adcr.query_id, adcr.neighbor_id, adcr.rs + lc.lc AS adc
        |  FROM adcr JOIN lc ON lc.query_id = adcr.query_id AND lc.list_id = adcr.list_id
        |), ${adcRerankSql(rerank, k)}""".stripMargin
+  }
+
+  /** q180: the frozen-quantizer servability audit, recomputed from the
+    * corpus. Bucket arithmetic and centroid t2 test are GENERATED from
+    * the same `Similarity.quantDims`/`centroidScale` the operator
+    * uses; `baseWhere` is the build-subset predicate (q179's split).
+    */
+  private def ivfAdcServabilityOracleSql(
+      dim: Int, bits: Int, baseWhere: String): String = {
+    val dims = Similarity.quantDims(dim, bits)
+    val scale = Similarity.centroidScale
+    val bucket = dims.zipWithIndex.map { case (d, j) =>
+      s"(CASE WHEN cv[$d] > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n       + ")
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+       |), cl AS (
+       |  SELECT vec_id,
+       |         $bucket AS list_id,
+       |         ($baseWhere) AS is_base
+       |  FROM c
+       |), counts AS (
+       |  SELECT list_id,
+       |         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS built_rows,
+       |         CAST(SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS appended_rows
+       |  FROM cl GROUP BY list_id
+       |), cs AS (
+       |  SELECT cl.list_id, pos,
+       |         SUM(CAST(floor(c.cv[CAST(pos AS INTEGER)] * $scale) AS BIGINT)) AS s,
+       |         COUNT(*) AS cnt
+       |  FROM cl JOIN c USING (vec_id)
+       |  CROSS JOIN generate_series(1, $dim) AS g(pos)
+       |  WHERE cl.is_base
+       |  GROUP BY 1, 2
+       |), cm AS (
+       |  SELECT list_id, pos, (s - ((s % cnt) + cnt) % cnt) // cnt AS m FROM cs
+       |), ct AS (
+       |  SELECT list_id FROM cm GROUP BY list_id HAVING SUM(m * m) > 0
+       |)
+       |SELECT counts.list_id, built_rows, appended_rows,
+       |       (ct.list_id IS NOT NULL) AS servable
+       |FROM counts LEFT JOIN ct ON counts.list_id = ct.list_id
+       |ORDER BY counts.list_id""".stripMargin
   }
 
   /** q177: the recall-vs-nProbe calibration sweep. One probe chain at
@@ -4019,6 +4083,12 @@ object QueryCatalog {
     "q179_emb_ann_ivfadc_append" ->
       ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5,
         centroidWhere = "neighbor_id % 3 <> 0"),
+    // q180: the servability report recomputed from the corpus with the
+    // frozen-quantizer arithmetic (build = vec_id % 3 <> 0, q179's
+    // split) — index-on-disk ≡ corpus-derived is the checked claim
+    "q180_ann_ivfadc_servability" ->
+      ivfAdcServabilityOracleSql(dim = 64, bits = 7,
+        baseWhere = "vec_id % 3 <> 0"),
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->
