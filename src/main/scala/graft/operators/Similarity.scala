@@ -1153,7 +1153,11 @@ object Similarity {
         spark.read.parquet(s"$path/centroids"))
       .select(col("list_id"), lit(true).as("__servable"))
     counts.join(servable, Seq("list_id"), "left")
-      .select(col("list_id"), col("built_rows"), col("appended_rows"),
+      // partition-column inference types list_id INT on the codes read
+      // while the centroids side stores LONG — pin the report to LONG
+      // so its schema never depends on which side a row came from
+      .select(col("list_id").cast("long").as("list_id"),
+        col("built_rows"), col("appended_rows"),
         coalesce(col("__servable"), lit(false)).as("servable"))
   }
 

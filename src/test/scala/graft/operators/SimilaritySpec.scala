@@ -391,4 +391,160 @@ class SimilaritySpec extends SparkSpec {
       bits = 7, nProbe = 48).orderBy("query_id", "rank").collect().toSeq
     assert(servedA === servedB)
   }
+
+  /** compact leaves exactly one generation with one file per list dir. */
+  private def assertOnePerList(table: String): Unit = {
+    val root = new java.io.File(table)
+    val batches = root.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("batch_id=")).sortBy(_.getName)
+    assert(batches.map(_.getName).toSeq === Seq("batch_id=base"),
+      s"compact must leave one generation, got ${batches.map(_.getName).toSeq}")
+    for (b <- batches; ld <- b.listFiles().filter(_.isDirectory)) {
+      val files = ld.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"list dir $ld holds ${files.length} files after compact")
+    }
+  }
+
+  test("index compaction: appends then compact ≡ same served results, ≤1 file per list (VERDICT r9 #3)") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val base = e.filter($"vec_id" % 3 =!= 0)
+    val restB = e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 === 0)
+    val restC = e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 =!= 0)
+    // sign-IVF
+    val sd = java.nio.file.Files.createTempDirectory("graft_cmp_sivf").toString
+    Similarity.buildSignIvfIndex(base, sd, dim = 64, bits = 7)
+    Similarity.appendSignIvfIndex(restB, sd, batchId = "b1", dim = 64, bits = 7)
+    Similarity.appendSignIvfIndex(restC, sd, batchId = "b2", dim = 64, bits = 7)
+    def serveS() = Similarity.querySignIvfIndex(spark, sd, q, k = 5, dim = 64,
+      bits = 7, nProbe = 48).orderBy("query_id", "rank").collect().toSeq
+    val beforeS = serveS()
+    Similarity.compactSignIvfIndex(spark, sd, bits = 7)
+    assert(serveS() === beforeS, "sign-IVF compaction must be invisible to queries")
+    assertOnePerList(s"$sd/lists")
+    assert(new java.io.File(s"$sd/centroid_sums").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq === Seq("batch_id=base"))
+    // IVFADC
+    val ad = java.nio.file.Files.createTempDirectory("graft_cmp_adc").toString
+    Similarity.buildIvfAdcIndex(base, ad, dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(restB, ad, batchId = "b1", dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(restC, ad, batchId = "b2", dim = 64, bits = 7, m = 8)
+    def serveA() = Similarity.queryIvfAdcIndex(spark, ad, q, e, k = 5, dim = 64,
+      bits = 7, nProbe = 56, m = 8, rerank = 96).orderBy("query_id", "rank").collect().toSeq
+    val beforeA = serveA()
+    val auditBefore = Similarity.ivfAdcServabilityAudit(spark, ad)
+      .orderBy("list_id").collect().toSeq
+    Similarity.compactIvfAdcIndex(spark, ad, bits = 7)
+    assert(serveA() === beforeA, "IVFADC compaction must be invisible to queries")
+    assertOnePerList(s"$ad/codes")
+    // compaction folds appended rows into the base generation, so the
+    // audit's built/appended SPLIT collapses — but totals must survive
+    val auditAfter = Similarity.ivfAdcServabilityAudit(spark, ad)
+      .orderBy("list_id").collect().toSeq
+    def totals(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1) + r.getLong(2))).toMap
+    assert(totals(auditAfter) === totals(auditBefore))
+  }
+
+  test("append retry with the same batchId is idempotent (ADVICE r9: the double-append hazard)") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    Similarity.buildIvfAdcIndex(e.filter($"vec_id" % 3 =!= 0), dir,
+      dim = 64, bits = 7, m = 8)
+    val batch = e.filter($"vec_id" % 3 === 0)
+    Similarity.appendIvfAdcIndex(batch, dir, batchId = "b1", dim = 64, bits = 7, m = 8)
+    val once = Similarity.queryIvfAdcIndex(spark, dir, q, e, k = 5, dim = 64,
+      bits = 7, nProbe = 56, m = 8, rerank = 96).orderBy("query_id", "rank").collect().toSeq
+    val codesOnce = spark.read.parquet(s"$dir/codes").count()
+    // the crash-recovery contract: re-running the SAME (batch, batchId)
+    // call overwrites that batch's shards instead of double-appending
+    Similarity.appendIvfAdcIndex(batch, dir, batchId = "b1", dim = 64, bits = 7, m = 8)
+    assert(spark.read.parquet(s"$dir/codes").count() === codesOnce,
+      "retried append must not grow the code table")
+    val twice = Similarity.queryIvfAdcIndex(spark, dir, q, e, k = 5, dim = 64,
+      bits = 7, nProbe = 56, m = 8, rerank = 96).orderBy("query_id", "rank").collect().toSeq
+    assert(twice === once, "retried append must serve the identical result")
+    // batch ids are partition directory names and 'base' is reserved
+    assertThrows[IllegalArgumentException](
+      Similarity.appendIvfAdcIndex(batch, dir, batchId = "base", dim = 64, bits = 7, m = 8))
+    assertThrows[IllegalArgumentException](
+      Similarity.appendIvfAdcIndex(batch, dir, batchId = "1bad", dim = 64, bits = 7, m = 8))
+  }
+
+  test("ivfAdcServabilityAudit: counts reconcile; build-empty lists are unservable") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_aud").toString
+    Similarity.buildIvfAdcIndex(e.filter($"vec_id" % 3 =!= 0), dir,
+      dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(e.filter($"vec_id" % 3 === 0), dir,
+      batchId = "b1", dim = 64, bits = 7, m = 8)
+    val audit = Similarity.ivfAdcServabilityAudit(spark, dir).collect()
+    assert(audit.map(r => r.getLong(1) + r.getLong(2)).sum === e.count(),
+      "every indexed vector must appear in exactly one audit row")
+    val appendOnly = audit.filter(_.getLong(1) === 0L)
+    assert(appendOnly.forall(!_.getBoolean(3)),
+      "lists the build never saw have no centroid — the probe cannot reach them")
+    assert(audit.exists(_.getBoolean(3)), "a healthy index has servable lists")
+  }
+
+  test("autoQuantBits: pinned at 7 through every gated scale, grows toward nlist ≈ √n, capped") {
+    import Similarity.autoQuantBits
+    // every driver-gated corpus (n ≤ 2000) keeps the 128-list layout
+    // the pinned q44/q72/q134/q175/q177/q178/q179/q180 oracles encode
+    assert(Seq(1L, 20L, 200L, 2000L, 16384L).map(autoQuantBits(_, 64)).forall(_ === 7))
+    assert(autoQuantBits(20000L, 64) === 8)   // sf1.0: 256 lists ≈ √20000
+    assert(autoQuantBits(60000L, 64) === 8)   // sf3.0: 256 ≈ √60000
+    assert(autoQuantBits(1000000L, 64) === 10) // 1024 ≈ √1e6
+    assert(autoQuantBits(Long.MaxValue / 4, 64) === 16, "hard cap")
+    assert(autoQuantBits(1000000L, 8) === 8, "dim-capped (quantDims needs dim ≥ bits)")
+  }
+
+  test("recallProbeCurve degenerate inputs: empty queries, empty grid, bad m, sampled-mode law (VERDICT r9 #7/#8)") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    // empty query set: the scaffold still emits every (family, budget)
+    // row — with zero hits over zero truth pairs, not a crash
+    val empty = Similarity.recallProbeCurve(e.filter($"vec_id" < 0), e,
+      k = 5, dim = 64, bits = 7, probeGrid = Seq(2, 4)).collect()
+    assert(empty.length === 4)
+    assert(empty.forall(r => r.getLong(2) === 0L && r.getLong(3) === 0L))
+    // loud, not wrong, on structurally invalid parameters
+    assertThrows[IllegalArgumentException](Similarity.recallProbeCurve(
+      q, e, k = 5, dim = 64, bits = 7, probeGrid = Seq.empty))
+    assertThrows[IllegalArgumentException](Similarity.recallProbeCurve(
+      q, e, k = 5, dim = 64, bits = 7, probeGrid = Seq(2), m = 7))
+    assertThrows[IllegalArgumentException](Similarity.recallProbeCurve(
+      q, e, k = 5, dim = 64, bits = 7, probeGrid = Seq(2), maxQueries = Some(0)))
+    // sampled-mode law: a sample bound ≥ |Q| is exactly the full sweep
+    val full = Similarity.recallProbeCurve(q, e, k = 5, dim = 64, bits = 7,
+      probeGrid = Seq(8, 24)).orderBy("family", "n_probe").collect().toSeq
+    val sampled = Similarity.recallProbeCurve(q, e, k = 5, dim = 64, bits = 7,
+      probeGrid = Seq(8, 24), maxQueries = Some(1000000))
+      .orderBy("family", "n_probe").collect().toSeq
+    assert(sampled === full)
+  }
+
+  test("recallProbeCurve: single-list corpus — both families reach full recall, no crash") {
+    // all components positive → every sign test fires → ONE occupied
+    // list; probing it is a full scan, so recall must be exactly 1
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(64)(d => 0.1f + 0.01f * ((i + d) % 50)))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" % 10 === 0)
+    val curve = Similarity.recallProbeCurve(q, vecs, k = 3, dim = 64, bits = 7,
+      probeGrid = Seq(1)).collect()
+    assert(curve.length === 2)
+    assert(curve.forall(r => r.getLong(3) > 0L && r.getLong(2) === r.getLong(3)),
+      s"single-list corpus must give hits = n_pairs: ${curve.mkString(", ")}")
+  }
+
+  test("queryIvfAdcIndex: empty query set serves an empty result, not a crash") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptyq").toString
+    Similarity.buildIvfAdcIndex(e, dir, dim = 64, bits = 7, m = 8)
+    val out = Similarity.queryIvfAdcIndex(spark, dir, e.filter($"vec_id" < 0), e,
+      k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
+    assert(out.count() === 0L)
+  }
 }
