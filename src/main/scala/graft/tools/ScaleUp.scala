@@ -63,9 +63,24 @@ object ScaleUp {
         (x.cast("double") * lit(0.75) + lit(0.25) * hashNoise(col("vec_id"), i))
           .cast("float")))
 
+  /** The organic scaled embeddings corpus as a reusable frame op —
+    * what `--perturb-embeddings` writes, exposed so the recall-at-
+    * scale spec gate and ad-hoc measurements build the IDENTICAL
+    * corpus in memory: `copies` key-shifted copies (span `span`,
+    * normally [[roundSpan]] of the source max key), copy 0 byte-exact,
+    * copies ≥ 1 component-blended with deterministic hash noise.
+    */
+  def organicEmbeddings(e: DataFrame, copies: Int, span: Long): DataFrame = {
+    val copyIdx = broadcast(e.sparkSession.range(copies).toDF("__i"))
+    e.crossJoin(copyIdx)
+      .withColumn("vec_id", col("vec_id") + col("__i") * span)
+      .withColumn("embedding", perturbEmbedding(col("__i")))
+      .drop("__i")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: ScaleUp <srcDir> <outDir> <copies> [--perturb-embeddings]")
+      "usage: ScaleUp <srcDir> <outDir> <copies> [--perturb-embeddings] [--only=t1,t2]")
     val Array(srcDir, outDir, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
     require(copies >= 1, s"copies must be >= 1 (got $copies)")
@@ -74,6 +89,8 @@ object ScaleUp {
       s"srcDir == outDir ($srcDir): mode(overwrite) would destroy the " +
         "source mid-read while copies are still computed from it")
     val perturb = args.drop(3).contains("--perturb-embeddings")
+    val only: Option[Set[String]] = args.drop(3)
+      .find(_.startsWith("--only=")).map(_.stripPrefix("--only=").split(",").toSet)
     val spark = graft.GraftSession.default()
     spark.sparkContext.setLogLevel("WARN")
     // spans from the SOURCE data, one tiny agg per keyed table
@@ -93,20 +110,18 @@ object ScaleUp {
       "documents" -> span("documents", "doc_id"),
       "embeddings" -> span("embeddings", "vec_id"))
     val copyIdx = broadcast(spark.range(copies).toDF("__i"))
-    Tables.names.foreach { t =>
+    Tables.names.filter(t => only.forall(_.contains(t))).foreach { t =>
       val src = Tables.load(spark, srcDir, t)
       val out: DataFrame = shiftCols.get(t) match {
+        case Some(_) if perturb && t == "embeddings" =>
+          organicEmbeddings(src, copies, spans("embeddings"))
         case None => src // region/nation: scale-invariant dims
         case Some(cols) =>
           val crossed = src.crossJoin(copyIdx)
           val shifted = cols.foldLeft(crossed) { case (df, (c, spanKey)) =>
             df.withColumn(c, col(c) + col("__i") * spans(spanKey))
           }
-          val maybePerturbed =
-            if (perturb && t == "embeddings")
-              shifted.withColumn("embedding", perturbEmbedding(col("__i")))
-            else shifted
-          maybePerturbed.drop("__i")
+          shifted.drop("__i")
       }
       out.write.mode("overwrite").parquet(Tables.path(outDir, t))
       println(s"[scaleup] $t -> ${Tables.path(outDir, t)}")

@@ -539,6 +539,43 @@ class SimilaritySpec extends SparkSpec {
       s"single-list corpus must give hits = n_pairs: ${curve.mkString(", ")}")
   }
 
+  test("organic recall at sf1.0: both ANN families ≥ 0.80 recall@5 on non-twin data (VERDICT r9 #1)") {
+    // ScaleUp's exact-twin copies make recall above sf0.1 trivially
+    // 1.0 — every query's true top-k is its own copies at cosine 1.0,
+    // which every quantizer also ranks first (the r9 sweep trap). This
+    // gate measures the number that matters, on the ORGANIC corpus:
+    // 10 key-shifted copies of the sf0.1 embeddings with copies ≥ 1
+    // hash-noise-blended (ScaleUp.organicEmbeddings — byte-identical
+    // to what --perturb-embeddings writes), n = 20000 with a graded
+    // neighbor structure. Occupancy-tuned quantizer
+    // (autoQuantBits(20000) = 8 → 256 lists) at FAISS-realistic
+    // budgets: the probe scans 96/256 ≈ 37.5% (sign) / 128/256 = 50%
+    // (compressed path) of the lists, rerank touches ~1% of the
+    // corpus. Deterministic end to end (hash noise, structural
+    // quantizer, hash-priority query sample): measured sign_ivf 0.820
+    // @ nProbe=96 and ivfadc 0.842 @ nProbe=128/rerank=192 — the
+    // numbers cannot drift without a code change, so no flake margin.
+    val e0 = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val corpus = graft.tools.ScaleUp.organicEmbeddings(e0, copies = 10, span = 2000L)
+      .localCheckpoint()
+    val n = corpus.count()
+    assert(n === 20000L)
+    val bits = Similarity.autoQuantBits(n, 64)
+    assert(bits === 8)
+    val curve = Similarity.recallProbeCurve(
+      corpus.filter($"vec_id" % 50 === 0), corpus, k = 5, dim = 64,
+      bits = bits, probeGrid = Seq(96, 128), m = 8, rerank = 192,
+      maxQueries = Some(100)).collect()
+    def recallAt(family: String, nProbe: Int): Double = {
+      val r = curve.find(x => x.getString(0) == family && x.getInt(1) == nProbe).get
+      r.getLong(2).toDouble / r.getLong(3)
+    }
+    val sign = recallAt("sign_ivf", 96)
+    val adc = recallAt("ivfadc", 128)
+    assert(sign >= 0.80, s"sign-IVF organic recall@5 $sign below the 0.80 gate")
+    assert(adc >= 0.80, s"IVFADC organic recall@5 $adc below the 0.80 gate")
+  }
+
   test("queryIvfAdcIndex: empty query set serves an empty result, not a crash") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_emptyq").toString
