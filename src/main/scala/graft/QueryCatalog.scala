@@ -1046,8 +1046,13 @@ object QueryCatalog {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
       val path = scratchDir("graft_ivf_idx")
-      Similarity.buildSignIvfIndex(e, path, dim = 64, bits = 7)
-      Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64, bits = 7, nProbe = 48)
+      // occupancy-tuned quantizer width (r10): 7 bits (128 lists) at
+      // every driver-gated scale — the layout the pinned oracle
+      // encodes — growing toward nlist ≈ √n beyond (sweep scales),
+      // where fixed bits made probed candidate pools grow ∝ n
+      val bits = Similarity.autoQuantBits(e.count(), 64)
+      Similarity.buildSignIvfIndex(e, path, dim = 64, bits = bits)
+      Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64, bits = bits, nProbe = 48)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2176,7 +2181,12 @@ object QueryCatalog {
     "q44_emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
-      Similarity.signIvfTopK(queries, e, k = 5, dim = 64, bits = 7, nProbe = 48)
+      // occupancy-tuned quantizer width (r10): 7 bits (128 lists) at
+      // every driver-gated scale — the layout the pinned oracle
+      // encodes — growing toward nlist ≈ √n beyond (sweep scales),
+      // where fixed bits made probed candidate pools grow ∝ n
+      val bits = Similarity.autoQuantBits(e.count(), 64)
+      Similarity.signIvfTopK(queries, e, k = 5, dim = 64, bits = bits, nProbe = 48)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2310,13 +2320,18 @@ object QueryCatalog {
     "q134_emb_ann_ivf_append" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = scratchDir("graft_ivf_app")
+      // occupancy-tuned quantizer width (r10): 7 bits (128 lists) at
+      // every driver-gated scale — the layout the pinned oracle
+      // encodes — growing toward nlist ≈ √n beyond (sweep scales),
+      // where fixed bits made probed candidate pools grow ∝ n
+      val bits = Similarity.autoQuantBits(e.count(), 64)
       Similarity.buildSignIvfIndex(e.filter(col("vec_id") % 3 =!= 0), path,
-        dim = 64, bits = 7)
+        dim = 64, bits = bits)
       Similarity.appendSignIvfIndex(e.filter(col("vec_id") % 3 === 0), path,
-        batchId = "b1", dim = 64, bits = 7)
+        batchId = "b1", dim = 64, bits = bits)
       val queries = e.filter(col("vec_id") % 50 === 0)
       Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64,
-          bits = 7, nProbe = 48)
+          bits = bits, nProbe = 48)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3262,8 +3277,13 @@ object QueryCatalog {
     // budget (r8 raw-vector codes: 0.77 at 48 lists).
     "q175_emb_ann_ivfadc" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // occupancy-tuned quantizer width (r10): 7 bits (128 lists) at
+      // every driver-gated scale — the layout the pinned oracle
+      // encodes — growing toward nlist ≈ √n beyond (sweep scales),
+      // where fixed bits made probed candidate pools grow ∝ n
+      val bits = Similarity.autoQuantBits(e.count(), 64)
       Similarity.ivfAdcTopK(e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
+          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = 96)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3289,8 +3309,13 @@ object QueryCatalog {
     // cut is nProbe-independent), so the sweep costs ~one IVFADC run.
     "q177_ann_recall_calibration" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // occupancy-tuned quantizer width (r10): 7 bits (128 lists) at
+      // every driver-gated scale — the layout the pinned oracle
+      // encodes — growing toward nlist ≈ √n beyond (sweep scales),
+      // where fixed bits made probed candidate pools grow ∝ n
+      val bits = Similarity.autoQuantBits(e.count(), 64)
       Similarity.recallProbeCurve(e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = 7, probeGrid = Seq(8, 24, 56),
+          k = 5, dim = 64, bits = bits, probeGrid = Seq(8, 24, 56),
           m = 8, rerank = 96)
         .orderBy(col("family"), col("n_probe"))
     }),
@@ -3305,9 +3330,14 @@ object QueryCatalog {
     "q178_emb_ann_ivfadc_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = scratchDir("graft_ivfadc_idx")
-      Similarity.buildIvfAdcIndex(e, path, dim = 64, bits = 7, m = 8)
+      // occupancy-tuned quantizer width (r10): 7 bits (128 lists) at
+      // every driver-gated scale — the layout the pinned oracle
+      // encodes — growing toward nlist ≈ √n beyond (sweep scales),
+      // where fixed bits made probed candidate pools grow ∝ n
+      val bits = Similarity.autoQuantBits(e.count(), 64)
+      Similarity.buildIvfAdcIndex(e, path, dim = 64, bits = bits, m = 8)
       Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
+          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = 96)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3324,12 +3354,17 @@ object QueryCatalog {
     "q179_emb_ann_ivfadc_append" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = scratchDir("graft_ivfadc_app")
+      // occupancy-tuned quantizer width (r10): 7 bits (128 lists) at
+      // every driver-gated scale — the layout the pinned oracle
+      // encodes — growing toward nlist ≈ √n beyond (sweep scales),
+      // where fixed bits made probed candidate pools grow ∝ n
+      val bits = Similarity.autoQuantBits(e.count(), 64)
       Similarity.buildIvfAdcIndex(e.filter(col("vec_id") % 3 =!= 0), path,
-        dim = 64, bits = 7, m = 8)
+        dim = 64, bits = bits, m = 8)
       Similarity.appendIvfAdcIndex(e.filter(col("vec_id") % 3 === 0), path,
-        batchId = "b1", dim = 64, bits = 7, m = 8)
+        batchId = "b1", dim = 64, bits = bits, m = 8)
       Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
+          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = 96)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3346,10 +3381,15 @@ object QueryCatalog {
     "q180_ann_ivfadc_servability" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = scratchDir("graft_ivfadc_aud")
+      // occupancy-tuned quantizer width (r10): 7 bits (128 lists) at
+      // every driver-gated scale — the layout the pinned oracle
+      // encodes — growing toward nlist ≈ √n beyond (sweep scales),
+      // where fixed bits made probed candidate pools grow ∝ n
+      val bits = Similarity.autoQuantBits(e.count(), 64)
       Similarity.buildIvfAdcIndex(e.filter(col("vec_id") % 3 =!= 0), path,
-        dim = 64, bits = 7, m = 8)
+        dim = 64, bits = bits, m = 8)
       Similarity.appendIvfAdcIndex(e.filter(col("vec_id") % 3 === 0), path,
-        batchId = "b1", dim = 64, bits = 7, m = 8)
+        batchId = "b1", dim = 64, bits = bits, m = 8)
       Similarity.ivfAdcServabilityAudit(s, path)
         .orderBy(col("list_id"))
     }),
