@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for BATCH-KEYED persisted indexes (r10): every
+  * generation of an index table — the build and each append — lives in
+  * its own `batch_id=<id>` subdirectory and is written in OVERWRITE
+  * mode. That one layout decision buys the whole maintenance story:
+  *
+  *  - **Idempotent, crash-safe appends**: a retry overwrites the same
+  *    batch's subdirectories instead of double-appending rows, so
+  *    recovery from any crash is "re-run the same call" — no
+  *    read-modify-write of shared state, no swap window during which
+  *    the only durable copy is deleted (the hazards ADVICE r9 found in
+  *    the pre-r10 merge-and-swap appends).
+  *  - **Associative side tables**: per-batch SUM shards fold at read
+  *    time by summing (long addition is exactly associative), equal
+  *    bit-for-bit to the merged table the old layout maintained.
+  *  - **Bounded fragmentation**: accretion is one generation per
+  *    append, folded back to a single generation by [[compactTable]]
+  *    on the usual lake-compaction cadence.
+  *
+  * Used by the sign-IVF / IVFADC ANN indexes
+  * ([[Similarity.appendSignIvfIndex]], [[Similarity.appendIvfAdcIndex]])
+  * and the banded near-dup index ([[Dedup.appendBandedIndex]]).
+  */
+private[operators] object BatchedIndex {
+
+  /** Reserved batch id for the build generation. */
+  val buildBatchId: String = "base"
+
+  /** Append batch ids become Hive partition directory names
+    * (`batch_id=<id>`), so they must be path-safe, and they must start
+    * with a letter so partition-value inference types the column
+    * STRING for every batch (a mixed numeric/string population would
+    * otherwise depend on inference order). `base` is the build
+    * generation's reserved id.
+    */
+  def requireBatchId(batchId: String): Unit =
+    require(batchId.matches("[A-Za-z][A-Za-z0-9._-]*") && batchId != buildBatchId,
+      s"batchId '$batchId' must match [A-Za-z][A-Za-z0-9._-]* and not be " +
+        s"the reserved build id '$buildBatchId'")
+
+  /** Fold the per-batch sum shards of a batch-keyed sums side table
+    * into the logical sums (columns `s` and `cnt` summed per key).
+    */
+  def foldSums(shards: DataFrame, keys: Seq[String]): DataFrame =
+    shards.groupBy(keys.map(col): _*)
+      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+
+  /** Atomic-ish directory swap for index maintenance: the freshly
+    * written `next` generation replaces `cur` via RENAME-ASIDE — the
+    * old table moves to `cur__old` first, then next renames into
+    * place, then the aside copy deletes. No step deletes the only
+    * durable copy before its replacement exists: a crash leaves either
+    * the old table in place, or both `cur__old` and the complete next
+    * generation on disk — recovery is re-running the maintenance pass
+    * (it clears the stale aside first). Maintenance ops are
+    * single-writer by contract; wrap the index in [[VersionedTable]]
+    * when concurrent readers need snapshot isolation across the
+    * rename.
+    */
+  def swapDir(spark: SparkSession, next: String, cur: String): Unit = {
+    val curP = new org.apache.hadoop.fs.Path(cur)
+    val nextP = new org.apache.hadoop.fs.Path(next)
+    val oldP = new org.apache.hadoop.fs.Path(cur + "__old")
+    val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(oldP, true) // stale aside from a prior crashed swap
+    if (fs.exists(curP))
+      require(fs.rename(curP, oldP), s"swapDir: rename $cur -> $oldP failed")
+    require(fs.rename(nextP, curP), s"swapDir: rename $next -> $cur failed")
+    fs.delete(oldP, true)
+  }
+
+  /** Best-effort recursive delete (no-op when absent). */
+  def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Rewrite one batch-keyed index table as a single consolidated
+    * `batch_id=base` generation, replacing the live table via
+    * [[swapDir]]. Exactly one of the three shapes:
+    *  - `partitionCol = Some((col, n))`: re-shuffle to `n` partitions
+    *    on `col` and write partitioned by it — one file per partition
+    *    directory;
+    *  - `sumKeys = Some(keys)`: fold sum shards to one file;
+    *  - neither: plain rows, coalesced to `plainFiles` files.
+    */
+  def compactTable(
+      spark: SparkSession, table: String,
+      partitionCol: Option[(String, Int)] = None,
+      sumKeys: Option[Seq[String]] = None,
+      plainFiles: Int = 1): Unit = {
+    val next = s"${table}__compact"
+    deleteDir(spark, next)
+    val src = spark.read.parquet(table).drop("batch_id")
+    val out = s"$next/batch_id=$buildBatchId"
+    (partitionCol, sumKeys) match {
+      case (Some((c, n)), None) =>
+        src.repartition(n, col(c))
+          .write.mode("overwrite").partitionBy(c).parquet(out)
+      case (None, Some(keys)) =>
+        foldSums(src, keys).coalesce(1).write.mode("overwrite").parquet(out)
+      case (None, None) =>
+        src.coalesce(plainFiles).write.mode("overwrite").parquet(out)
+      case _ => throw new IllegalArgumentException(
+        "compactTable: partitionCol and sumKeys are mutually exclusive")
+    }
+    swapDir(spark, next, table)
+  }
+}

@@ -722,20 +722,32 @@ object Dedup {
     * [[graft.operators.Similarity.appendSignIvfIndex]]: appends are
     * batch-sized, never a rewrite ([[appendBandedIndex]]).
     *
-    * Crash posture: bands are written BEFORE artifacts, and the
+    * Crash posture (r10, batch-keyed — see [[BatchedIndex]]): the
+    * build and every append write only their own `batch_id=<id>`
+    * subdirectories in OVERWRITE mode, so recovery from any crash is
+    * re-running the same call (idempotent — no double-appended rows).
+    * Within a generation, bands are written BEFORE artifacts, and the
     * verification join fails LOUDLY on a band row whose artifact is
     * missing (see [[dedupeIncrement]]) — a crash between the two
     * writes surfaces as an error on next use, never as silently
-    * uncaught near-dups. (k, bands) are stored in `_index_meta` and
-    * re-read at serve time, so a parameter drift between write and
-    * read — which would silently empty the band join — is impossible.
+    * uncaught near-dups (the opposite order would miss near-dups
+    * silently). (k, bands) are stored in `_index_meta` and re-read at
+    * serve time, so a parameter drift between write and read — which
+    * would silently empty the band join — is impossible.
+    * [[compactBandedIndex]] folds per-append generations back to one.
     */
   def writeBandedIndex(historyArt: DataFrame, path: String,
       k: Int = 16, bands: Int = 4): Unit = {
+    val spark = historyArt.sparkSession
+    // a rebuild supersedes every prior generation including appends
+    BatchedIndex.deleteDir(spark, s"$path/bands")
+    BatchedIndex.deleteDir(spark, s"$path/artifacts")
+    val base = BatchedIndex.buildBatchId
     bandedSignatures(historyArt.select(col("doc_id"), col("sig")), bands, k)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands/batch_id=$base")
     historyArt.select(col("doc_id"), col("text_hash"), col("sh"), col("sig"))
-      .write.mode("overwrite").parquet(s"$path/artifacts")
+      .write.mode("overwrite").parquet(s"$path/artifacts/batch_id=$base")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_index_meta"), s"$k,$bands")
@@ -751,14 +763,33 @@ object Dedup {
   /** Add a survivor batch to the persisted index (run after each
     * [[dedupeIncrementIndexed]] round with its survivors). Banding
     * parameters come from the index's own metadata — they cannot
-    * drift from the build.
+    * drift from the build. Batch-keyed and idempotent (r10): a retried
+    * append overwrites its own `batch_id` subdirectories instead of
+    * double-appending; batch ids are unique per logical batch by
+    * caller contract (reusing one replaces that batch).
     */
-  def appendBandedIndex(newArt: DataFrame, path: String): Unit = {
+  def appendBandedIndex(newArt: DataFrame, path: String, batchId: String): Unit = {
+    BatchedIndex.requireBatchId(batchId)
     val (k, bands) = readIndexMeta(path)
     bandedSignatures(newArt.select(col("doc_id"), col("sig")), bands, k)
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands/batch_id=$batchId")
     newArt.select(col("doc_id"), col("text_hash"), col("sh"), col("sig"))
-      .write.mode("append").parquet(s"$path/artifacts")
+      .write.mode("overwrite").parquet(s"$path/artifacts/batch_id=$batchId")
+  }
+
+  /** Fold the banded index's per-append generations back to one —
+    * bands to one file per band partition, artifacts to `plainFiles`
+    * files — leaving served survivors identical
+    * ([[BatchedIndex.compactTable]]'s rename-aside swap).
+    */
+  def compactBandedIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      plainFiles: Int = 4): Unit = {
+    val (_, bands) = readIndexMeta(path)
+    BatchedIndex.compactTable(spark, s"$path/bands",
+      partitionCol = Some(("band", bands)))
+    BatchedIndex.compactTable(spark, s"$path/artifacts", plainFiles = plainFiles)
   }
 
   private val artifactSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -642,31 +642,22 @@ object Similarity {
     * recomputable by any engine from the data alone.
     */
   /** Reserved batch id for the build generation of a batch-keyed
-    * index; appends must use any other id.
+    * index; appends must use any other id. Machinery shared with the
+    * banded near-dup index lives in [[BatchedIndex]].
     */
-  val buildBatchId: String = "base"
+  val buildBatchId: String = BatchedIndex.buildBatchId
 
-  /** Append batch ids become Hive partition directory names
-    * (`batch_id=<id>`), so they must be path-safe, and they must start
-    * with a letter so partition-value inference types the column
-    * STRING for every batch (a mixed numeric/string population would
-    * otherwise depend on inference order). `base` is the build
-    * generation's reserved id.
-    */
   private def requireBatchId(batchId: String): Unit =
-    require(batchId.matches("[A-Za-z][A-Za-z0-9._-]*") && batchId != buildBatchId,
-      s"batchId '$batchId' must match [A-Za-z][A-Za-z0-9._-]* and not be " +
-        s"the reserved build id '$buildBatchId'")
+    BatchedIndex.requireBatchId(batchId)
 
   /** Fold the per-batch sum shards of a batch-keyed index side table
     * into the logical sums. Long sums are exactly associative, so the
     * fold equals the old read-modify-write merged table bit-for-bit;
-    * input is ≤ #batches · #cells tiny rows ([[PartitionedLake.compact]]
-    * bounds #batches via [[compactSignIvfIndex]]/[[compactIvfAdcIndex]]).
+    * input is ≤ #batches · #cells tiny rows ([[compactSignIvfIndex]]/
+    * [[compactIvfAdcIndex]] bound #batches).
     */
   private def foldSums(shards: DataFrame, keys: Seq[String]): DataFrame =
-    shards.groupBy(keys.map(col): _*)
-      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+    BatchedIndex.foldSums(shards, keys)
 
   def buildSignIvfIndex(
       corpus: DataFrame, path: String, dim: Int, bits: Int = 7,
@@ -1049,55 +1040,6 @@ object Similarity {
     } finally batchR.unpersist()
   }
 
-  /** Atomic-ish directory swap for index maintenance: the freshly
-    * written `next` generation replaces `cur` via RENAME-ASIDE — the
-    * old table moves to `cur__old` first, then next renames into
-    * place, then the aside copy deletes. No step deletes the only
-    * durable copy before its replacement exists (the r9 swap's
-    * delete-then-rename hazard): a crash leaves either the old table
-    * in place, or both `cur__old` and the complete next generation on
-    * disk — recovery is re-running the compaction (it clears the
-    * stale aside first). Maintenance ops are single-writer by
-    * contract; wrap the index in [[VersionedTable]] when concurrent
-    * readers need snapshot isolation across the rename.
-    */
-  private def swapDir(
-      spark: org.apache.spark.sql.SparkSession,
-      next: String, cur: String): Unit = {
-    val curP = new org.apache.hadoop.fs.Path(cur)
-    val nextP = new org.apache.hadoop.fs.Path(next)
-    val oldP = new org.apache.hadoop.fs.Path(cur + "__old")
-    val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(oldP, true) // stale aside from a prior crashed swap
-    if (fs.exists(curP))
-      require(fs.rename(curP, oldP), s"swapDir: rename $cur -> $oldP failed")
-    require(fs.rename(nextP, curP), s"swapDir: rename $next -> $cur failed")
-    fs.delete(oldP, true)
-  }
-
-  /** Rewrite one batch-keyed index table as a single consolidated
-    * `batch_id=base` generation: data tables re-shuffle to exactly one
-    * file per list partition; sums side tables fold to one shard
-    * (`sumKeys`). The new generation lands beside the live table and
-    * replaces it via [[swapDir]].
-    */
-  private def compactBatchedTable(
-      spark: org.apache.spark.sql.SparkSession, table: String, bits: Int,
-      sumKeys: Option[Seq[String]]): Unit = {
-    val next = s"${table}__compact"
-    DurableSnapshots.delete(spark.emptyDataFrame, next)
-    val src = spark.read.parquet(table).drop("batch_id")
-    val out = s"$next/batch_id=$buildBatchId"
-    sumKeys match {
-      case Some(keys) =>
-        foldSums(src, keys).coalesce(1).write.mode("overwrite").parquet(out)
-      case None =>
-        src.repartition(1 << bits, col("list_id"))
-          .write.mode("overwrite").partitionBy("list_id").parquet(out)
-    }
-    swapDir(spark, next, table)
-  }
-
   /** Compact a sign-IVF index's per-append file accretion (VERDICT r9
     * #3): each append adds up to 2^bits list files plus a sums shard,
     * so at production cadence the lists table fragments toward
@@ -1111,9 +1053,10 @@ object Similarity {
     */
   def compactSignIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, bits: Int = 7): Unit = {
-    compactBatchedTable(spark, s"$path/lists", bits, None)
-    compactBatchedTable(spark, s"$path/centroid_sums", bits,
-      Some(Seq("list_id", "pos")))
+    BatchedIndex.compactTable(spark, s"$path/lists",
+      partitionCol = Some(("list_id", 1 << bits)))
+    BatchedIndex.compactTable(spark, s"$path/centroid_sums",
+      sumKeys = Some(Seq("list_id", "pos")))
   }
 
   /** [[compactSignIvfIndex]] for the IVFADC index: codes re-shuffle to
@@ -1123,9 +1066,10 @@ object Similarity {
     */
   def compactIvfAdcIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, bits: Int = 7): Unit = {
-    compactBatchedTable(spark, s"$path/codes", bits, None)
-    compactBatchedTable(spark, s"$path/codebook_sums", bits,
-      Some(Seq("sub", "code", "pp")))
+    BatchedIndex.compactTable(spark, s"$path/codes",
+      partitionCol = Some(("list_id", 1 << bits)))
+    BatchedIndex.compactTable(spark, s"$path/codebook_sums",
+      sumKeys = Some(Seq("sub", "code", "pp")))
   }
 
   /** Operational servability audit for a frozen-quantizer IVFADC index

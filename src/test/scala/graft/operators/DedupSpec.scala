@@ -234,7 +234,12 @@ class DedupSpec extends SparkSpec {
     assert(indexed === Set(12L, 14L))
     // grow the index with the survivors; a near-dup of a survivor in
     // the NEXT batch must now be caught from the index
-    Dedup.appendBandedIndex(survivors, idx)
+    Dedup.appendBandedIndex(survivors, idx, batchId = "b1")
+    // retried append (crash-recovery contract): same batchId overwrites
+    // its own shards — the index must not grow or change
+    Dedup.appendBandedIndex(survivors, idx, batchId = "b1")
+    assert(spark.read.parquet(s"$idx/artifacts").count() === 4L,
+      "retried append must not duplicate artifact rows")
     val batch2 = Dedup.artifacts(docs(
       20L -> "a genuinely new document about completely fresh material plus",
       21L -> "totally unrelated subject matter discussed at reasonable length"
@@ -242,6 +247,15 @@ class DedupSpec extends SparkSpec {
     val s2 = Dedup.dedupeIncrementIndexed(spark, batch2, idx, threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s2 === Set(21L), s"doc 20 near-dups an appended survivor: $s2")
+    // compaction folds the generations, survivors unchanged
+    Dedup.compactBandedIndex(spark, idx)
+    val s2c = Dedup.dedupeIncrementIndexed(spark, batch2, idx, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2c === s2, "banded-index compaction must be invisible to serving")
+    assert(new java.io.File(s"$idx/bands").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSeq === Seq("batch_id=base"))
+    assertThrows[IllegalArgumentException](
+      Dedup.appendBandedIndex(survivors, idx, batchId = "base"))
   }
 
   test("banded index: empty-history bootstrap works, metadata pins the banding") {
