@@ -3281,9 +3281,14 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val n = e.count()
+      val bits = Similarity.autoQuantBits(n, 64)
+      // occupancy-scaled exact-rerank cut (r10): 96 at every gated
+      // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
+      // starves ADC recall as the corpus grows (SCALING.md)
+      val rerank = Similarity.autoAdcRerank(n)
       Similarity.ivfAdcTopK(e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = 96)
+          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = rerank)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3313,10 +3318,15 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val n = e.count()
+      val bits = Similarity.autoQuantBits(n, 64)
+      // occupancy-scaled exact-rerank cut (r10): 96 at every gated
+      // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
+      // starves ADC recall as the corpus grows (SCALING.md)
+      val rerank = Similarity.autoAdcRerank(n)
       Similarity.recallProbeCurve(e.filter(col("vec_id") % 50 === 0), e,
           k = 5, dim = 64, bits = bits, probeGrid = Seq(8, 24, 56),
-          m = 8, rerank = 96)
+          m = 8, rerank = rerank)
         .orderBy(col("family"), col("n_probe"))
     }),
 
@@ -3334,10 +3344,15 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val n = e.count()
+      val bits = Similarity.autoQuantBits(n, 64)
+      // occupancy-scaled exact-rerank cut (r10): 96 at every gated
+      // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
+      // starves ADC recall as the corpus grows (SCALING.md)
+      val rerank = Similarity.autoAdcRerank(n)
       Similarity.buildIvfAdcIndex(e, path, dim = 64, bits = bits, m = 8)
       Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = 96)
+          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = rerank)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3358,13 +3373,18 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val n = e.count()
+      val bits = Similarity.autoQuantBits(n, 64)
+      // occupancy-scaled exact-rerank cut (r10): 96 at every gated
+      // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
+      // starves ADC recall as the corpus grows (SCALING.md)
+      val rerank = Similarity.autoAdcRerank(n)
       Similarity.buildIvfAdcIndex(e.filter(col("vec_id") % 3 =!= 0), path,
         dim = 64, bits = bits, m = 8)
       Similarity.appendIvfAdcIndex(e.filter(col("vec_id") % 3 === 0), path,
         batchId = "b1", dim = 64, bits = bits, m = 8)
       Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = 96)
+          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = rerank)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -419,6 +419,22 @@ object Similarity {
     math.min(math.max(floorBits, (bl + 1) / 2), math.min(16, dim))
   }
 
+  /** Occupancy-scaled exact-rerank budget for the ADC family —
+    * `autoQuantBits`' companion on the rerank axis: with a FIXED cut,
+    * ADC quantization error pushes a growing share of true neighbors
+    * below the boundary as the corpus grows (measured on the
+    * sf1.0-organic corpus: rerank 96 caps IVFADC recall@5 at 0.768
+    * even probing half the lists; n/100 = 200 lifts it to 0.842 —
+    * SCALING.md). rerank ≈ n/100 keeps the exact-cosine stage ~1 % of
+    * the corpus per query; the 96 floor keeps every driver-gated scale
+    * (n ≤ 2000 ⇒ n/100 ≤ 20) on the pinned oracles' budget, and the
+    * 1024 cap bounds per-query float I/O — past it, raise nProbe or
+    * bits instead. Recall is monotone in rerank (a larger ADC cut is a
+    * superset re-ranked exactly), so growing the budget never hurts.
+    */
+  def autoAdcRerank(n: Long, floor: Int = 96): Int =
+    math.min(math.max(floor.toLong, n / 100L), 1024L).toInt
+
   def signLshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nTables: Int = 8, planesPerTable: Int = 4,

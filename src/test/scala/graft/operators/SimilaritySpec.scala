@@ -500,6 +500,14 @@ class SimilaritySpec extends SparkSpec {
     assert(autoQuantBits(1000000L, 8) === 8, "dim-capped (quantDims needs dim ≥ bits)")
   }
 
+  test("autoAdcRerank: pinned at 96 through every gated scale, ~n/100 beyond, capped") {
+    import Similarity.autoAdcRerank
+    assert(Seq(1L, 20L, 2000L, 9600L).map(autoAdcRerank(_)).forall(_ === 96))
+    assert(autoAdcRerank(20000L) === 200) // sf1.0-organic: lifts 0.768 → ≥0.842
+    assert(autoAdcRerank(60000L) === 600)
+    assert(autoAdcRerank(10000000L) === 1024, "capped — raise nProbe/bits instead")
+  }
+
   test("recallProbeCurve degenerate inputs: empty queries, empty grid, bad m, sampled-mode law (VERDICT r9 #7/#8)") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter($"vec_id" % 50 === 0)
@@ -562,9 +570,14 @@ class SimilaritySpec extends SparkSpec {
     assert(n === 20000L)
     val bits = Similarity.autoQuantBits(n, 64)
     assert(bits === 8)
+    // the occupancy-scaled budget the catalog family uses at this n:
+    // 200 ≥ the measured-0.842 rerank-192 point, and recall is
+    // monotone in rerank (superset re-ranked exactly)
+    val rerank = Similarity.autoAdcRerank(n)
+    assert(rerank === 200)
     val curve = Similarity.recallProbeCurve(
       corpus.filter($"vec_id" % 50 === 0), corpus, k = 5, dim = 64,
-      bits = bits, probeGrid = Seq(96, 128), m = 8, rerank = 192,
+      bits = bits, probeGrid = Seq(96, 128), m = 8, rerank = rerank,
       maxQueries = Some(100)).collect()
     def recallAt(family: String, nProbe: Int): Double = {
       val r = curve.find(x => x.getString(0) == family && x.getInt(1) == nProbe).get
