@@ -3413,6 +3413,28 @@ object QueryCatalog {
       Similarity.ivfAdcServabilityAudit(s, path)
         .orderBy(col("list_id"))
     }),
+
+    // Index compaction proven invisible (r10): q179's build + append,
+    // then compactIvfAdcIndex folds the per-append generations to one
+    // file per list partition + one codebook shard, then serve. Shares
+    // q179's oracle at identical parameters — the q129/q90 "the
+    // optimization must be invisible" discipline applied to the whole
+    // r10 maintenance loop, driver-checked.
+    "q181_ann_ivfadc_compacted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = scratchDir("graft_ivfadc_cmp")
+      val n = e.count()
+      val bits = Similarity.autoQuantBits(n, 64)
+      val rerank = Similarity.autoAdcRerank(n)
+      Similarity.buildIvfAdcIndex(e.filter(col("vec_id") % 3 =!= 0), path,
+        dim = 64, bits = bits, m = 8)
+      Similarity.appendIvfAdcIndex(e.filter(col("vec_id") % 3 === 0), path,
+        batchId = "b1", dim = 64, bits = bits, m = 8)
+      Similarity.compactIvfAdcIndex(s, path, bits = bits)
+      Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
+          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = rerank)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4149,6 +4171,11 @@ object QueryCatalog {
     "q180_ann_ivfadc_servability" ->
       ivfAdcServabilityOracleSql(dim = 64, bits = 7,
         baseWhere = "vec_id % 3 <> 0"),
+    // q181 ≡ q179 with compaction in between — one oracle checks both,
+    // making compaction-invisibility itself driver-checked
+    "q181_ann_ivfadc_compacted" ->
+      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5,
+        centroidWhere = "neighbor_id % 3 <> 0"),
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->
