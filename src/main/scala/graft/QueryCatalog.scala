@@ -3435,6 +3435,23 @@ object QueryCatalog {
           k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = rerank)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // Semantic decontamination (r10) — the embedding twin of q67's
+    // 13-gram screen, for the paraphrased leakage n-grams miss:
+    // benchmark side broadcast, corpus scanned once, threshold on the
+    // 1e-6 cosine grid. Train side carries planted byte-identical
+    // copies of the benchmark rows (cosine ≈ 1 ≫ 0.95 on any engine),
+    // so the flagged set is non-trivially populated at every scale;
+    // the operator is exact brute force, so the oracle value-checks
+    // the FULL result, plants and natural matches alike.
+    "q182_emb_decontaminate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") % 37 === 0)
+      val train = e.filter(col("vec_id") % 37 =!= 0)
+        .unionByName(bench.withColumn("vec_id", col("vec_id") + 600000L))
+      Similarity.semanticDecontaminate(train, bench, thresholdE6 = 950000L)
+        .orderBy(col("train_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4176,6 +4193,25 @@ object QueryCatalog {
     "q181_ann_ivfadc_compacted" ->
       ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5,
         centroidWhere = "neighbor_id % 3 <> 0"),
+    // q182: exact brute-force screen, so the full flagged set is
+    // value-checked (cosines stay internal — only threshold-crossing
+    // counts are compared, stable far from the grid boundary)
+    "q182_emb_decontaminate" ->
+      """WITH b AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS bv
+        |  FROM embeddings WHERE vec_id % 37 = 0
+        |), tr AS (
+        |  SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tv
+        |  FROM embeddings WHERE vec_id % 37 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 600000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 37 = 0
+        |)
+        |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches
+        |FROM tr CROSS JOIN b
+        |WHERE floor(list_cosine_similarity(tv, bv) * 1000000) >= 950000
+        |GROUP BY train_id
+        |ORDER BY train_id""".stripMargin,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

@@ -300,6 +300,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Semantic (embedding-space) benchmark decontamination — the
+    * embedding twin of [[Chunking.flagContaminated]]'s 13-gram
+    * containment: flag every training vector whose cosine against ANY
+    * benchmark vector reaches the threshold, stated in 1e-6 grid units
+    * (`thresholdE6`, the package's oracle-robust cosine quantization).
+    * Paraphrased eval leakage defeats n-gram matching; this is the
+    * screen that catches it.
+    *
+    * Scale shape: the BENCHMARK side is broadcast — eval sets are
+    * thousands of rows against a corpus of billions — so the corpus is
+    * scanned ONCE with map-side scoring, and only the per-train-vector
+    * aggregate (id, match count) crosses the shuffle. No corpus
+    * self-join, no index build; cost is |corpus| · |bench| dot
+    * products, embarrassingly parallel. For benchmark sets too large
+    * to broadcast, pre-cut candidates with [[signIvfTopK]]'s list join
+    * and verify exactly — same two-stage shape as the dedup family.
+    *
+    * Output: one row per CONTAMINATED train vector (id, n_bench
+    * matches). The raw cosines stay internal — a 1-ulp engine
+    * difference at a grid boundary may flip a borderline value, so
+    * only threshold-crossing counts (stable far from the boundary for
+    * real contamination, which sits near cosine 1) are exposed.
+    */
+  def semanticDecontaminate(
+      train: DataFrame, bench: DataFrame, thresholdE6: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"))
+    val b = bench.select(col(vecCol).as("bv"))
+    t.crossJoin(broadcast(b))
+      .filter(rankKey(VectorFunctions.cosine(col("tv"), col("bv"))) >= thresholdE6)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_bench_matches"))
+  }
+
   /** Embedding near-dup RESOLUTION: candidate pairs → connected
     * components → one surviving `keep_id` (minimum id) per cluster —
     * the embedding-space counterpart of

@@ -37,6 +37,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Long]("votes") === 2L)
   }
 
+  test("semanticDecontaminate: near-copies of a benchmark vector flagged, orthogonal/opposite not") {
+    // bench = v1 = (1,0,0); train: v2 at cosine 0.9937 (flagged at the
+    // 0.95 grid threshold), v3 orthogonal, v4 opposite (clean)
+    val bench = corpus.filter($"vec_id" === 1L)
+    val train = corpus.filter($"vec_id" =!= 1L)
+    val out = Similarity.semanticDecontaminate(train, bench, thresholdE6 = 950000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((2L, 1L)))
+    // empty bench set: nothing flagged, no crash
+    assert(Similarity.semanticDecontaminate(train,
+      corpus.filter($"vec_id" < 0), 950000L).count() === 0L)
+  }
+
   test("ivfTopK: probing both lists recovers the exact nearest neighbor") {
     val q = corpus.filter($"vec_id" === 1L)
     val out = Similarity.ivfTopK(q, corpus, k = 1, nLists = 2, nProbe = 2).collect()
