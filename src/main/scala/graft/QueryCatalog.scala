@@ -3452,6 +3452,23 @@ object QueryCatalog {
       Similarity.semanticDecontaminate(train, bench, thresholdE6 = 950000L)
         .orderBy(col("train_id"))
     }),
+
+    // q182's scale path (r10): benchmark sets too large to broadcast
+    // join the corpus on the sign-quantizer list id instead — a
+    // blocked similarity join, shuffle on list_id. Approximate by the
+    // quantizer's nature, but candidate generation is pure sign tests,
+    // so the oracle reproduces the approximate result EXACTLY (the
+    // q31/q44 discipline); byte-identical plants always share a list.
+    "q183_emb_decontaminate_blocked" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") % 37 === 0)
+      val train = e.filter(col("vec_id") % 37 =!= 0)
+        .unionByName(bench.withColumn("vec_id", col("vec_id") + 600000L))
+      Similarity.semanticDecontaminateBlocked(train, bench,
+          thresholdE6 = 950000L, dim = 64,
+          bits = Similarity.autoQuantBits(e.count(), 64))
+        .orderBy(col("train_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3798,6 +3815,37 @@ object QueryCatalog {
        |       (ct.list_id IS NOT NULL) AS servable
        |FROM counts LEFT JOIN ct ON counts.list_id = ct.list_id
        |ORDER BY counts.list_id""".stripMargin
+  }
+
+  /** q183: the blocked decontamination screen recomputed with the same
+    * sign-bucket arithmetic (generated from `Similarity.quantDims`, so
+    * engine and oracle cannot drift) — the approximate result is
+    * value-checked exactly, q31/q44-style.
+    */
+  private def decontaminateBlockedOracleSql(
+      dim: Int, bits: Int, thresholdE6: Long): String = {
+    val dims = Similarity.quantDims(dim, bits)
+    def bucket(v: String) = dims.zipWithIndex.map { case (d, j) =>
+      s"(CASE WHEN $v[$d] > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n       + ")
+    s"""WITH bl AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS bv,
+       |         ${bucket("CAST(embedding AS DOUBLE[])")} AS list_id
+       |  FROM embeddings WHERE vec_id % 37 = 0
+       |), tr AS (
+       |  SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tv
+       |  FROM embeddings WHERE vec_id % 37 <> 0
+       |  UNION ALL
+       |  SELECT vec_id + 600000, CAST(embedding AS DOUBLE[])
+       |  FROM embeddings WHERE vec_id % 37 = 0
+       |), tl AS (
+       |  SELECT train_id, tv, ${bucket("tv")} AS list_id FROM tr
+       |)
+       |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches
+       |FROM tl JOIN bl USING (list_id)
+       |WHERE floor(list_cosine_similarity(tv, bv) * 1000000) >= $thresholdE6
+       |GROUP BY train_id
+       |ORDER BY train_id""".stripMargin
   }
 
   /** q177: the recall-vs-nProbe calibration sweep. One probe chain at
@@ -4212,6 +4260,10 @@ object QueryCatalog {
         |WHERE floor(list_cosine_similarity(tv, bv) * 1000000) >= 950000
         |GROUP BY train_id
         |ORDER BY train_id""".stripMargin,
+    // q183: the same screen through the sign-bucket block join — the
+    // approximate candidate cut is pure sign tests, reproduced exactly
+    "q183_emb_decontaminate_blocked" ->
+      decontaminateBlockedOracleSql(dim = 64, bits = 7, thresholdE6 = 950000L),
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

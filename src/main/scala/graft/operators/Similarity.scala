@@ -334,6 +334,34 @@ object Similarity {
       .agg(count(lit(1)).as("n_bench_matches"))
   }
 
+  /** [[semanticDecontaminate]]'s scale path for benchmark sets too
+    * large to broadcast: both sides bucket on the sign-quantizer list
+    * id ([[signBucket]] over [[quantDims]]) and only same-list pairs
+    * are scored — the blocked similarity join, a shuffle on list_id
+    * instead of a broadcast. APPROXIMATE by the quantizer's nature
+    * (a true match whose sampled component signs differ lands in
+    * another list and is missed — byte-identical leaks always share a
+    * list), but the candidate generation is pure sign tests, so the
+    * approximate result itself is engine-reproducible and
+    * oracle-checked exactly (the q31/q44 discipline). Occupancy
+    * follows [[autoQuantBits]]: size `bits` so per-list cross products
+    * stay bounded as either side grows.
+    */
+  def semanticDecontaminateBlocked(
+      train: DataFrame, bench: DataFrame, thresholdE6: Long,
+      dim: Int, bits: Int = 7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dims = quantDims(dim, bits)
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+      signBucket(col(vecCol), dims).as("list_id"))
+    val b = bench.select(col(vecCol).as("bv"),
+      signBucket(col(vecCol), dims).as("list_id"))
+    t.join(b, Seq("list_id"))
+      .filter(rankKey(VectorFunctions.cosine(col("tv"), col("bv"))) >= thresholdE6)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_bench_matches"))
+  }
+
   /** Embedding near-dup RESOLUTION: candidate pairs → connected
     * components → one surviving `keep_id` (minimum id) per cluster —
     * the embedding-space counterpart of
