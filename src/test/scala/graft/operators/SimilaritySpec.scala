@@ -50,6 +50,23 @@ class SimilaritySpec extends SparkSpec {
       corpus.filter($"vec_id" < 0), 950000L).count() === 0L)
   }
 
+  test("semanticDecontaminateBlocked: subset of the exact screen, byte-identical plants always caught") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val bench = e.filter($"vec_id" % 7 === 0)
+    val plants = bench.withColumn("vec_id", $"vec_id" + 600000L)
+    val train = e.filter($"vec_id" % 7 =!= 0).unionByName(plants)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val exact = ids(Similarity.semanticDecontaminate(train, bench, 950000L))
+    val blocked = ids(Similarity.semanticDecontaminateBlocked(train, bench,
+      950000L, dim = 64, bits = 7))
+    assert(blocked.subsetOf(exact),
+      "the block join can only MISS matches, never invent them")
+    val plantIds = ids(plants.select($"vec_id"))
+    assert(plantIds.subsetOf(blocked),
+      "a byte-identical leak shares its source's sign list — always caught")
+  }
+
   test("ivfTopK: probing both lists recovers the exact nearest neighbor") {
     val q = corpus.filter($"vec_id" === 1L)
     val out = Similarity.ivfTopK(q, corpus, k = 1, nLists = 2, nProbe = 2).collect()
