@@ -73,6 +73,36 @@ private[operators] object BatchedIndex {
     fs.delete(oldP, true)
   }
 
+  /** Loud torn-append detection: the generation sets of two tables of
+    * one index must match. An append writes its shards table by table
+    * (data first, sums second), so a crash between the writes leaves
+    * one table with a generation the other lacks — which would serve
+    * SILENTLY-different results (a sums fold missing one batch's
+    * contribution shifts ADC scores; an artifact table missing a
+    * banded batch skips its verification). This check turns that
+    * window into an error naming the recovery: re-run the interrupted
+    * append with the same (batch, batchId). Pure directory listing —
+    * no Spark job, no file reads. A crash mid-COMPACTION (one table
+    * folded, the other not) trips it too; re-run the compaction.
+    */
+  def assertConsistentBatches(
+      spark: SparkSession, tableA: String, tableB: String): Unit = {
+    def generations(p: String): Set[String] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) Set.empty[String]
+      else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).toSet
+    }
+    val a = generations(tableA)
+    val b = generations(tableB)
+    require(a == b,
+      s"torn index: $tableA holds generations [${a.toSeq.sorted.mkString(", ")}] " +
+        s"but $tableB holds [${b.toSeq.sorted.mkString(", ")}] — an append or " +
+        "compaction was interrupted between its table writes; re-run it " +
+        "(same batch, same batchId) to recover")
+  }
+
   /** Best-effort recursive delete (no-op when absent). */
   def deleteDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

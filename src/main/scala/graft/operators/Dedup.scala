@@ -823,6 +823,11 @@ object Dedup {
       neighborCap: Option[Int] = Some(8),
       checkpointDir: Option[String] = None): DataFrame = {
     val (k, bands) = readIndexMeta(path)
+    // loud torn-append detection (r10): a bands generation without its
+    // artifacts already fails loudly in the verification join, but an
+    // ARTIFACTS generation without its bands would silently skip that
+    // batch's near-dup screening — fail symmetrically instead
+    BatchedIndex.assertConsistentBatches(spark, s"$path/bands", s"$path/artifacts")
     dedupeIncrement(batchArt,
       spark.read.schema(artifactSchema).parquet(s"$path/artifacts"),
       threshold, k, bands, neighborCap,

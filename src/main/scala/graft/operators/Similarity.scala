@@ -817,6 +817,10 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, dim: Int, bits: Int = 7, nProbe: Int = 48,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // loud torn-append/compaction detection before any data is read —
+    // a lists generation without its sums shard (or vice versa) would
+    // otherwise serve silently-shifted probes (r10; pure dir listing)
+    BatchedIndex.assertConsistentBatches(spark, s"$path/lists", s"$path/centroid_sums")
     val lists = spark.read.parquet(s"$path/lists")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"), col("list_id"))
     val cents = signListCentroids(foldSums(
@@ -1194,6 +1198,10 @@ object Similarity {
       queries: DataFrame, vectors: DataFrame, k: Int, dim: Int,
       bits: Int = 7, nProbe: Int = 48, m: Int = 8, rerank: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // loud torn-append/compaction detection (r10): a codes generation
+    // without its codebook-sums shard would serve silently-shifted ADC
+    // scores — fail naming the recovery instead (pure dir listing)
+    BatchedIndex.assertConsistentBatches(spark, s"$path/codes", s"$path/codebook_sums")
     val lvecs = spark.read.parquet(s"$path/centroids")
     val cents = signListCentroidsFromVectors(lvecs)
     val probed = centroidProbe(queries, cents, nProbe, idCol, vecCol)

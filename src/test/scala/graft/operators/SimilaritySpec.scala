@@ -502,6 +502,35 @@ class SimilaritySpec extends SparkSpec {
       Similarity.appendIvfAdcIndex(batch, dir, batchId = "1bad", dim = 64, bits = 7, m = 8))
   }
 
+  test("torn append fails loudly at serve time; re-running the append recovers") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val batch = e.filter($"vec_id" % 3 === 0)
+    def serve(p: String) = Similarity.queryIvfAdcIndex(spark, p, q, e, k = 5,
+      dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
+      .orderBy("query_id", "rank").collect().toSeq
+    // clean reference index
+    val ref = java.nio.file.Files.createTempDirectory("graft_torn_ref").toString
+    Similarity.buildIvfAdcIndex(e.filter($"vec_id" % 3 =!= 0), ref,
+      dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(batch, ref, batchId = "b1", dim = 64, bits = 7, m = 8)
+    val expected = serve(ref)
+    // torn index: crash simulated between the codes write and the sums
+    // write — without detection this serves silently-shifted ADC scores
+    val torn = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    Similarity.buildIvfAdcIndex(e.filter($"vec_id" % 3 =!= 0), torn,
+      dim = 64, bits = 7, m = 8)
+    Similarity.appendIvfAdcIndex(batch, torn, batchId = "b1", dim = 64, bits = 7, m = 8)
+    val sumsShard = new org.apache.hadoop.fs.Path(s"$torn/codebook_sums/batch_id=b1")
+    sumsShard.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sumsShard, true)
+    val ex = intercept[IllegalArgumentException](serve(torn))
+    assert(ex.getMessage.contains("torn index"))
+    // the documented recovery: re-run the interrupted append verbatim
+    Similarity.appendIvfAdcIndex(batch, torn, batchId = "b1", dim = 64, bits = 7, m = 8)
+    assert(serve(torn) === expected, "recovered index must serve the clean result")
+  }
+
   test("ivfAdcServabilityAudit: counts reconcile; build-empty lists are unservable") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_aud").toString
