@@ -9,7 +9,10 @@ object BareSmoke {
     val n = graft.SparkEntry.entry(spark).count()
     val m = graft.SparkEntry.queries("q39_events_sliding")(spark, "/root/testdata/sf0.001").count()
     val d = graft.SparkEntry.queries("q55_pipeline_dash_q2")(spark, "/root/testdata/sf0.001").count()
-    println(s"SMOKE entry=$n events=$m dash=$d")
+    // r10 families: batch-keyed index chain + decontamination screens
+    val i = graft.SparkEntry.queries("q181_ann_ivfadc_compacted")(spark, "/root/testdata/sf0.001").count()
+    val c = graft.SparkEntry.queries("q183_emb_decontaminate_blocked")(spark, "/root/testdata/sf0.001").count()
+    println(s"SMOKE entry=$n events=$m dash=$d index=$i decon=$c")
     spark.stop()
   }
 }
