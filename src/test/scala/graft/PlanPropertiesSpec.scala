@@ -152,4 +152,20 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"scaffold/constant crosses must be broadcast:\n$p")
   }
+
+  test("q182: the benchmark side is broadcast — the corpus never shuffles for the screen") {
+    val p = plan("q182_emb_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bench side lost its broadcast — the corpus would shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast cross product over the corpus:\n$p")
+  }
+
+  test("q183: the blocked screen is an equi-join on list_id, never a nested loop") {
+    val p = plan("q183_emb_decontaminate_blocked")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocked screen degraded to an all-pairs join:\n$p")
+    assert(p.contains("list_id"),
+      s"block key missing from the plan:\n$p")
+  }
 }
