@@ -1144,7 +1144,10 @@ object Similarity {
   /** [[compactSignIvfIndex]] for the IVFADC index: codes re-shuffle to
     * one file per list partition, codebook-sums shards fold to one.
     * The frozen centroids table is build-only (never fragmented) and
-    * is left untouched.
+    * is left untouched. Note for [[ivfAdcServabilityAudit]] readers:
+    * compaction folds appended generations into `batch_id=base`, so
+    * the audit's built/appended split resets at each compaction —
+    * per-list totals and servability are unaffected (spec-pinned).
     */
   def compactIvfAdcIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, bits: Int = 7): Unit = {

@@ -502,6 +502,28 @@ class SimilaritySpec extends SparkSpec {
       Similarity.appendIvfAdcIndex(batch, dir, batchId = "1bad", dim = 64, bits = 7, m = 8))
   }
 
+  test("sign-IVF appends are order-free: any batch split, any append order ≡ one-shot build") {
+    // the structural quantizer's full maintenance claim, beyond the
+    // 2-batch case: assignment depends only on the vector and sums
+    // merge commutatively, so batch BOUNDARIES and batch ORDER are
+    // both invisible to serving
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val parts = (0 until 4).map(i => e.filter($"vec_id" % 4 === i))
+    def serve(p: String) = Similarity.querySignIvfIndex(spark, p, q, k = 5,
+      dim = 64, bits = 7, nProbe = 48).orderBy("query_id", "rank").collect().toSeq
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_of_one").toString
+    Similarity.buildSignIvfIndex(e, oneShot, dim = 64, bits = 7)
+    val expected = serve(oneShot)
+    for (order <- Seq(Seq(1, 2, 3), Seq(3, 1, 2))) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_of").toString
+      Similarity.buildSignIvfIndex(parts(0), dir, dim = 64, bits = 7)
+      order.foreach(i =>
+        Similarity.appendSignIvfIndex(parts(i), dir, batchId = s"b$i", dim = 64, bits = 7))
+      assert(serve(dir) === expected, s"order $order diverged from the one-shot build")
+    }
+  }
+
   test("torn append fails loudly at serve time; re-running the append recovers") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter($"vec_id" % 50 === 0)
