@@ -685,12 +685,15 @@ object QueryCatalog {
     "q31_emb_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
-      // occupancy-tuned plane count (r9): 4 at every driver-gated
-      // scale (n <= 2000 — the regime the oracle's 4-plane SQL pins),
-      // growing with log2(n) beyond so buckets never degrade to a
-      // full scan (sf1.0 sweep: fixed 4 planes cost 21x sf0.1)
-      val planes = Similarity.autoPlanesPerTable(e.count(), nTables = 8, dim = 64)
-      Similarity.signLshTopK(queries, e, k = 5, nTables = 8, planesPerTable = planes)
+      // joint (planes, tables) plan (r10): (4, 8) at every driver-gated
+      // scale — the regime the oracle's pinned SQL encodes — then
+      // planes grow at quarter rate with tables compensating inside
+      // the dim wall. The r9 planes-only growth fixed the 21× sf1.0
+      // cost cliff but silently collapsed organic recall to 0.214
+      // (invisible on exact-twin sweeps); the joint plan measures
+      // 0.780 at n = 20000 for ~the r8 cost (SCALING.md)
+      val (planes, tables) = Similarity.autoLshPlan(e.count(), dim = 64)
+      Similarity.signLshTopK(queries, e, k = 5, nTables = tables, planesPerTable = planes)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -454,11 +454,46 @@ object Similarity {
     // to exactly 4.0 for the sf0.1 oracle's pinned 4-plane SQL, one
     // ULP of libm drift away from flipping to 5 — and bit length
     // cannot drift.
+    // SUPERSEDED for the q31 path by [[autoLshPlan]] (r10): pure
+    // occupancy-chasing plane growth silently collapses RECALL — the
+    // organic sf1.0 corpus measured 0.214 recall@5 at the 8 planes
+    // this returns for n = 20000 (each extra plane multiplies the
+    // per-table match probability by p < 1, and the twins sweeps that
+    // validated the r9 growth could not see it: twins recall is
+    // trivially 1.0). Kept for callers that tune tables themselves.
     val buckets = (n + targetOccupancy - 1) / targetOccupancy
     val needed =
       if (buckets <= 1) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
     math.min(math.max(4, needed), dim / nTables)
+  }
+
+  /** Joint (planesPerTable, nTables) plan for [[signLshTopK]] — the
+    * r10 organic-recall correction to [[autoPlanesPerTable]]. LSH
+    * theory says holding recall while shrinking buckets requires
+    * growing TABLES alongside planes (per-table match probability
+    * p^planes falls exponentially; tables recover it linearly), and
+    * the axis-sampled sign scheme caps tables · planes at `dim` — so
+    * this plan grows planes at QUARTER rate (one per 16× corpus
+    * growth) and spends the saved dim budget on tables. Measured on
+    * the n = 20000 organic corpus (recall@5 / wall): the r9 plan
+    * (8 planes × 8 tables) 0.214/1.4 s — fast but useless; this plan
+    * (5 × 12) 0.780/5.2 s; the r8 fixed plan (4 × 8) 0.820/6.8 s but
+    * degrading toward a full scan as n grows. Pinned (4, 8) at every
+    * driver-gated scale (n ≤ 2000), so q31's oracle stays exact.
+    * Past n ≈ 10⁵ per 64 dims the wall binds and recall degrades by
+    * necessity — the centroid-probed sign-IVF/IVFADC family (organic
+    * 0.82–0.85 at its budgets) is the documented scale path there.
+    */
+  def autoLshPlan(
+      n: Long, dim: Int = 64, targetOccupancy: Int = 125): (Int, Int) = {
+    val buckets = (n + targetOccupancy - 1) / targetOccupancy
+    val needed =
+      if (buckets <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    val planes = math.min(math.max(4, 4 + (needed - 4) / 4), dim / 8)
+    val tables = math.min(dim / planes, math.max(8, 8 + (needed - 4)))
+    (planes, tables)
   }
 
   /** Occupancy-tuned coarse-quantizer width for the sign-IVF/IVFADC

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.xxhash64
 
 class SimilaritySpec extends SparkSpec {
 
@@ -668,6 +669,34 @@ class SimilaritySpec extends SparkSpec {
     val adc = recallAt("ivfadc", 128)
     assert(sign >= 0.80, s"sign-IVF organic recall@5 $sign below the 0.80 gate")
     assert(adc >= 0.80, s"IVFADC organic recall@5 $adc below the 0.80 gate")
+    // the LSH path under its joint (planes, tables) plan — the gate
+    // that would have caught the r9 planes-only collapse (0.214 at
+    // 8×8; the joint plan measures 0.780 at (5, 12), deterministic)
+    val qs = corpus.filter($"vec_id" % 50 === 0)
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(100).localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(qs, corpus, 5))
+    val (planes, tables) = Similarity.autoLshPlan(n, dim = 64)
+    assert((planes, tables) === ((5, 12)))
+    val lsh = pairs(Similarity.signLshTopK(qs, corpus, 5,
+      nTables = tables, planesPerTable = planes))
+    val lshRecall = lsh.intersect(truth).size.toDouble / truth.size
+    assert(lshRecall >= 0.75, s"sign-LSH organic recall@5 $lshRecall below the 0.75 gate")
+  }
+
+  test("autoLshPlan: (4,8) pinned at gated scales; planes quarter-rate, tables compensate, dim-walled") {
+    import Similarity.autoLshPlan
+    assert(Seq(1L, 20L, 2000L).map(autoLshPlan(_)).forall(_ == ((4, 8))))
+    assert(autoLshPlan(20000L) === ((5, 12)))
+    assert(autoLshPlan(60000L) === ((5, 12)))
+    assert(autoLshPlan(1000000L) === ((6, 10)))
+    // the dim wall: planes × tables never exceeds dim
+    for (n <- Seq(2000L, 20000L, 1000000L, Long.MaxValue / 4)) {
+      val (p, t) = autoLshPlan(n)
+      assert(p * t <= 64, s"plan ($p, $t) breaches the dim wall at n=$n")
+    }
   }
 
   test("queryIvfAdcIndex: empty query set serves an empty result, not a crash") {
