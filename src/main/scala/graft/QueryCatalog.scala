@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.{RawLayer, Scd2}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
+import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -3472,6 +3472,20 @@ object QueryCatalog {
           bits = Similarity.autoQuantBits(e.count(), 64))
         .orderBy(col("train_id"))
     }),
+
+    // corpus-trained bigram-LM fluency scoring (the CCNet/KenLM
+    // perplexity filter, r10): train the add-one bigram LM on the
+    // doc_id % 5 != 0 slice, score EVERY document — exact-integer ppm
+    // form so the driver hashes it; the true log2 cross-entropy twin
+    // is spec-grounded (LanguageModelSpec). Model = count frames
+    // joined by token keys, never broadcast — the 100 TB posture.
+    "q184_docs_lm_fluency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = LanguageModel.train(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      LanguageModel.scoreFluencyPpm(docs, lm, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4267,6 +4281,44 @@ object QueryCatalog {
     // approximate candidate cut is pure sign tests, reproduced exactly
     "q183_emb_decontaminate_blocked" ->
       decontaminateBlockedOracleSql(dim = 64, bits = 7, thresholdE6 = 950000L),
+    // q184: add-one bigram LM trained on the doc_id % 5 <> 0 slice —
+    // every value is integer floor arithmetic (per-bigram ppm floored
+    // BEFORE the sum, the sum floored by the bigram count), so both
+    // engines agree on every boundary.
+    "q184_docs_lm_fluency" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |), tb AS (
+        |  SELECT * FROM b WHERE doc_id % 5 <> 0
+        |), cb AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_bigram FROM tb GROUP BY 1
+        |), cp AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c_prefix FROM tb GROUP BY 1
+        |), v AS (
+        |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vs
+        |  FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id % 5 <> 0)
+        |), sc AS (
+        |  SELECT b.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(CASE WHEN cb.c_bigram IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_oov,
+        |         SUM((COALESCE(cb.c_bigram, 0) + 1) * 1000000
+        |             // (COALESCE(cp.c_prefix, 0) + vs)) AS ppm_sum
+        |  FROM b LEFT JOIN cb USING (bigram) LEFT JOIN cp USING (w1), v
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(sc.n_oov, 0) AS n_oov,
+        |       CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0
+        |            ELSE CAST(sc.ppm_sum // sc.n_bigrams AS BIGINT)
+        |       END AS fluency_ppm
+        |FROM d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

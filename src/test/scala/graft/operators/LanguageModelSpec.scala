@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class LanguageModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("train: counts and vocabulary match the hand-computed example") {
+    // training tokens: "a b a b" -> bigrams (a b), (b a), (a b)
+    //                  "a c"     -> bigram  (a c)
+    val train = docs(1L -> "a b a b", 2L -> "a c")
+    val lm = LanguageModel.train(train, "doc_id", "text")
+    assert(lm.vocabSize === 3L) // {a, b, c}
+    val cb = lm.bigramCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cb === Map("a b" -> 2L, "b a" -> 1L, "a c" -> 1L))
+    val cp = lm.prefixCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // prefix counts are over bigram POSITIONS: a starts 3, b starts 1
+    assert(cp === Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("scoreFluencyPpm: exact hand-computed integers, OOV and short docs") {
+    val train = docs(1L -> "a b a b", 2L -> "a c")
+    val lm = LanguageModel.train(train, "doc_id", "text")
+    val scored = LanguageModel
+      .scoreFluencyPpm(docs(
+        10L -> "a b",   // seen bigram: (2+1)*1e6 div (3+3) = 500000
+        11L -> "c a",   // unseen, prefix c unseen: (0+1)*1e6 div (0+3) = 333333
+        12L -> "a",     // no bigrams
+        13L -> "a b c a b"), // (a b)=500000, (b c)=(0+1)*1e6 div(1+3)=250000,
+                             // (c a)=333333, (a b)=500000
+                             // sum=1583333, div 4 = 395833; 2 OOV
+        lm, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(scored(10L) === ((1L, 0L, 500000L)))
+    assert(scored(11L) === ((1L, 1L, 333333L)))
+    assert(scored(12L) === ((0L, 0L, 0L)))
+    assert(scored(13L) === ((4L, 2L, 395833L)))
+  }
+
+  test("crossEntropyBits: hand example; zero-bigram doc gets NULL entropy") {
+    val train = docs(1L -> "a b a b", 2L -> "a c")
+    val lm = LanguageModel.train(train, "doc_id", "text")
+    val rows = LanguageModel
+      .crossEntropyBits(docs(10L -> "a b", 12L -> "a"), lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // p(b|a) = (2+1)/(3+3) = 0.5 -> xent = 1 bit exactly
+    assert(rows(10L)._1 === 1L)
+    assert(math.abs(rows(10L)._2.get - 1.0) < 1e-12)
+    assert(rows(12L) === ((0L, None)))
+  }
+
+  test("fluent text under the model outscores shuffled-token text (the filter's purpose)") {
+    // deterministic corpus: fluent docs repeat natural transitions,
+    // garbage docs use the same vocabulary in never-seen orders
+    val fluent = (0L until 40L).map(i =>
+      i -> "the cat sat on the mat and the dog ran to the cat")
+    val garbage = (100L until 110L).map(i =>
+      i -> "mat the to cat dog sat and ran on the mat dog to sat")
+    val all = docs((fluent ++ garbage): _*)
+    val lm = LanguageModel.train(docs(fluent: _*), "doc_id", "text")
+    val scored = LanguageModel.scoreFluencyPpm(all, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val worstFluent = fluent.map(f => scored(f._1)).min
+    val bestGarbage = garbage.map(g => scored(g._1)).max
+    assert(worstFluent > bestGarbage * 5,
+      s"fluent floor $worstFluent should dominate garbage ceiling $bestGarbage")
+    // and the two scoring forms agree on the ordering
+    val xent = LanguageModel.crossEntropyBits(all, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(fluent.map(f => xent(f._1)).max < garbage.map(g => xent(g._1)).min,
+      "lower cross-entropy must pick out the fluent class")
+  }
+
+  test("minCount pruning only lowers scores (denominator never shrinks with the numerator table)") {
+    val train = docs(1L -> "a b a b a b c d", 2L -> "a c a b")
+    val probe = docs(10L -> "a b c d", 11L -> "x y")
+    val full = LanguageModel.train(train, "doc_id", "text")
+    val pruned = LanguageModel.train(train, "doc_id", "text", minCount = 2L)
+    // c d / a c (count 1) drop from the pruned model's bigram table
+    assert(pruned.bigramCounts.count() < full.bigramCounts.count())
+    assert(pruned.vocabSize === full.vocabSize)
+    val f = LanguageModel.scoreFluencyPpm(probe, full, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val p = LanguageModel.scoreFluencyPpm(probe, pruned, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (id <- Seq(10L, 11L)) assert(p(id) <= f(id))
+  }
+
+  test("empty text: the single empty token is in-vocabulary, no bigrams, score 0") {
+    val train = docs(1L -> "", 2L -> "a b")
+    val lm = LanguageModel.train(train, "doc_id", "text")
+    assert(lm.vocabSize === 3L) // {"", a, b}
+    val r = LanguageModel.scoreFluencyPpm(docs(10L -> ""), lm, "doc_id", "text")
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((0L, 0L, 0L)))
+  }
+}
