@@ -3486,6 +3486,23 @@ object QueryCatalog {
       LanguageModel.scoreFluencyPpm(docs, lm, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+
+    // retrieval-ranking eval (r10): reciprocal rank of the brute-force
+    // true NN inside the sign-IVF top-10 — recall (q177) says whether
+    // truth was retrieved, this says how far down it sat, the number
+    // that decides a RAG serving cut. Ground truth is the documented
+    // quadratic baseline over the query sample (the q177 posture:
+    // sample queries at scale, corpus side stays indexed).
+    "q185_ann_retrieval_mrr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val ann = Similarity.signIvfTopK(queries, e, k = 10, dim = 64,
+        bits = bits, nProbe = 48)
+      val truth = Similarity.bruteForceTopK(queries, e, k = 1)
+      Similarity.retrievalMrr(ann, truth.select(col("query_id"), col("neighbor_id")))
+        .orderBy(col("query_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4319,6 +4336,38 @@ object QueryCatalog {
         |       END AS fluency_ppm
         |FROM d LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q185: the sign-IVF ranked CTE at k=10 (same probe chain as q44's
+    // oracle) joined against the brute-force true NN — per-query
+    // integer reciprocal rank, the ranking-quality twin of q177.
+    "q185_ann_retrieval_mrr" ->
+      s"""WITH ${signIvfProbeCtes(dim = 64, bits = 7, nProbe = 48)}, ranked AS (
+         |  SELECT probe.query_id, cl.neighbor_id,
+         |         row_number() OVER (PARTITION BY probe.query_id
+         |           ORDER BY floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) DESC, cl.neighbor_id) AS rank
+         |  FROM probe
+         |  JOIN q ON probe.query_id = q.query_id
+         |  JOIN cl USING (list_id)
+         |  WHERE probe.query_id <> cl.neighbor_id
+         |), ann AS (
+         |  SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+         |), bf AS (
+         |  SELECT q.query_id, c.neighbor_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY floor(list_cosine_similarity(q.qv, c.cv) * 1000000) DESC, c.neighbor_id) AS tr
+         |  FROM q CROSS JOIN c
+         |  WHERE q.query_id <> c.neighbor_id
+         |), truth AS (
+         |  SELECT query_id, neighbor_id FROM bf WHERE tr = 1
+         |), m AS (
+         |  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant,
+         |         MIN(a.rank) AS best
+         |  FROM truth t LEFT JOIN ann a USING (query_id, neighbor_id)
+         |  GROUP BY 1
+         |)
+         |SELECT query_id, n_relevant,
+         |       CAST(CASE WHEN best IS NULL THEN 0 ELSE 1 END AS BIGINT) AS found,
+         |       CAST(CASE WHEN best IS NULL THEN 0 ELSE 1000000 // best END AS BIGINT) AS rr_ppm
+         |FROM m ORDER BY query_id""".stripMargin,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

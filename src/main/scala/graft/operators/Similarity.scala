@@ -1594,4 +1594,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  /** Retrieval-RANKING quality next to [[recallProbeCurve]]'s set
+    * quality: per query, the reciprocal rank of the best relevant item
+    * inside a ranked retrieval result (MRR is the mean of `rr_ppm`
+    * over queries — left as exact per-query integers so the whole
+    * artifact is oracle-hashable, q185). Recall says whether the truth
+    * was retrieved at all; this says how FAR DOWN the list it sat —
+    * the number that decides k for a RAG serving cut.
+    *
+    * Pure eval combinator: `ann` is any ranked result (query_id,
+    * neighbor_id, rank) — sign-IVF, IVFADC, LSH, a persisted index —
+    * and `truth` the relevant (query_id, neighbor_id) pairs. One
+    * equi-join on the pair key + one aggregate; both sides are
+    * k-rows-per-query artifacts, so the eval never touches corpus
+    * volume. Queries with relevant pairs but no ANN hit grade
+    * found = 0 / rr_ppm = 0 (the miss is data, not an error); queries
+    * absent from `truth` are ungraded by construction.
+    */
+  def retrievalMrr(ann: DataFrame, truth: DataFrame): DataFrame = {
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id"), col("rank")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_relevant"), min(col("rank")).as("__best"))
+      .withColumn("found", when(col("__best").isNull, 0L).otherwise(1L))
+      .withColumn("rr_ppm", when(col("__best").isNull, 0L)
+        .otherwise(expr("CAST(1000000 DIV __best AS BIGINT)")))
+      .drop("__best")
+  }
 }

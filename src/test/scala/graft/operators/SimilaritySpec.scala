@@ -699,6 +699,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("retrievalMrr: hand-graded ranks, misses, multiple relevant, absent queries") {
+    val ann = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val truth = Seq(
+      (1L, 12L),            // found at rank 3 -> rr 333333
+      (2L, 99L),            // relevant never retrieved -> 0
+      (3L, 31L), (3L, 30L), // two relevant, best matched rank 1 -> 1000000
+      (4L, 40L)             // query with no ANN rows at all -> 0
+    ).toDF("query_id", "neighbor_id")
+    val out = Similarity.retrievalMrr(ann, truth)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((1L, 1L, 333333L)))
+    assert(out(2L) === ((1L, 0L, 0L)))
+    assert(out(3L) === ((2L, 1L, 1000000L)))
+    assert(out(4L) === ((1L, 0L, 0L)))
+    assert(out.size === 4) // only graded queries appear
+  }
+
   test("queryIvfAdcIndex: empty query set serves an empty result, not a crash") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_emptyq").toString
