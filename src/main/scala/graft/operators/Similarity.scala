@@ -40,7 +40,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val cross = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      // narrow to (ids, cosine) BEFORE the ranking exchange — the
+      // window shuffle must never carry the float vectors (at the
+      // sf3.0 sweep's 72M pairs the two 64-float payloads are ~40 GB
+      // of exchange bytes; the scored triple is ~1.7 GB)
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
     cross
@@ -423,7 +428,10 @@ object Similarity {
   private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
+    // the ranking exchange carries only (ids, cosine) — callers'
+    // vector columns must not ride through the window shuffle
+    cands.select("query_id", "neighbor_id", "cosine")
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
@@ -542,20 +550,33 @@ object Similarity {
     // silently skewed null→0 bit with ANSI off) — fail fast instead
     require(dim >= nTables * planesPerTable,
       s"signLshTopK: dim $dim < ${nTables * planesPerTable} sampled components")
-    def bucketed(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    // candidate generation runs on NARROW id rows — the bucket join
+    // and the (query, neighbor) dedup shuffle ~32-byte tuples, and the
+    // float vectors are attached by id-keyed joins only AFTER the
+    // multiplicity is gone. The earlier shape carried both 64-float
+    // vectors through the bucket join and the dedup exchange, and on
+    // twin-heavy corpora (dense buckets × nTables multiplicity) that
+    // payload WAS the cost: the r10 sf3.0 sweep measured q31 at 187 s,
+    // ~16 GB of vector bytes through two exchanges; this shape moves
+    // ~1 GB of ids and re-joins the corpus once.
+    def bucketed(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("table"),
             signBucket(col(vecCol),
               (1 to planesPerTable).map(j => t * planesPerTable + j)).as("bucket"))
         }: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.table"), col("tb.bucket"))
-    val qb = bucketed(queries, "query_id", "qv")
-    val cb = bucketed(corpus, "neighbor_id", "cv")
-    val cands = qb.join(cb, Seq("table", "bucket"))
+        .select(col(id), col("tb.table"), col("tb.bucket"))
+    val pairIds = bucketed(queries, "query_id")
+      .join(bucketed(corpus, "neighbor_id"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val cands = pairIds
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
     rankTopK(cands, k)
   }
@@ -1574,25 +1595,27 @@ object Similarity {
     val tables = (0 until nTables).map { t =>
       VectorFunctions.randomPlanes(nPlanes, dim, seed = 42L + t)
     }
-    def bucketed(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    // same narrow-candidate discipline as [[signLshTopK]]: buckets and
+    // the pair dedup shuffle ids only; vectors re-join by id after
+    def bucketed(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
         explode(array(tables.zipWithIndex.map { case (planes, t) =>
           struct(lit(t).as("table"),
             VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
         }: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.table"), col("tb.bucket"))
-    val qb = bucketed(queries, "query_id", "qv")
-    val cb = bucketed(corpus, "neighbor_id", "cv")
-    val cands = qb.join(cb, Seq("table", "bucket"))
+        .select(col(id), col("tb.table"), col("tb.bucket"))
+    val pairIds = bucketed(queries, "query_id")
+      .join(bucketed(corpus, "neighbor_id"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val cands = pairIds
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(cands, k)
   }
 
   /** Retrieval-RANKING quality next to [[recallProbeCurve]]'s set
