@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.LanguageModel
+
+class StreamingQualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("stream-scored grades ≡ one-shot batch scoring across arbitrary micro-batch splits; replay idempotent") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val lm = LanguageModel.train(
+      docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text")
+    val root = Files.createTempDirectory("graft_stream_q").toString
+    val srcDir = s"$root/src"
+    val out = s"$root/graded"
+    val schema = docs.schema
+    // two source files across two runs on one checkpoint → two batch ids
+    docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(srcDir)
+    val q1 = StreamingQuality.start(
+      spark.readStream.schema(schema).parquet(srcDir), lm, out,
+      s"$root/ckpt", minFluencyPpm = 34000L)
+    q1.awaitTermination(60000)
+    assert(q1.exception.isEmpty, s"q1 failed: ${q1.exception}")
+    docs.filter($"doc_id" % 2 =!= 0).write.mode("append").parquet(srcDir)
+    val q2 = StreamingQuality.start(
+      spark.readStream.schema(schema).parquet(srcDir), lm, out,
+      s"$root/ckpt", minFluencyPpm = 34000L)
+    q2.awaitTermination(60000)
+    assert(q2.exception.isEmpty, s"q2 failed: ${q2.exception}")
+
+    def graded(path: String) = spark.read.parquet(path)
+      .select("doc_id", "n_bigrams", "n_oov", "fluency_ppm", "keep")
+      .orderBy("doc_id").collect().toSeq
+    val streamed = graded(out)
+    assert(streamed.map(_.getLong(0)).toSet ===
+      docs.select("doc_id").as[Long].collect().toSet,
+      "every ingested document must be graded exactly once")
+
+    // batch twin: scoring is per-document pure, so the split is invisible
+    val batchOut = s"$root/batch"
+    StreamingQuality.scoreAndWrite(docs, lm, batchOut, 0L,
+      minFluencyPpm = 34000L, minBigrams = 1L, "doc_id", "text")
+    assert(streamed === graded(batchOut),
+      "micro-batch boundaries must not change any grade")
+
+    // replay: rerunning a batch id overwrites its own partition
+    val before = streamed
+    StreamingQuality.scoreAndWrite(docs.filter($"doc_id" % 2 === 0), lm, out, 0L,
+      minFluencyPpm = 34000L, minBigrams = 1L, "doc_id", "text")
+    assert(graded(out) === before, "a replayed micro-batch must not duplicate grades")
+
+    // the gate grades both drop classes: below-threshold and too-short
+    val byKeep = spark.read.parquet(out).groupBy("keep").count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byKeep.getOrElse(true, 0L) > 0L, "some documents must pass the screen")
+    assert(byKeep.getOrElse(false, 0L) > 0L, "some documents must be dropped by the screen")
+  }
+}
