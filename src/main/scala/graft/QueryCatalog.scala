@@ -3503,6 +3503,16 @@ object QueryCatalog {
       Similarity.retrievalMrr(ann, truth.select(col("query_id"), col("neighbor_id")))
         .orderBy(col("query_id"))
     }),
+
+    // collocation mining (r10): word2phrase/PMI lift over adjacent
+    // token pairs — the phrase-discovery pass before tokenizer
+    // training or phrase-aware dedup. Integer lift with the delta-1
+    // rare-pair discount; products in DECIMAL(38,0)/HUGEINT.
+    "q186_docs_collocations" -> ((s, dir) => {
+      TermStats.collocations(t(s, dir, "documents"), "doc_id", "text",
+          minCount = 5L, topK = 100)
+        .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4368,6 +4378,32 @@ object QueryCatalog {
          |       CAST(CASE WHEN best IS NULL THEN 0 ELSE 1 END AS BIGINT) AS found,
          |       CAST(CASE WHEN best IS NULL THEN 0 ELSE 1000000 // best END AS BIGINT) AS rr_ppm
          |FROM m ORDER BY query_id""".stripMargin,
+    // q186: word2phrase lift, all-integer with the delta-1 discount;
+    // the (lift DESC, w1, w2) total order makes the top-100 cut
+    // engine-stable.
+    "q186_docs_collocations" ->
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |), uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1
+        |), tt AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS t_tokens FROM uni
+        |), big AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5
+        |)
+        |SELECT big.w1, big.w2, big.c12,
+        |       CAST((CAST(big.c12 - 1 AS HUGEINT) * tt.t_tokens * 1000000)
+        |            // (CAST(c1.c AS HUGEINT) * c2.c) AS BIGINT) AS lift_e6
+        |FROM big
+        |JOIN uni c1 ON c1.w = big.w1
+        |JOIN uni c2 ON c2.w = big.w2
+        |CROSS JOIN tt
+        |ORDER BY lift_e6 DESC, big.w1, big.w2
+        |LIMIT 100""".stripMargin,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

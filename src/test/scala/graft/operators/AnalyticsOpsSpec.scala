@@ -39,6 +39,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(top(1).getLong(3) === 2000000L) // 2 * (3*1e6 DIV 3)
   }
 
+  test("TermStats.collocations: hand-computed word2phrase lifts, discount, topK cut") {
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "the cat"), (3L, "the dog"), (4L, "the cat")).toDF("doc_id", "text")
+    // T = 12; c(new)=c(york)=c(the)=3, c(cat)=2, c(dog)=1
+    // new-york c12=3: (3-1)*12e6 div 9  = 2666666
+    // the-cat  c12=2: (2-1)*12e6 div 6  = 2000000
+    // york-new c12=2: (2-1)*12e6 div 9  = 1333333
+    val all = TermStats.collocations(docs, "doc_id", "text", minCount = 2L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(all.toSeq === Seq(
+      ("new", "york", 3L, 2666666L),
+      ("the", "cat", 2L, 2000000L),
+      ("york", "new", 2L, 1333333L)))
+    // the-dog (c12 = 1) is killed by minCount; topK truncates in rank order
+    val top2 = TermStats.collocations(docs, "doc_id", "text", minCount = 2L, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(top2.toSeq === Seq(("new", "york"), ("the", "cat")))
+  }
+
   test("Funnel.funnel: stage order is enforced, counts shrink") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     val events = Seq(
