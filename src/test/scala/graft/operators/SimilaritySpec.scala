@@ -684,6 +684,23 @@ class SimilaritySpec extends SparkSpec {
       nTables = tables, planesPerTable = planes))
     val lshRecall = lsh.intersect(truth).size.toDouble / truth.size
     assert(lshRecall >= 0.75, s"sign-LSH organic recall@5 $lshRecall below the 0.75 gate")
+    // ranking quality (q185's metric) at the same budgets, same truth
+    // sample: measured sign_ivf MRR 0.900 / ivfadc 0.930 — every
+    // retrieved true NN sits at rank 1 (exact-cosine rerank), so MRR ≈
+    // found-rate and the gate is a top-1-containment gate in disguise
+    val truth1 = Similarity.bruteForceTopK(qs, corpus, 1)
+      .select($"query_id", $"neighbor_id")
+    def mrr(ann: org.apache.spark.sql.DataFrame): Double = {
+      val m = Similarity.retrievalMrr(ann, truth1)
+        .agg(org.apache.spark.sql.functions.avg($"rr_ppm")).head.getDouble(0)
+      m / 1e6
+    }
+    val signMrr = mrr(Similarity.signIvfTopK(qs, corpus, k = 10, dim = 64,
+      bits = bits, nProbe = 96))
+    assert(signMrr >= 0.85, s"sign-IVF organic MRR $signMrr below the 0.85 gate")
+    val adcMrr = mrr(Similarity.ivfAdcTopK(qs, corpus, k = 10, dim = 64,
+      bits = bits, nProbe = 128, m = 8, rerank = rerank))
+    assert(adcMrr >= 0.85, s"IVFADC organic MRR $adcMrr below the 0.85 gate")
   }
 
   test("autoLshPlan: (4,8) pinned at gated scales; planes quarter-rate, tables compensate, dim-walled") {
