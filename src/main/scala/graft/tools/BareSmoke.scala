@@ -12,7 +12,10 @@ object BareSmoke {
     // r10 families: batch-keyed index chain + decontamination screens
     val i = graft.SparkEntry.queries("q181_ann_ivfadc_compacted")(spark, "/root/testdata/sf0.001").count()
     val c = graft.SparkEntry.queries("q183_emb_decontaminate_blocked")(spark, "/root/testdata/sf0.001").count()
-    println(s"SMOKE entry=$n events=$m dash=$d index=$i decon=$c")
+    // late-r10 families: documents-table LM scoring + the eval combinator
+    val l = graft.SparkEntry.queries("q184_docs_lm_fluency")(spark, "/root/testdata/sf0.001").count()
+    val r = graft.SparkEntry.queries("q185_ann_retrieval_mrr")(spark, "/root/testdata/sf0.001").count()
+    println(s"SMOKE entry=$n events=$m dash=$d index=$i decon=$c lm=$l mrr=$r")
     spark.stop()
   }
 }
