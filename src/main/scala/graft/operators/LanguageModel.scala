@@ -127,6 +127,33 @@ object LanguageModel {
       .drop("__ppm_sum")
   }
 
+  /** Persist a trained model as the deployable artifact (the CCNet
+    * shape: the LM ships to the scoring cluster as files, not as a
+    * training-job closure): two count tables + a 1-row meta table.
+    * Parquet with overwrite — retraining replaces the artifact
+    * atomically enough for a batch cadence; version under dated paths
+    * if readers race retrains.
+    */
+  def save(lm: BigramLm, path: String): Unit = {
+    val spark = lm.bigramCounts.sparkSession
+    import spark.implicits._
+    lm.bigramCounts.write.mode("overwrite").parquet(s"$path/bigram_counts")
+    lm.prefixCounts.write.mode("overwrite").parquet(s"$path/prefix_counts")
+    Seq(lm.vocabSize).toDF("vocab_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted model. Scoring against a loaded model is
+    * bit-identical to scoring against the in-memory one (spec-pinned):
+    * the model was already plain data, so the round-trip changes
+    * nothing but provenance.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm =
+    BigramLm(
+      spark.read.parquet(s"$path/bigram_counts"),
+      spark.read.parquet(s"$path/prefix_counts"),
+      spark.read.parquet(s"$path/meta").head.getLong(0))
+
   /** True cross-entropy in bits per bigram: −(1/n)·Σ log₂ p(w2|w1),
     * the number an LM-perplexity filter thresholds (perplexity =
     * 2^xent). IEEE doubles — spec-grounded, not oracle-hashed (see

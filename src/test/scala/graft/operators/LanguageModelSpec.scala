@@ -93,6 +93,42 @@ class LanguageModelSpec extends SparkSpec {
     for (id <- Seq(10L, 11L)) assert(p(id) <= f(id))
   }
 
+  test("save/load round-trip: scoring against the persisted artifact is bit-identical") {
+    val train = docs(1L -> "a b a b c", 2L -> "a c a b")
+    val probe = docs(10L -> "a b c d", 11L -> "c a", 12L -> "x")
+    val lm = LanguageModel.train(train, "doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    LanguageModel.save(lm, path)
+    val loaded = LanguageModel.load(spark, path)
+    assert(loaded.vocabSize === lm.vocabSize)
+    def scored(m: LanguageModel.BigramLm) =
+      LanguageModel.scoreFluencyPpm(probe, m, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    assert(scored(loaded) === scored(lm))
+    // retrain-overwrite replaces the artifact, not accretes it
+    LanguageModel.save(LanguageModel.train(train.filter($"doc_id" === 1L),
+      "doc_id", "text"), path)
+    val retrained = LanguageModel.load(spark, path)
+    assert(retrained.vocabSize === 3L) // {a, b, c}
+  }
+
+  test("retrievalMrr-adjacent degenerate inputs: collocations and LM on corpora nothing survives") {
+    // collocations: no pair reaches minCount -> empty, not a crash
+    val sparse = docs(1L -> "p q", 2L -> "r s", 3L -> "t u")
+    assert(TermStats.collocations(sparse, "doc_id", "text",
+      minCount = 2L, topK = 10).count() === 0L)
+    // LM train on an empty frame fails loud (V = 0 has no smoothing)
+    val empty = docs()
+    val err = intercept[IllegalArgumentException] {
+      LanguageModel.train(empty, "doc_id", "text")
+    }
+    assert(err.getMessage.contains("training corpus is empty"))
+    // minCount below the discount floor rejected
+    assertThrows[IllegalArgumentException] {
+      TermStats.collocations(sparse, "doc_id", "text", minCount = 1L)
+    }
+  }
+
   test("empty text: the single empty token is in-vocabulary, no bigrams, score 0") {
     val train = docs(1L -> "", 2L -> "a b")
     val lm = LanguageModel.train(train, "doc_id", "text")
