@@ -210,18 +210,23 @@ object Similarity {
     val tables = (0 until nTables).map { t =>
       VectorFunctions.randomPlanes(nPlanes, dim, seed = 42L + t)
     }
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // narrow-candidate discipline (late r10, the q31 lesson): the
+    // bucket self-join and the pair dedup shuffle id tuples only;
+    // vectors re-join by id for the cosine verification afterwards
+    val bucketed = corpus.select(col(idCol).as("id"),
       explode(array(tables.zipWithIndex.map { case (planes, t) =>
         struct(lit(t).as("table"),
           VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
       }: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.table"), col("tb.bucket"))
-    bucketed.as("l").join(bucketed.as("r"),
+      .select(col("id"), col("tb.table"), col("tb.bucket"))
+    val pairIds = bucketed.as("l").join(bucketed.as("r"),
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairIds
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
