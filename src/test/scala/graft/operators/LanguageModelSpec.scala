@@ -129,6 +129,38 @@ class LanguageModelSpec extends SparkSpec {
     }
   }
 
+  test("invariants on generated corpora: scores in [0, 1e6], oov <= n_bigrams, self-scored train has no OOV") {
+    // deterministic pseudo-random corpus: words derived from a mixing
+    // hash, no RNG — rerun-stable like everything else in the repo
+    def word(seed: Long): String = {
+      val h = (seed * 0x9E3779B97F4A7C15L) >>> 40
+      s"w${h % 37}"
+    }
+    val corpus = docs((0L until 60L).map(i =>
+      i -> (0 until (3 + (i % 7)).toInt).map(j => word(i * 31 + j)).mkString(" ")): _*)
+    val lm = LanguageModel.train(corpus, "doc_id", "text")
+    // per-bigram contribution is (cb+1)e6 div (cp+V) with cb <= cp and
+    // V >= 1, so every score is bounded by 1e6 — the ppm scale is real
+    val rows = LanguageModel.scoreFluencyPpm(corpus, lm, "doc_id", "text").collect()
+    for (r <- rows) {
+      val (nb, oov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ppm >= 0L && ppm <= 1000000L, s"score out of ppm range: $r")
+      assert(oov >= 0L && oov <= nb, s"oov exceeds bigram count: $r")
+    }
+    // self-scoring the unpruned training corpus can never meet an OOV
+    // bigram (minCount = 1 keeps every training transition)
+    assert(rows.map(_.getLong(2)).sum === 0L,
+      "train-set self-scoring found an OOV bigram in its own model")
+    // cross-entropy and the ppm proxy rank consistently at the extremes
+    val xent = LanguageModel.crossEntropyBits(corpus, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val ppm = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val best = ppm.maxBy(_._2)._1
+    val worst = ppm.minBy(_._2)._1
+    assert(xent(best) <= xent(worst),
+      "highest-ppm doc must not have higher cross-entropy than the lowest-ppm doc")
+  }
+
   test("empty text: the single empty token is in-vocabulary, no bigrams, score 0") {
     val train = docs(1L -> "", 2L -> "a b")
     val lm = LanguageModel.train(train, "doc_id", "text")
