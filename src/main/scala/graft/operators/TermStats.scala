@@ -86,7 +86,11 @@ object TermStats {
     require(minCount >= 2L, s"minCount must be >= 2 (the delta-1 discount zeroes singletons), got $minCount")
     val ws = split(trim(col(textCol)), "\\s+")
     val toks = docs.select(explode(ws).as("w"))
+    // uni is referenced three times (total + both join sides) —
+    // materialize the vocabulary-sized count once so each reference
+    // reads the checkpoint instead of re-running the corpus explode
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val total = uni.agg(sum(col("c")).as("t_tokens"))
     val pairs = when(size(col("__ws")) >= 2,
       expr("transform(sequence(0, size(__ws) - 2), i -> struct(__ws[i] AS w1, __ws[i+1] AS w2))"))

@@ -37,16 +37,23 @@ object StreamingQuality {
 
   /** Score one batch and land it under `outPath/ingest_batch=b<id>/`
     * (string-prefixed so partition-column inference cannot re-type the
-    * key). Public so a crash-replay is testable directly: calling this
-    * twice with one batchId leaves the zone bit-identical.
+    * key). The graded rows carry EVERY source column of the batch (the
+    * grade columns join back onto the full rows by id) — the zone is a
+    * landing zone, so the kept documents must be readable from it
+    * after the transient stream source retires, and the drop side must
+    * contain the rejected content, not bare ids. Public so a
+    * crash-replay is testable directly: calling this twice with one
+    * batchId leaves the zone bit-identical (given a frozen model —
+    * [[start]] freezes it).
     */
   def scoreAndWrite(
       batch: DataFrame, lm: LanguageModel.BigramLm, outPath: String,
       batchId: Long, minFluencyPpm: Long, minBigrams: Long,
       idCol: String, textCol: String): Unit = {
-    LanguageModel.scoreFluencyPpm(batch, lm, idCol, textCol)
+    val grades = LanguageModel.scoreFluencyPpm(batch, lm, idCol, textCol)
       .withColumn("keep",
         col("n_bigrams") >= minBigrams && col("fluency_ppm") >= minFluencyPpm)
+    batch.join(grades, Seq(idCol))
       .write.mode("overwrite")
       .parquet(s"$outPath/ingest_batch=b$batchId")
   }
@@ -60,14 +67,26 @@ object StreamingQuality {
       minBigrams: Long = 1L,
       idCol: String = "doc_id",
       textCol: String = "text",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // freeze the model ONCE before the stream starts: the count frames
+    // are materialized so (a) no micro-batch re-runs the training
+    // aggregation over the corpus, and (b) the grades a replayed batch
+    // id rewrites cannot drift even if the training TABLE gains rows
+    // mid-stream — without this, exactly-once would only hold for a
+    // never-changing training source. A parquet-backed model
+    // ([[LanguageModel.load]]) is already frozen; checkpointing it
+    // again is harmless.
+    val frozen = lm.copy(
+      bigramCounts = lm.bigramCounts.localCheckpoint(),
+      prefixCounts = lm.prefixCounts.localCheckpoint())
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          scoreAndWrite(batch, lm, outPath, batchId, minFluencyPpm,
+          scoreAndWrite(batch, frozen, outPath, batchId, minFluencyPpm,
             minBigrams, idCol, textCol)
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .start()
+  }
 }

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.length
+
 import graft.SparkSpec
 import graft.operators.LanguageModel
 
@@ -58,5 +60,14 @@ class StreamingQualitySpec extends SparkSpec {
       .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     assert(byKeep.getOrElse(true, 0L) > 0L, "some documents must pass the screen")
     assert(byKeep.getOrElse(false, 0L) > 0L, "some documents must be dropped by the screen")
+
+    // the zone is a LANDING zone: every source column survives grading
+    // (kept docs must be readable after the stream source retires, and
+    // the drop-side audit trail must contain the rejected content)
+    val zone = spark.read.parquet(out)
+    assert(zone.columns.contains("text"), "graded zone must retain the document text")
+    assert(zone.filter($"text".isNull).count() === 0L)
+    assert(zone.filter(!$"keep" && length($"text") > 0).count() > 0L,
+      "the drop side must carry the rejected content, not bare ids")
   }
 }
