@@ -77,33 +77,27 @@ object LanguageModel {
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.bigram").as("bigram"))
   }
 
-  /** Train the bigram LM on `docs`: one corpus-explode count
-    * aggregation (map-side combined, materialized at vocabulary size)
-    * from which both model tables derive, plus one distinct-count
-    * action for V. `minCount` > 1 prunes rare bigrams from the model
-    * (prefix counts and V stay unpruned — the smoothing denominator
-    * must not shrink when the numerator table does, or pruned scores
-    * would exceed unpruned ones). */
+  /** Train the bigram LM on `docs`. Two count aggregations (shuffle
+    * keyed by bigram / by w1, both map-side combined) plus one
+    * distinct-count action for V — three single-column corpus scans
+    * per training run, deliberately left lazy and fused: an in-query
+    * checkpoint of the shared explode measured SLOWER at every gated
+    * and sweep scale (the vocabulary-sized table costs less to
+    * recount than to round-trip), and the scan count only matters
+    * when training repeats — which the artifact pattern removes:
+    * train once, [[save]] once, and score every corpus/stream from
+    * [[load]], whose model tables are parquet reads with no training
+    * lineage at all. `minCount` > 1 prunes rare bigrams from the
+    * model (prefix counts and V stay unpruned — the smoothing
+    * denominator must not shrink when the numerator table does, or
+    * pruned scores would exceed unpruned ones). */
   def train(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 1L): BigramLm = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val b = explodedBigrams(docs, idCol, textCol)
-    // ONE corpus explode feeds both count tables: w1 is functionally
-    // dependent on the bigram ("w1 w2"), so grouping by (bigram, w1)
-    // has bigram-key cardinality, and prefix counts are the w1-sums of
-    // the UNPRUNED bigram counts. The grouped frame is materialized
-    // (vocabulary²-bounded, tiny next to the corpus) so deriving cb
-    // and cp — and every later scoring reference to the model — reads
-    // the checkpoint instead of re-running the corpus explode. The
-    // pre-materialization shape scanned the corpus three times per
-    // train and once more per scoring reference.
-    val cbAll = b.groupBy(col("bigram"), col("w1"))
-      .agg(count(lit(1)).as("c_bigram"))
-      .localCheckpoint()
-    val cb = cbAll.select(col("bigram"), col("c_bigram"))
+    val cb = b.groupBy(col("bigram")).agg(count(lit(1)).as("c_bigram"))
       .filter(col("c_bigram") >= minCount)
-    val cp = cbAll.groupBy(col("w1"))
-      .agg(sum(col("c_bigram")).as("c_prefix"))
+    val cp = b.groupBy(col("w1")).agg(count(lit(1)).as("c_prefix"))
     val v = docs.select(col(textCol).as("__text"))
       .select(explode(tokensCol).as("__w"))
       .agg(countDistinct(col("__w"))).head.getLong(0)
