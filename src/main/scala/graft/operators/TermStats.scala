@@ -86,12 +86,15 @@ object TermStats {
     require(minCount >= 2L, s"minCount must be >= 2 (the delta-1 discount zeroes singletons), got $minCount")
     val ws = split(trim(col(textCol)), "\\s+")
     val toks = docs.select(explode(ws).as("w"))
-    // uni is referenced three times (total + both join sides) —
-    // materialize the vocabulary-sized count once so each reference
-    // reads the checkpoint instead of re-running the corpus explode
+    // uni is left LAZY on purpose: an in-query localCheckpoint
+    // measured no better at the 100× sweep (the fused explode+groupBy
+    // recounts as cheaply as the materialized table round-trips, the
+    // LanguageModel.train verdict), and the two join-side references
+    // are identical subplans that exchange-reuse collapses to one
+    // execution. The token TOTAL needs no explode at all — it is the
+    // sum of per-doc token counts off a plain column scan.
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val total = uni.agg(sum(col("c")).as("t_tokens"))
+    val total = docs.agg(sum(size(ws)).cast("long").as("t_tokens"))
     val pairs = when(size(col("__ws")) >= 2,
       expr("transform(sequence(0, size(__ws) - 2), i -> struct(__ws[i] AS w1, __ws[i+1] AS w2))"))
       .otherwise(expr("CAST(array() AS array<struct<w1: string, w2: string>>)"))
