@@ -545,6 +545,25 @@ object Similarity {
   def autoAdcRerank(n: Long, floor: Int = 96): Int =
     math.min(math.max(floor.toLong, n / 100L), 1024L).toInt
 
+  /** Probe budget as a FRACTION of the list count — the 100× sweep's
+    * lesson made executable: recall per probed-fraction is ~flat as
+    * the corpus grows under nlist ≈ √n (SCALING.md "The 100× point":
+    * 37.5 % of lists holds sign-IVF recall@5 at 0.82–0.90 from
+    * n = 20 000 to 200 000), while a FIXED probe count silently decays
+    * (0.70 at the same n = 200 000). The default 375 ‰ is the fraction
+    * every pinned catalog budget already encodes — nProbe 48 of 128
+    * lists (bits 7), 96 of 256 (bits 8, the organic gate), 192 of 512
+    * (bits 9, the 100× point) — so `probeBudget(autoQuantBits(n, dim))`
+    * reproduces each of them and keeps the semantics as the corpus
+    * scales. Tune the fraction itself with `recallProbeCurve` (q177).
+    */
+  def probeBudget(bits: Int, fractionPermille: Int = 375): Int = {
+    require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
+    require(fractionPermille >= 1 && fractionPermille <= 1000,
+      s"fractionPermille out of range: $fractionPermille")
+    math.max(1L, (1L << bits) * fractionPermille / 1000L).toInt
+  }
+
   def signLshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nTables: Int = 8, planesPerTable: Int = 4,

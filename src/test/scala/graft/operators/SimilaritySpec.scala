@@ -736,6 +736,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size === 4) // only graded queries appear
   }
 
+  test("probeBudget: the 37.5% fraction reproduces every pinned catalog budget across scales") {
+    import Similarity.probeBudget
+    assert(probeBudget(7) === 48)   // the q44/q72/q134 pinned budget (128 lists)
+    assert(probeBudget(8) === 96)   // the n=20000 organic gate (256 lists)
+    assert(probeBudget(9) === 192)  // the 100x point (512 lists)
+    assert(probeBudget(1) === 1)    // floor: never zero probes
+    assertThrows[IllegalArgumentException](probeBudget(0))
+    assertThrows[IllegalArgumentException](probeBudget(7, 0))
+  }
+
   test("queryIvfAdcIndex: empty query set serves an empty result, not a crash") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_emptyq").toString
