@@ -1055,7 +1055,12 @@ object QueryCatalog {
       // where fixed bits made probed candidate pools grow ∝ n
       val bits = Similarity.autoQuantBits(e.count(), 64)
       Similarity.buildSignIvfIndex(e, path, dim = 64, bits = bits)
-      Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64, bits = bits, nProbe = 48)
+      // fraction-denominated probe budget (r11, ADVICE): 375 ‰ of the
+      // lists = the pinned 48-of-128 at every gated scale, and the
+      // probed FRACTION stays flat as autoQuantBits grows the lists —
+      // a fixed count decayed recall to 0.70 at the 100× point
+      Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64, bits = bits,
+        nProbe = Similarity.probeBudget(bits))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2189,7 +2194,11 @@ object QueryCatalog {
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
       val bits = Similarity.autoQuantBits(e.count(), 64)
-      Similarity.signIvfTopK(queries, e, k = 5, dim = 64, bits = bits, nProbe = 48)
+      // fraction-denominated probe budget (r11, ADVICE): 375 ‰ of the
+      // lists = the pinned 48-of-128 at every gated scale; holds the
+      // probed fraction as autoQuantBits grows the list count
+      Similarity.signIvfTopK(queries, e, k = 5, dim = 64, bits = bits,
+          nProbe = Similarity.probeBudget(bits))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2334,7 +2343,7 @@ object QueryCatalog {
         batchId = "b1", dim = 64, bits = bits)
       val queries = e.filter(col("vec_id") % 50 === 0)
       Similarity.querySignIvfIndex(s, path, queries, k = 5, dim = 64,
-          bits = bits, nProbe = 48)
+          bits = bits, nProbe = Similarity.probeBudget(bits))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3290,8 +3299,13 @@ object QueryCatalog {
       // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
       // starves ADC recall as the corpus grows (SCALING.md)
       val rerank = Similarity.autoAdcRerank(n)
+      // fraction-denominated probe budget (r11, ADVICE): 438 ‰ of the
+      // lists = the pinned 56-of-128 at every gated scale (437 ‰
+      // floors to 55 — integer arithmetic); the probed fraction stays
+      // flat as autoQuantBits grows the list count
       Similarity.ivfAdcTopK(e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = rerank)
+          k = 5, dim = 64, bits = bits,
+          nProbe = Similarity.probeBudget(bits, 438), m = 8, rerank = rerank)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3327,8 +3341,14 @@ object QueryCatalog {
       // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
       // starves ADC recall as the corpus grows (SCALING.md)
       val rerank = Similarity.autoAdcRerank(n)
+      // fraction-denominated probe grid (r11, ADVICE): 63/188/438 ‰
+      // reproduce the pinned 8/24/56-of-128 at every gated scale and
+      // keep each grid point a constant list FRACTION as autoQuantBits
+      // grows the lists (8 of 512 is a different operating point than
+      // 8 of 128; 6.25 % of the lists is the same one)
       Similarity.recallProbeCurve(e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = bits, probeGrid = Seq(8, 24, 56),
+          k = 5, dim = 64, bits = bits,
+          probeGrid = Seq(63, 188, 438).map(Similarity.probeBudget(bits, _)),
           m = 8, rerank = rerank)
         .orderBy(col("family"), col("n_probe"))
     }),
@@ -3355,7 +3375,8 @@ object QueryCatalog {
       val rerank = Similarity.autoAdcRerank(n)
       Similarity.buildIvfAdcIndex(e, path, dim = 64, bits = bits, m = 8)
       Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = rerank)
+          k = 5, dim = 64, bits = bits,
+          nProbe = Similarity.probeBudget(bits, 438), m = 8, rerank = rerank)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3387,7 +3408,8 @@ object QueryCatalog {
       Similarity.appendIvfAdcIndex(e.filter(col("vec_id") % 3 === 0), path,
         batchId = "b1", dim = 64, bits = bits, m = 8)
       Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = rerank)
+          k = 5, dim = 64, bits = bits,
+          nProbe = Similarity.probeBudget(bits, 438), m = 8, rerank = rerank)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3435,7 +3457,8 @@ object QueryCatalog {
         batchId = "b1", dim = 64, bits = bits, m = 8)
       Similarity.compactIvfAdcIndex(s, path, bits = bits)
       Similarity.queryIvfAdcIndex(s, path, e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, dim = 64, bits = bits, nProbe = 56, m = 8, rerank = rerank)
+          k = 5, dim = 64, bits = bits,
+          nProbe = Similarity.probeBudget(bits, 438), m = 8, rerank = rerank)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3450,8 +3473,12 @@ object QueryCatalog {
     "q182_emb_decontaminate" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val bench = e.filter(col("vec_id") % 37 === 0)
+      // plants live on NEGATIVE ids (r11, ADVICE): -id - 1 is disjoint
+      // from the natural non-negative id space at any corpus size — a
+      // fixed +600000 offset silently collided with real train ids
+      // once a scaled corpus crossed 600 k
       val train = e.filter(col("vec_id") % 37 =!= 0)
-        .unionByName(bench.withColumn("vec_id", col("vec_id") + 600000L))
+        .unionByName(bench.withColumn("vec_id", -col("vec_id") - 1L))
       Similarity.semanticDecontaminate(train, bench, thresholdE6 = 950000L)
         .orderBy(col("train_id"))
     }),
@@ -3465,8 +3492,9 @@ object QueryCatalog {
     "q183_emb_decontaminate_blocked" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val bench = e.filter(col("vec_id") % 37 === 0)
+      // plants on negative ids — see q182
       val train = e.filter(col("vec_id") % 37 =!= 0)
-        .unionByName(bench.withColumn("vec_id", col("vec_id") + 600000L))
+        .unionByName(bench.withColumn("vec_id", -col("vec_id") - 1L))
       Similarity.semanticDecontaminateBlocked(train, bench,
           thresholdE6 = 950000L, dim = 64,
           bits = Similarity.autoQuantBits(e.count(), 64))
@@ -3498,7 +3526,7 @@ object QueryCatalog {
       val queries = e.filter(col("vec_id") % 50 === 0)
       val bits = Similarity.autoQuantBits(e.count(), 64)
       val ann = Similarity.signIvfTopK(queries, e, k = 10, dim = 64,
-        bits = bits, nProbe = 48)
+        bits = bits, nProbe = Similarity.probeBudget(bits))
       val truth = Similarity.bruteForceTopK(queries, e, k = 1)
       Similarity.retrievalMrr(ann, truth.select(col("query_id"), col("neighbor_id")))
         .orderBy(col("query_id"))
@@ -3880,7 +3908,7 @@ object QueryCatalog {
        |  SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tv
        |  FROM embeddings WHERE vec_id % 37 <> 0
        |  UNION ALL
-       |  SELECT vec_id + 600000, CAST(embedding AS DOUBLE[])
+       |  SELECT -vec_id - 1, CAST(embedding AS DOUBLE[])
        |  FROM embeddings WHERE vec_id % 37 = 0
        |), tl AS (
        |  SELECT train_id, tv, ${bucket("tv")} AS list_id FROM tr
@@ -4296,7 +4324,7 @@ object QueryCatalog {
         |  SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tv
         |  FROM embeddings WHERE vec_id % 37 <> 0
         |  UNION ALL
-        |  SELECT vec_id + 600000, CAST(embedding AS DOUBLE[])
+        |  SELECT -vec_id - 1, CAST(embedding AS DOUBLE[])
         |  FROM embeddings WHERE vec_id % 37 = 0
         |)
         |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches

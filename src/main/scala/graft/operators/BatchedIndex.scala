@@ -66,11 +66,32 @@ private[operators] object BatchedIndex {
     val nextP = new org.apache.hadoop.fs.Path(next)
     val oldP = new org.apache.hadoop.fs.Path(cur + "__old")
     val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDir(spark, cur) // crash between the two renames: data only in aside
     fs.delete(oldP, true) // stale aside from a prior crashed swap
     if (fs.exists(curP))
       require(fs.rename(curP, oldP), s"swapDir: rename $cur -> $oldP failed")
     require(fs.rename(nextP, curP), s"swapDir: rename $next -> $cur failed")
     fs.delete(oldP, true)
+  }
+
+  /** Restore a live table that a crash between [[swapDir]]'s two
+    * renames left missing: in that window the only durable copy sits
+    * in `cur__old`, so a naive re-run of a maintenance pass would
+    * first delete its own stale `__compact`/`__next` scratch and then
+    * fail reading the absent table — and serving fails until repaired.
+    * Renaming the aside back makes "re-run the maintenance pass" an
+    * actual recovery procedure, with no manual rename. No-op when the
+    * live table exists (a PRESENT table plus an aside is the normal
+    * post-rename crash window — the aside is stale there and must NOT
+    * clobber the newer generation). Called by [[swapDir]] and
+    * [[compactTable]]; serving paths may call it defensively.
+    */
+  def recoverDir(spark: SparkSession, cur: String): Unit = {
+    val curP = new org.apache.hadoop.fs.Path(cur)
+    val oldP = new org.apache.hadoop.fs.Path(cur + "__old")
+    val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(curP) && fs.exists(oldP))
+      require(fs.rename(oldP, curP), s"recoverDir: rename $oldP -> $cur failed")
   }
 
   /** Loud torn-append detection: the generation sets of two tables of
@@ -124,6 +145,7 @@ private[operators] object BatchedIndex {
       sumKeys: Option[Seq[String]] = None,
       plainFiles: Int = 1): Unit = {
     val next = s"${table}__compact"
+    recoverDir(spark, table) // prior compaction crashed mid-swap: restore aside
     deleteDir(spark, next)
     val src = spark.read.parquet(table).drop("batch_id")
     val out = s"$next/batch_id=$buildBatchId"

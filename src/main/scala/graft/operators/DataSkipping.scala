@@ -76,13 +76,16 @@ object DataSkipping {
     * skip actually skipped.
     *
     * The decision is DISTRIBUTED: the manifest frame is filtered by
-    * [[pruneFiles]] inside one aggregate job, and the driver receives
-    * a single row holding only the SURVIVING paths plus the total
-    * count — the full manifest is never materialized driver-side. At
-    * 100 TB a manifest is millions of rows; what a planner must hold
-    * is only the file list the query actually opens (for a selective
-    * predicate, a tiny fraction), which is irreducible — Spark's
-    * reader takes explicit paths.
+    * [[pruneFiles]] executor-side, and only the SURVIVING rows cross
+    * to the driver — a per-row collect of the filtered frame,
+    * delivered in per-task chunks (a count() over the manifest is a
+    * second, metadata-cheap job; the earlier single collect_list row
+    * approached the single-row result limit under weakly selective
+    * predicates). The full manifest is never materialized driver-side.
+    * At 100 TB a manifest is millions of rows; what a planner must
+    * hold is only the file list the query actually opens (for a
+    * selective predicate, a tiny fraction), which is irreducible —
+    * Spark's reader takes explicit paths.
     */
   def prunedRead(
       spark: SparkSession, dataDir: String, statsCol: String,
