@@ -685,15 +685,15 @@ object QueryCatalog {
     "q31_emb_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 50 === 0)
-      // joint (planes, tables) plan (r10): (4, 8) at every driver-gated
-      // scale — the regime the oracle's pinned SQL encodes — then
-      // planes grow at quarter rate with tables compensating inside
-      // the dim wall. The r9 planes-only growth fixed the 21× sf1.0
-      // cost cliff but silently collapsed organic recall to 0.214
-      // (invisible on exact-twin sweeps); the joint plan measures
-      // 0.780 at n = 20000 for ~the r8 cost (SCALING.md)
-      val (planes, tables) = Similarity.autoLshPlan(e.count(), dim = 64)
-      Similarity.signLshTopK(queries, e, k = 5, nTables = tables, planesPerTable = planes)
+      // regime-dispatched (r11, VERDICT r10 #1): inside the LSH regime
+      // this is the joint autoLshPlan — (4, 8) at every driver-gated
+      // scale, the regime the oracle's pinned SQL encodes, planes then
+      // growing at quarter rate with tables compensating inside the
+      // dim wall. Past lshRegimeMax (~10⁵ at 64 dims, where the 100×
+      // sweep measured the best LSH plan at 1,055 s vs sign-IVF's
+      // 16 ms/query) annTopK routes to the sign-IVF path — the cliff a
+      // scaladoc pointer alone let callers walk into
+      Similarity.annTopK(queries, e, k = 5, dim = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3541,6 +3541,20 @@ object QueryCatalog {
           minCount = 5L, topK = 100)
         .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
     }),
+
+    // stupid-backoff trigram fluency (r11, VERDICT r10 #3): the
+    // higher-order LM screen — counts-only backoff (Brants 2007)
+    // needs no renormalization, the published at-scale choice; the
+    // α = 2/5 ppm arithmetic is all-BIGINT so the driver hashes the
+    // full result. Same train/score split as q184; model = three
+    // count frames joined by token keys, never broadcast.
+    "q187_docs_lm_trigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = LanguageModel.trainTrigram(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      LanguageModel.scoreFluency3Ppm(docs, lm, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4432,6 +4446,75 @@ object QueryCatalog {
         |CROSS JOIN tt
         |ORDER BY lift_e6 DESC, big.w1, big.w2
         |LIMIT 100""".stripMargin,
+    // q187: stupid-backoff trigram fluency — per-position score is the
+    // first live backoff level, floored before the per-doc sum, the
+    // sum floored by the trigram count; α = 2/5 exactly, so the three
+    // branches are ·10⁶, ·400000, ·160000 integer forms. A seen
+    // trigram implies its context bigram was seen and a seen backoff
+    // bigram implies c(w2) ≥ 1, so no branch divides by NULL.
+    "q187_docs_lm_trigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), tp AS (
+        |  SELECT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tri,
+        |         ws[i] || ' ' || ws[i+1] AS ctx,
+        |         ws[i+1] || ' ' || ws[i+2] AS bi,
+        |         ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM d, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        |), bp AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE doc_id % 5 <> 0
+        |), up AS (
+        |  SELECT unnest(ws) AS w FROM d WHERE doc_id % 5 <> 0
+        |), c3 AS (
+        |  SELECT tri AS trigram, CAST(count(*) AS BIGINT) AS c_tri
+        |  FROM tp WHERE doc_id % 5 <> 0 GROUP BY 1
+        |), c2 AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_bi FROM bp GROUP BY 1
+        |), c1 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c_uni FROM up GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM up
+        |), sc AS (
+        |  SELECT tp.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_trigrams,
+        |         CAST(SUM(CASE WHEN c3.c_tri IS NULL AND cb.c_bi IS NOT NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_bi,
+        |         CAST(SUM(CASE WHEN c3.c_tri IS NULL AND cb.c_bi IS NULL
+        |                        AND u3.c_uni IS NOT NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_uni,
+        |         CAST(SUM(CASE WHEN c3.c_tri IS NULL AND cb.c_bi IS NULL
+        |                        AND u3.c_uni IS NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |         SUM(CASE WHEN c3.c_tri IS NOT NULL
+        |                  THEN c3.c_tri * 1000000 // cx.c_bi
+        |                  WHEN cb.c_bi IS NOT NULL
+        |                  THEN cb.c_bi * 400000 // u2.c_uni
+        |                  WHEN u3.c_uni IS NOT NULL
+        |                  THEN u3.c_uni * 160000 // nn.n
+        |                  ELSE 0 END) AS ppm_sum
+        |  FROM tp
+        |  LEFT JOIN c3 ON tp.tri = c3.trigram
+        |  LEFT JOIN c2 cx ON tp.ctx = cx.bigram
+        |  LEFT JOIN c2 cb ON tp.bi = cb.bigram
+        |  LEFT JOIN c1 u2 ON tp.w2 = u2.w
+        |  LEFT JOIN c1 u3 ON tp.w3 = u3.w
+        |  CROSS JOIN nn
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(sc.n_trigrams, 0) AS n_trigrams,
+        |       COALESCE(sc.n_bo_bi, 0) AS n_bo_bi,
+        |       COALESCE(sc.n_bo_uni, 0) AS n_bo_uni,
+        |       COALESCE(sc.n_oov, 0) AS n_oov,
+        |       CASE WHEN COALESCE(sc.n_trigrams, 0) = 0 THEN 0
+        |            ELSE CAST(sc.ppm_sum // sc.n_trigrams AS BIGINT)
+        |       END AS fluency3_ppm
+        |FROM d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

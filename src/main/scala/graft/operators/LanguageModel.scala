@@ -77,30 +77,69 @@ object LanguageModel {
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.bigram").as("bigram"))
   }
 
-  /** Train the bigram LM on `docs`. Two count aggregations (shuffle
-    * keyed by bigram / by w1, both map-side combined) plus one
-    * distinct-count action for V — three single-column corpus scans
-    * per training run, deliberately left lazy and fused: an in-query
-    * checkpoint of the shared explode measured SLOWER at every gated
-    * and sweep scale (the vocabulary-sized table costs less to
-    * recount than to round-trip), and the scan count only matters
-    * when training repeats — which the artifact pattern removes:
-    * train once, [[save]] once, and score every corpus/stream from
-    * [[load]], whose model tables are parquet reads with no training
-    * lineage at all. `minCount` > 1 prunes rare bigrams from the
-    * model (prefix counts and V stay unpruned — the smoothing
-    * denominator must not shrink when the numerator table does, or
-    * pruned scores would exceed unpruned ones). */
+  /** One corpus pass → every count table an n-gram model needs
+    * (VERDICT r10 #7). Each document's token array emits one tagged
+    * `(t, k)` row per n-gram role — e.g. `u`/every token, `p`/every
+    * token with a successor, `b`/every adjacent pair — and ONE
+    * map-side-combined `groupBy(t, k)` folds them all. The grouped
+    * result is vocabulary-sized (distinct keys, not corpus positions),
+    * so it is locally checkpointed: the three-ish consumers (count
+    * tables, V, N) read materialized blocks instead of each re-running
+    * the corpus tokenization — the r10 shape paid three full
+    * tokenizations per training run. (The r10 lesson that
+    * checkpointing multi-referenced SMALL aggregations is slower than
+    * lazy recount doesn't apply here: the recount being avoided is the
+    * full corpus scan itself, not a cheap re-aggregation.)
+    */
+  private def taggedNgramCounts(
+      docs: DataFrame, textCol: String, roles: Seq[(String, String)]): DataFrame = {
+    docs.select(col(textCol).as("__text"))
+      .withColumn("__ws", tokensCol)
+      .select(explode(concat(roles.map(r => expr(r._2)): _*)).as("__r"))
+      .select(col("__r.t").as("t"), col("__r.k").as("k"))
+      .groupBy(col("t"), col("k")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+  }
+
+  private val uniRole = "u" ->
+    "transform(__ws, w -> struct('u' AS t, w AS k))"
+  private val prefixRole = "p" ->
+    ("CASE WHEN size(__ws) >= 2 THEN transform(slice(__ws, 1, size(__ws) - 1), " +
+      "w -> struct('p' AS t, w AS k)) " +
+      "ELSE CAST(array() AS array<struct<t: string, k: string>>) END")
+  private val bigramRole = "b" ->
+    ("CASE WHEN size(__ws) >= 2 THEN transform(sequence(0, size(__ws) - 2), " +
+      "i -> struct('b' AS t, concat(__ws[i], ' ', __ws[i+1]) AS k)) " +
+      "ELSE CAST(array() AS array<struct<t: string, k: string>>) END")
+  private val trigramRole = "t3" ->
+    ("CASE WHEN size(__ws) >= 3 THEN transform(sequence(0, size(__ws) - 3), " +
+      "i -> struct('t3' AS t, concat(__ws[i], ' ', __ws[i+1], ' ', __ws[i+2]) AS k)) " +
+      "ELSE CAST(array() AS array<struct<t: string, k: string>>) END")
+
+  /** Train the bigram LM on `docs` in ONE corpus pass (r11, VERDICT
+    * r10 #7): the tagged-role explode feeds bigram counts, prefix
+    * counts, and V from a single tokenization — the r10 shape ran
+    * three (bigram agg, prefix agg, distinct-count for V), three full
+    * tokenizations at 100 TB. Output is bit-identical: `c_prefix`
+    * counts tokens-with-a-successor, exactly the w1 occurrences of the
+    * exploded-bigram frame, and V counts distinct tokens over ALL
+    * positions. `minCount` > 1 prunes rare bigrams from the model
+    * (prefix counts and V stay unpruned — the smoothing denominator
+    * must not shrink when the numerator table does, or pruned scores
+    * would exceed unpruned ones). The artifact pattern still holds for
+    * repeated scoring: train once, [[save]] once, score from [[load]].
+    */
   def train(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 1L): BigramLm = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    val b = explodedBigrams(docs, idCol, textCol)
-    val cb = b.groupBy(col("bigram")).agg(count(lit(1)).as("c_bigram"))
+    val counts = taggedNgramCounts(docs, textCol,
+      Seq(uniRole, prefixRole, bigramRole))
+    val cb = counts.filter(col("t") === "b")
+      .select(col("k").as("bigram"), col("c").as("c_bigram"))
       .filter(col("c_bigram") >= minCount)
-    val cp = b.groupBy(col("w1")).agg(count(lit(1)).as("c_prefix"))
-    val v = docs.select(col(textCol).as("__text"))
-      .select(explode(tokensCol).as("__w"))
-      .agg(countDistinct(col("__w"))).head.getLong(0)
+    val cp = counts.filter(col("t") === "p")
+      .select(col("k").as("w1"), col("c").as("c_prefix"))
+    val v = counts.filter(col("t") === "u").count()
     require(v > 0, "training corpus is empty — the smoothing denominator needs V >= 1")
     BigramLm(cb, cp, v)
   }
@@ -181,4 +220,155 @@ object LanguageModel {
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .na.fill(0L, Seq("n_bigrams"))
   }
+
+  // -----------------------------------------------------------------
+  // Stupid-backoff trigram LM (r11, VERDICT r10 #3) — the higher-order
+  // screen. CCNet's production filter is a 5-gram KenLM; the order
+  // that matters architecturally is the BACKOFF, and stupid backoff
+  // (Brants et al. 2007, "Large Language Models in Machine
+  // Translation") is the published at-scale choice precisely because
+  // it is counts-only: S(w3|w1w2) = c(w1w2w3)/c(w1w2) when the trigram
+  // was seen, else α·S(w3|w2), else α²·c(w3)/N, with α = 0.4 and NO
+  // renormalization — scores are relative, which is all a screening
+  // threshold needs, and the model stays three count frames that join
+  // by token keys (never broadcast; the bigram-LM posture above).
+  // Integer-exact ppm form for the oracle: α = 2/5 exactly, so the
+  // three branches are c₃·10⁶ DIV c₂ctx, c₂·400000 DIV c₁ctx, and
+  // c₁·160000 DIV N — every value BIGINT on both engines.
+  // -----------------------------------------------------------------
+
+  /** The trained trigram model: three count frames + the corpus token
+    * total. All joins at scoring time are token-keyed shuffles; only
+    * the scalar N crosses the driver.
+    */
+  final case class TrigramLm(
+      trigramCounts: DataFrame, // (trigram, c_tri)   key "w1 w2 w3"
+      bigramCounts: DataFrame,  // (bigram, c_bi)     key "w1 w2"
+      unigramCounts: DataFrame, // (w, c_uni)
+      totalTokens: Long)
+
+  /** (id, tri, ctx, bi, w3) — one row per adjacent token triple:
+    * tri = "w1 w2 w3", ctx = "w1 w2" (trigram-level denominator),
+    * bi = "w2 w3" (bigram-backoff numerator key), w3 alone for the
+    * unigram floor. Documents with fewer than three tokens contribute
+    * no rows. The backoff's c(w2) denominator rides on `w2`.
+    */
+  private def explodedTrigrams(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val triples = when(size(col("__ws")) >= 3,
+      expr("transform(sequence(0, size(__ws) - 3), i -> struct(" +
+        "concat(__ws[i], ' ', __ws[i+1], ' ', __ws[i+2]) AS tri, " +
+        "concat(__ws[i], ' ', __ws[i+1]) AS ctx, " +
+        "concat(__ws[i+1], ' ', __ws[i+2]) AS bi, " +
+        "__ws[i+1] AS w2, __ws[i+2] AS w3))"))
+      .otherwise(expr("CAST(array() AS array<struct<" +
+        "tri: string, ctx: string, bi: string, w2: string, w3: string>>)"))
+    docs.select(col(idCol), col(textCol).as("__text"))
+      .withColumn("__ws", tokensCol)
+      .select(col(idCol), explode(triples).as("__p"))
+      .select(col(idCol), col("__p.tri").as("tri"), col("__p.ctx").as("ctx"),
+        col("__p.bi").as("bi"), col("__p.w2").as("w2"), col("__p.w3").as("w3"))
+  }
+
+  /** Train the stupid-backoff trigram LM in ONE corpus pass (the
+    * [[taggedNgramCounts]] shape): unigram, bigram, and trigram counts
+    * fold out of a single tokenization; N is the sum of the unigram
+    * counts (an aggregation over the vocabulary-sized checkpointed
+    * frame, not a second corpus scan). `minCount` prunes the TRIGRAM
+    * table only — the denominators (bigram contexts, unigram
+    * contexts, N) must stay unpruned or pruned scores would exceed
+    * unpruned ones, and the bigram table doubles as the backoff
+    * numerator where pruning would silently zero rare-but-seen
+    * transitions.
+    */
+  def trainTrigram(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): TrigramLm = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val counts = taggedNgramCounts(docs, textCol,
+      Seq(uniRole, bigramRole, trigramRole))
+    val c3 = counts.filter(col("t") === "t3")
+      .select(col("k").as("trigram"), col("c").as("c_tri"))
+      .filter(col("c_tri") >= minCount)
+    val c2 = counts.filter(col("t") === "b")
+      .select(col("k").as("bigram"), col("c").as("c_bi"))
+    val c1 = counts.filter(col("t") === "u")
+      .select(col("k").as("w"), col("c").as("c_uni"))
+    val n = c1.agg(coalesce(sum(col("c_uni")), lit(0L))).head.getLong(0)
+    require(n > 0, "training corpus is empty — the unigram floor needs N >= 1")
+    TrigramLm(c3, c2, c1, n)
+  }
+
+  /** Exact-integer stupid-backoff fluency per document. Per trigram
+    * position the score is the first live backoff level (trigram seen
+    * → c₃·10⁶ DIV c(ctx); bigram seen → c₂·400000 DIV c(w2); unigram
+    * seen → c₁·160000 DIV N; else 0), floored BEFORE the per-document
+    * sum, which is floored by the trigram count — both floors land on
+    * the same side in any engine. A seen trigram implies its context
+    * bigram was seen and a seen backoff bigram implies c(w2) ≥ 1, so
+    * no live branch divides by NULL/0 (pruning exempts denominators —
+    * see [[trainTrigram]]). Output also counts how far each document
+    * backed off (`n_bo_bi`/`n_bo_uni`) and its OOV tail — the numbers
+    * a screen inspects before trusting the score. Documents with
+    * fewer than three tokens score 0 with n_trigrams = 0: a separate
+    * too-short class, not disfluent.
+    */
+  def scoreFluency3Ppm(docs: DataFrame, lm: TrigramLm, idCol: String,
+      textCol: String): DataFrame = {
+    val b = explodedTrigrams(docs, idCol, textCol)
+    val joined = b
+      .join(lm.trigramCounts.select(col("trigram").as("tri"), col("c_tri")),
+        Seq("tri"), "left")
+      .join(lm.bigramCounts.select(col("bigram").as("ctx"), col("c_bi").as("c_ctx")),
+        Seq("ctx"), "left")
+      .join(lm.bigramCounts.select(col("bigram").as("bi"), col("c_bi")),
+        Seq("bi"), "left")
+      .join(lm.unigramCounts.select(col("w").as("w2"), col("c_uni").as("c_w2")),
+        Seq("w2"), "left")
+      .join(lm.unigramCounts.select(col("w").as("w3"), col("c_uni").as("c_w3")),
+        Seq("w3"), "left")
+    val contrib = expr(
+      s"""CASE WHEN c_tri IS NOT NULL THEN c_tri * 1000000 DIV c_ctx
+         |     WHEN c_bi IS NOT NULL THEN c_bi * 400000 DIV c_w2
+         |     WHEN c_w3 IS NOT NULL THEN c_w3 * 160000 DIV ${lm.totalTokens}
+         |     ELSE 0 END""".stripMargin)
+    val perDoc = joined.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_trigrams"),
+      sum(when(col("c_tri").isNull && col("c_bi").isNotNull, 1L)
+        .otherwise(0L)).as("n_bo_bi"),
+      sum(when(col("c_tri").isNull && col("c_bi").isNull && col("c_w3").isNotNull, 1L)
+        .otherwise(0L)).as("n_bo_uni"),
+      sum(when(col("c_tri").isNull && col("c_bi").isNull && col("c_w3").isNull, 1L)
+        .otherwise(0L)).as("n_oov"),
+      sum(contrib).as("__ppm_sum"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_trigrams", "n_bo_bi", "n_bo_uni", "n_oov"))
+      .withColumn("fluency3_ppm",
+        when(col("n_trigrams") === 0L, 0L)
+          .otherwise(expr("CAST(__ppm_sum DIV n_trigrams AS BIGINT)")))
+      .drop("__ppm_sum")
+  }
+
+  /** Persist a trigram model — three count tables + a 1-row meta
+    * table, the [[save]] shape one order up.
+    */
+  def saveTrigram(lm: TrigramLm, path: String): Unit = {
+    val spark = lm.trigramCounts.sparkSession
+    import spark.implicits._
+    lm.trigramCounts.write.mode("overwrite").parquet(s"$path/trigram_counts")
+    lm.bigramCounts.write.mode("overwrite").parquet(s"$path/bigram_counts")
+    lm.unigramCounts.write.mode("overwrite").parquet(s"$path/unigram_counts")
+    Seq(lm.totalTokens).toDF("total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted trigram model; scoring from it is bit-identical
+    * to scoring the in-memory one (spec-pinned).
+    */
+  def loadTrigram(spark: org.apache.spark.sql.SparkSession, path: String): TrigramLm =
+    TrigramLm(
+      spark.read.parquet(s"$path/trigram_counts"),
+      spark.read.parquet(s"$path/bigram_counts"),
+      spark.read.parquet(s"$path/unigram_counts"),
+      spark.read.parquet(s"$path/meta").head.getLong(0))
 }

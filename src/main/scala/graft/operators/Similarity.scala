@@ -509,6 +509,58 @@ object Similarity {
     (planes, tables)
   }
 
+  /** Corpus-size ceiling of the axis-sampled sign-LSH regime, per
+    * dimension of budget: past ~1600·dim vectors the dim wall binds
+    * (tables·planes ≤ dim caps how much bucket selectivity any joint
+    * plan can buy) and candidates stop shrinking relative to the
+    * corpus — the 100× sweep measured q31's best plan at n = 200 000 /
+    * 64 dims producing candidate sets ≈37 % of the corpus per query,
+    * 1,055 s wall, while sign-IVF served 16 ms/query on the same
+    * corpus (SCALING.md "The 100× point"). 1600·64 = 102 400 puts the
+    * measured-good 60 k point (21 s) inside the regime and the
+    * measured-bad 200 k point outside; the linear-in-dim form reflects
+    * that every extra dimension is one more sign plane the joint plan
+    * can spend.
+    */
+  def lshRegimeMax(dim: Int): Long = 1600L * dim
+
+  /** Which family [[annTopK]] will run: `"sign-lsh"` inside the LSH
+    * regime, `"sign-ivf"` past it. Split out so specs (and capacity
+    * planning) can pin the boundary without executing a query.
+    */
+  def annRoute(n: Long, dim: Int): String =
+    if (n <= lshRegimeMax(dim)) "sign-lsh" else "sign-ivf"
+
+  /** ANN top-k with the regime dispatch made EXECUTABLE (r11): inside
+    * the LSH regime this is [[signLshTopK]] under the joint
+    * [[autoLshPlan]]; past [[lshRegimeMax]] it routes to
+    * [[signIvfTopK]] under the occupancy-tuned
+    * [[autoQuantBits]]/[[probeBudget]] budgets — the measured 50×
+    * cliff (1,055 s vs ~20 s at n = 200 000) that a scaladoc pointer
+    * alone let callers walk into. Both routes are deterministic
+    * sign-test candidate generation + exact-cosine ranking, so the
+    * result stays oracle-reproducible whichever side of the boundary
+    * a corpus lands on; at every driver-gated scale (n ≤ 2000) the
+    * route is the pinned (4, 8) LSH plan the q31 oracle encodes.
+    * `corpusCount` lets callers that already know n (or specs pinning
+    * the dispatch) skip the count job.
+    */
+  def annTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusCount: Long = -1L): DataFrame = {
+    val n = if (corpusCount >= 0L) corpusCount else corpus.count()
+    if (annRoute(n, dim) == "sign-lsh") {
+      val (planes, tables) = autoLshPlan(n, dim)
+      signLshTopK(queries, corpus, k, nTables = tables,
+        planesPerTable = planes, idCol = idCol, vecCol = vecCol, dim = dim)
+    } else {
+      val bits = autoQuantBits(n, dim)
+      signIvfTopK(queries, corpus, k, dim = dim, bits = bits,
+        nProbe = probeBudget(bits), idCol = idCol, vecCol = vecCol)
+    }
+  }
+
   /** Occupancy-tuned coarse-quantizer width for the sign-IVF/IVFADC
     * family — the [[autoPlanesPerTable]] posture applied to `bits`:
     * grow the list count toward nlist ≈ √n (bits = ⌈log2(n)/2⌉, the

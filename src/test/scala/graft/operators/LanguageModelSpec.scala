@@ -169,4 +169,93 @@ class LanguageModelSpec extends SparkSpec {
       .collect().head
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((0L, 0L, 0L)))
   }
+
+  test("train is single-pass: count tables scan the checkpointed tagged counts, never re-tokenize (VERDICT r10 #7)") {
+    val lm = LanguageModel.train(docs(1L -> "a b c a b"), "doc_id", "text")
+    val t3 = LanguageModel.trainTrigram(docs(1L -> "a b c a b c"), "doc_id", "text")
+    for (f <- Seq(lm.bigramCounts, lm.prefixCounts,
+        t3.trigramCounts, t3.bigramCounts, t3.unigramCounts)) {
+      val plan = f.queryExecution.executedPlan.toString
+      assert(!plan.contains("split("),
+        s"count table must read materialized counts, not re-tokenize:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"count table must scan the checkpointed frame:\n$plan")
+    }
+  }
+
+  test("trainTrigram + scoreFluency3Ppm: every backoff level hand-computed exactly") {
+    // training: "a b c a b c" -> trigrams {a b c:2, b c a:1, c a b:1},
+    // bigrams {a b:2, b c:2, c a:1}, unigrams {a:2, b:2, c:2}, N=6
+    val lm = LanguageModel.trainTrigram(docs(1L -> "a b c a b c"), "doc_id", "text")
+    assert(lm.totalTokens === 6L)
+    assert(lm.trigramCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("a b c" -> 2L, "b c a" -> 1L, "c a b" -> 1L))
+    assert(lm.bigramCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("a b" -> 2L, "b c" -> 2L, "c a" -> 1L))
+    val scored = LanguageModel.scoreFluency3Ppm(docs(
+        10L -> "a b c",  // trigram hit: 2*1e6 DIV c(a b)=2 -> 1000000
+        11L -> "x a b",  // backoff bigram "a b"=2 over c(a)=2 -> 400000
+        12L -> "b c b",  // backoff unigram b=2 over N=6 -> 53333
+        13L -> "a b x",  // OOV tail: 0
+        14L -> "a b"),   // too short: n_trigrams=0
+        lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(scored(10L) === ((1L, 0L, 0L, 0L, 1000000L)))
+    assert(scored(11L) === ((1L, 1L, 0L, 0L, 400000L)))
+    assert(scored(12L) === ((1L, 0L, 1L, 0L, 53333L)))
+    assert(scored(13L) === ((1L, 0L, 0L, 1L, 0L)))
+    assert(scored(14L) === ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("trigram screen: fluent text outscores shuffled-token text by more than the bigram screen margin") {
+    val fluent = (0L until 40L).map(i =>
+      i -> "the cat sat on the mat and the dog ran to the cat")
+    val garbage = (100L until 110L).map(i =>
+      i -> "mat the to cat dog sat and ran on the mat dog to sat")
+    val all = docs((fluent ++ garbage): _*)
+    val lm3 = LanguageModel.trainTrigram(docs(fluent: _*), "doc_id", "text")
+    val s3 = LanguageModel.scoreFluency3Ppm(all, lm3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val worstFluent = fluent.map(f => s3(f._1)).min
+    val bestGarbage = garbage.map(g => s3(g._1)).max
+    assert(worstFluent > bestGarbage * 5,
+      s"fluent floor $worstFluent should dominate garbage ceiling $bestGarbage")
+    // the trigram screen separates at least as hard as the bigram one
+    // on the same corpus (relative margin, both integer ppm)
+    val lm2 = LanguageModel.train(docs(fluent: _*), "doc_id", "text")
+    val s2 = LanguageModel.scoreFluencyPpm(all, lm2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val margin3 = worstFluent.toDouble / math.max(1L, bestGarbage)
+    val margin2 = fluent.map(f => s2(f._1)).min.toDouble /
+      math.max(1L, garbage.map(g => s2(g._1)).max)
+    assert(margin3 >= margin2,
+      s"trigram margin $margin3 should be >= bigram margin $margin2")
+  }
+
+  test("trigram save/load: persisted-artifact scoring bit-identical; empty corpus loud; minCount prunes trigrams only") {
+    val train = docs(1L -> "a b c a b c d", 2L -> "a b c x")
+    val probe = docs(10L -> "a b c d", 11L -> "z z z", 12L -> "a")
+    val lm = LanguageModel.trainTrigram(train, "doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm3").toString
+    LanguageModel.saveTrigram(lm, path)
+    val loaded = LanguageModel.loadTrigram(spark, path)
+    assert(loaded.totalTokens === lm.totalTokens)
+    def scored(m: LanguageModel.TrigramLm) =
+      LanguageModel.scoreFluency3Ppm(probe, m, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    assert(scored(loaded) === scored(lm))
+    assertThrows[IllegalArgumentException] {
+      LanguageModel.trainTrigram(docs(), "doc_id", "text")
+    }
+    val pruned = LanguageModel.trainTrigram(train, "doc_id", "text", minCount = 2L)
+    assert(pruned.trigramCounts.count() < lm.trigramCounts.count())
+    assert(pruned.bigramCounts.count() === lm.bigramCounts.count())
+    assert(pruned.unigramCounts.count() === lm.unigramCounts.count())
+    // pruning only lowers scores (denominators never shrink)
+    val f = scored(lm).map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val p = LanguageModel.scoreFluency3Ppm(probe, pruned, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    for (id <- Seq(10L, 11L, 12L)) assert(p(id) <= f(id))
+  }
 }

@@ -754,4 +754,36 @@ class SimilaritySpec extends SparkSpec {
       k = 5, dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96)
     assert(out.count() === 0L)
   }
+
+  test("annTopK: dispatch boundary pinned; each route ≡ its family called directly (VERDICT r10 #1)") {
+    import Similarity.{annRoute, lshRegimeMax}
+    // the boundary: 1600·dim — gated scales and both measured sweep
+    // points (20k, 60k) inside the LSH regime; the measured 1,055 s
+    // 200k point outside it
+    assert(lshRegimeMax(64) === 102400L)
+    assert(Seq(1L, 2000L, 20000L, 60000L, 102400L)
+      .forall(annRoute(_, 64) == "sign-lsh"))
+    assert(Seq(102401L, 200000L, 10000000L)
+      .forall(annRoute(_, 64) == "sign-ivf"))
+    // fewer dims = a tighter dim wall = an earlier boundary
+    assert(annRoute(30000L, 16) === "sign-ivf")
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val n = e.count()
+    // in-regime: exactly the joint-plan LSH result (q31's pinned route)
+    val (planes, tables) = Similarity.autoLshPlan(n, dim = 64)
+    val lsh = Similarity.signLshTopK(q, e, k = 5, nTables = tables,
+      planesPerTable = planes).orderBy("query_id", "rank").collect().toSeq
+    assert(Similarity.annTopK(q, e, k = 5, dim = 64)
+      .orderBy("query_id", "rank").collect().toSeq === lsh)
+    // past-regime (injected count — the corpus itself stays small):
+    // exactly the sign-IVF result at the occupancy-tuned budgets
+    val bigN = 200000L
+    val bits = Similarity.autoQuantBits(bigN, 64)
+    val ivf = Similarity.signIvfTopK(q, e, k = 5, dim = 64, bits = bits,
+        nProbe = Similarity.probeBudget(bits))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(Similarity.annTopK(q, e, k = 5, dim = 64, corpusCount = bigN)
+      .orderBy("query_id", "rank").collect().toSeq === ivf)
+  }
 }
