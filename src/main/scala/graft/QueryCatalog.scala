@@ -3555,6 +3555,30 @@ object QueryCatalog {
       LanguageModel.scoreFluency3Ppm(docs, lm, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+
+    // perceptual image dedup (r11, VERDICT r10 #4): dHash over REAL
+    // decoded pixels, Hamming-banded pair join — catches the
+    // resized/re-encoded copies byte-exact dedup (q23) misses. Plants:
+    // factor-2 nearest resizes (re-encoded BMPs at the new geometry,
+    // negative ids — the q182 convention) hash identically because the
+    // 8×8 sample grid lands on the same source pixels (see
+    // Multimodal.perceptualHashes); the oracle recomputes the full
+    // hash/band/Hamming chain from the source bytes, so the
+    // approximate result is value-checked exactly (q31/q44 style).
+    "q188_image_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.bmpFromText(s, t(s, dir, "documents"),
+        "doc_id", "text", width = 16)
+      val plants = Multimodal.resizeNearest(
+          media.filter(_.media_id % 9 == 0), outWidth = 8)
+        .map(r => Multimodal.MediaRecord(-r.media_id - 1L, "image", r.payload,
+          r.out_width, r.out_height, 0L))
+      val hashes = Multimodal.perceptualHashes(media.union(plants))
+      Multimodal.perceptualPairs(hashes.toDF(), "dhash", maxHamming = 3)
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("media_a"), col("media_b"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4515,6 +4539,61 @@ object QueryCatalog {
         |       END AS fluency3_ppm
         |FROM d LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q188: the dHash chain recomputed from source bytes — BMP content
+    // is the text bytes zero-padded (the q33 byte-access pattern), the
+    // 8×8 grid samples pixel (2·gx, gy·h//8), grays are 3-byte sums,
+    // dhash bits compare horizontal neighbors, bands are 16-bit bit
+    // sums, Hamming counts differing bit rows. Plants (doc_id % 9 = 0,
+    // media_id = -doc_id-1) reuse the original's bits: the factor-2
+    // nearest resize samples the identical source pixels (engine
+    // scaladoc proves the index arithmetic), so this IS the plant's
+    // hash, not an assumption about it.
+    "q188_image_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         GREATEST((length(text) + 47) // 48, 1) AS h
+        |  FROM documents
+        |), gi AS (
+        |  SELECT unnest(generate_series(0, 7)) AS i
+        |), grid AS (
+        |  SELECT d.doc_id, gy.i AS gy, gx.i AS gx,
+        |         (CASE WHEN ((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 1 <= d.len
+        |               THEN ord(substr(d.text, CAST(((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 1 AS INTEGER), 1)) ELSE 0 END)
+        |       + (CASE WHEN ((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 2 <= d.len
+        |               THEN ord(substr(d.text, CAST(((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 2 AS INTEGER), 1)) ELSE 0 END)
+        |       + (CASE WHEN ((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 3 <= d.len
+        |               THEN ord(substr(d.text, CAST(((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 3 AS INTEGER), 1)) ELSE 0 END)
+        |         AS g
+        |  FROM d CROSS JOIN gi gy CROSS JOIN gi gx
+        |), bits AS (
+        |  SELECT a.doc_id, a.gy * 7 + a.gx AS bit_idx,
+        |         CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        |  FROM grid a JOIN grid b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 7
+        |), media_bits AS (
+        |  SELECT doc_id AS media_id, bit_idx, bit FROM bits
+        |  UNION ALL
+        |  SELECT -doc_id - 1, bit_idx, bit FROM bits WHERE doc_id % 9 = 0
+        |), bands AS (
+        |  SELECT media_id, bit_idx // 16 AS band,
+        |         SUM(bit * (1 << (bit_idx % 16))) AS bh
+        |  FROM media_bits GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bh = r.bh AND l.media_id < r.media_id
+        |), ham AS (
+        |  SELECT c.media_a, c.media_b,
+        |         CAST(SUM(CASE WHEN la.bit <> rb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN media_bits la ON la.media_id = c.media_a
+        |  JOIN media_bits rb ON rb.media_id = c.media_b AND rb.bit_idx = la.bit_idx
+        |  GROUP BY 1, 2
+        |)
+        |SELECT media_a, media_b, hamming FROM ham
+        |WHERE hamming <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

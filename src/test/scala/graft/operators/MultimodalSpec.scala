@@ -250,4 +250,82 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.media_id)
     assert(viaPng.toSeq === viaBmp.toSeq)
   }
+
+  private def phashDocs = (0L until 12L).map(i =>
+    (i, (1 to 60).map(j => (i * 37 + j.toLong * j) % 97).mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("perceptualHashes: factor-2 resize and PNG re-encode are hash-invariant; JPEG stays near (VERDICT r10 #4)") {
+    val docs = phashDocs
+    val media = Multimodal.bmpFromText(spark, docs, "doc_id", "text", width = 16)
+    def hashes(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) =
+      Multimodal.perceptualHashes(ds).collect()
+        .map(h => h.media_id -> ((h.ahash, h.dhash))).toMap
+    val orig = hashes(media)
+    // factor-2 nearest resize re-encoded at the new geometry: the 8×8
+    // grid samples the identical source pixels, so hashes are EQUAL
+    val resized = Multimodal.resizeNearest(media, outWidth = 8)
+      .map(r => Multimodal.MediaRecord(r.media_id, "image", r.payload,
+        r.out_width, r.out_height, 0L))
+    assert(hashes(resized) === orig)
+    // PNG re-encode: lossless pixels, different bytes — hashes EQUAL
+    val png = Multimodal.pngFromText(spark, docs, "doc_id", "text", width = 16)
+    assert(hashes(png) === orig)
+    // JPEG at quality .95 on packed-byte pseudo-images is DCT's worst
+    // case (pure high-frequency content), so the honest claim is
+    // RELATIVE: a doc's JPEG re-encode stays measurably closer to its
+    // source hash than unrelated docs sit from each other (natural
+    // images, being smooth, drift far less)
+    val jpg = hashes(Multimodal.jpegFromText(spark, docs, "doc_id", "text", width = 16))
+    val ids = orig.keys.toSeq.sorted
+    val jh = ids.map(id => java.lang.Long.bitCount(jpg(id)._2 ^ orig(id)._2))
+    val unrelated = for (a <- ids; b <- ids if a < b)
+      yield java.lang.Long.bitCount(orig(a)._2 ^ orig(b)._2)
+    assert(jh.sum.toDouble / jh.size < unrelated.sum.toDouble / unrelated.size - 5,
+      s"JPEG drift ${jh.sum.toDouble / jh.size} should sit well under " +
+        s"unrelated distance ${unrelated.sum.toDouble / unrelated.size}")
+    // distinct docs do NOT collide (the hash separates)
+    for ((d, i) <- unrelated.zipWithIndex)
+      assert(d > 3, s"unrelated pair $i within banding threshold")
+  }
+
+  test("perceptualPairs: planted resized copies found at Hamming 0; band guarantee bound enforced") {
+    val docs = phashDocs
+    val media = Multimodal.bmpFromText(spark, docs, "doc_id", "text", width = 16)
+    val plants = Multimodal.resizeNearest(
+        media.filter(r => r.media_id % 3 == 0), outWidth = 8)
+      .map(r => Multimodal.MediaRecord(-r.media_id - 1L, "image", r.payload,
+        r.out_width, r.out_height, 0L))
+    val hashes = Multimodal.perceptualHashes(media.union(plants)).toDF()
+    val pairs = Multimodal.perceptualPairs(hashes, "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = (0L until 12L).filter(_ % 3 == 0)
+      .map(id => (-id - 1L, id, 0)).toSet
+    assert(pairs.toSet === expected,
+      s"pairs should be exactly the plants: ${pairs.toSeq.sorted}")
+    // past Hamming 3 the 4×16 banding loses its necessity guarantee
+    assertThrows[IllegalArgumentException] {
+      Multimodal.perceptualPairs(hashes, "dhash", maxHamming = 4)
+    }
+    // ahash works through the same banding (plants also Hamming 0)
+    val aPairs = Multimodal.perceptualPairs(hashes, "ahash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.map(p => (p._1, p._2)).subsetOf(aPairs))
+  }
+
+  test("perceptualHashes: empty and sub-grid payloads hash to all-zero, no crash") {
+    val docs = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.bmpFromText(spark, docs, "doc_id", "text", width = 16)
+    val hs = Multimodal.perceptualHashes(media).collect()
+      .map(h => h.media_id -> ((h.ahash, h.dhash))).toMap
+    // empty text: one zero row -> all grays 0 -> no bit set
+    assert(hs(1L) === ((0L, 0L)))
+    // "x": a 1-row image, so every grid row samples row 0 and only
+    // column 0 is nonzero — 8 identical ahash bits (column 0 of each
+    // grid row beats the mean) and 8 dhash bits (g0 > g1 per row)
+    assert(java.lang.Long.bitCount(hs(2L)._1) === 8)
+    assert(hs(2L)._1 === (0 until 8).map(k => 1L << (k * 8)).sum)
+    assert(java.lang.Long.bitCount(hs(2L)._2) === 8)
+    assert(hs(2L)._2 === (0 until 8).map(k => 1L << (k * 7)).sum)
+  }
 }
