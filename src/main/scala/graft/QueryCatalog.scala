@@ -1002,8 +1002,11 @@ object QueryCatalog {
     "q68_docs_incremental_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       // materialized: dedupeIncrement references the history 3× and a
-      // real pipeline passes a persisted artifact table here
-      val history = Dedup.artifacts(d, "doc_id", "text").localCheckpoint()
+      // real pipeline passes a persisted artifact table here. DISK_ONLY
+      // — artifact tables are corpus-sized payload (shingle sets); in
+      // unified memory they starve the joins that read them (r11 sweep)
+      val history = Dedup.artifacts(d, "doc_id", "text")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val batch = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
         .unionByName(d.filter(col("doc_id") % 7 === 0)

@@ -99,9 +99,14 @@ object Dedup {
   def bandPairs(sigs: DataFrame, bands: Int, k: Int,
       neighborCap: Option[Int] = None): DataFrame = {
     val banded = bandedSignatures(sigs, bands, k)
+    // both branches join two bands×corpus-sized frames: pin sort-merge
+    // (the [[neverBroadcast]] hazard — the estimate under a window +
+    // explode over a checkpointed input reads tiny, and the r11 sweep
+    // caught the planner building the 13.7 M-row shifted side as a
+    // broadcast HashedRelation)
     val pairs = neighborCap match {
       case None =>
-        banded.as("l").join(banded.as("r"),
+        banded.as("l").join(neverBroadcast(banded).as("r"),
             col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
               col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
@@ -117,7 +122,7 @@ object Dedup {
             explode(sequence(col("rn") - cap, col("rn") - 1)).as("rn"))
           .filter(col("rn") >= 1)
         ranked.select(col("doc_id").as("doc_a"), col("band"), col("bh"), col("rn"))
-          .join(shifted, Seq("band", "bh", "rn"))
+          .join(neverBroadcast(shifted), Seq("band", "bh", "rn"))
           .select(col("doc_a"), col("doc_b"))
     }
     pairs.distinct()
@@ -181,12 +186,29 @@ object Dedup {
       k: Int, bands: Int, neighborCap: Option[Int] = None): DataFrame = {
     val cands = bandPairs(prepared.select(col("doc_id"), col("sig")), bands, k,
       neighborCap)
-    val sets = prepared.select(col("doc_id"), col("sh"))
+    val sets = neverBroadcast(prepared.select(col("doc_id"), col("sh")))
     val pairs = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
     verifyJaccard(pairs, threshold)
   }
+
+  /** Pin a corpus-sized PAYLOAD side (shingle sets, artifact tables,
+    * exploded fingerprints) to a sort-merge join. The optimizer's size
+    * estimate for these frames undercounts by orders of magnitude —
+    * kernel-built variable-length arrays don't show in column-size
+    * heuristics, and checkpointed frames inherit the original plan's
+    * estimate — so at sweep scale the planner happily broadcasts a
+    * multi-GB side it thinks is a few MB: the r11 500 k-doc sweep
+    * killed q58's driver building two such broadcasts at once. A
+    * payload side is NEVER correctly broadcast at 100 TB, so pinning
+    * the shuffle here is the at-scale posture, not a local workaround;
+    * the narrow candidate/id sides stay free for AQE to broadcast when
+    * runtime sizes justify it. Sort-merge (not shuffled-hash): the
+    * build side of a hash join is per-task heap proportional to the
+    * payload partition, while SMJ spills deterministically.
+    */
+  private def neverBroadcast(df: DataFrame): DataFrame = df.hint("merge")
 
   /** Full near-dup pipeline: MinHash LSH candidates → exact token
     * n-gram Jaccard verification ≥ threshold on precomputed sets.
@@ -416,7 +438,7 @@ object Dedup {
     // it three times (banding + both verification set lookups), and
     // the component loop's edge cache fill would otherwise re-run the
     // whole kernel pass through that tripled lineage
-    val prepared = DurableSnapshots.truncate(
+    val prepared = DurableSnapshots.truncateBulky(
       prepareNearDup(docs, idCol, textCol, k, shingleSize, charLevel),
       checkpointDir, "prepared")
     try {
@@ -654,7 +676,7 @@ object Dedup {
     // times — banding, candidate joins, set lookups, and one
     // re-evaluation per connected-components round — and without a
     // boundary every reference re-derives the artifacts from text.
-    val noExact = DurableSnapshots.truncate(batchArt.join(
+    val noExact = DurableSnapshots.truncateBulky(batchArt.join(
       historyArt.select(col("text_hash")).distinct(), Seq("text_hash"), "left_anti"),
       checkpointDir, "no_exact")
     // 2. near-vs-history: banded equi-join, Jaccard verify on sets.
@@ -669,8 +691,9 @@ object Dedup {
     // crash between the two index writes) must error, not silently
     // verify nothing
     val contaminated = cands
-      .join(noExact.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")), Seq("batch_id"))
-      .join(historyArt.select(col("doc_id").as("hist_id"), col("sh").as("sh_h")),
+      .join(neverBroadcast(noExact.select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))),
+        Seq("batch_id"))
+      .join(neverBroadcast(historyArt.select(col("doc_id").as("hist_id"), col("sh").as("sh_h"))),
         Seq("hist_id"), "left")
       .filter(
         when(col("sh_h").isNull,
@@ -690,13 +713,15 @@ object Dedup {
       // 3. within-batch: exact (min id per hash) then near (components)
       val exactKeep = fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val freshExact = DurableSnapshots.truncate(
+      val freshExact = DurableSnapshots.truncateBulky(
         fresh.join(exactKeep, Seq("doc_id"), "left_semi"),
         checkpointDir, "fresh_exact")
       val innerPairs = bandPairs(freshExact.select(col("doc_id"), col("sig")),
           bands, k, neighborCap)
-        .join(freshExact.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(freshExact.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .join(neverBroadcast(freshExact.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))),
+          Seq("doc_a"))
+        .join(neverBroadcast(freshExact.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))),
+          Seq("doc_b"))
         .filter(GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b")) >= threshold)
         .select(col("doc_a"), col("doc_b"))
       val comps = connectedComponents(innerPairs,
@@ -857,7 +882,7 @@ object Dedup {
     // document. `checkpointDir` = the usual durable-truncation option
     // (the snapshot backs the RETURNED lazy frame, so it lives until
     // the caller is done — free by dir TTL or caller cleanup)
-    val fps = DurableSnapshots.truncate(
+    val fps = DurableSnapshots.truncateBulky(
       fingerprints(docs, idCol, textCol, k, w)
         .select(col("doc_id"), explode(col("fingerprints")).as("fp")),
       checkpointDir, "fingerprints")
@@ -866,7 +891,7 @@ object Dedup {
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
       .select(col("fp"))
     val filtered = fps.join(rare, Seq("fp"))
-    filtered.as("l").join(filtered.as("r"),
+    filtered.as("l").join(neverBroadcast(filtered).as("r"),
         col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))

@@ -26,6 +26,26 @@ private[operators] object DurableSnapshots {
       case None => df.localCheckpoint()
     }
 
+  /** [[truncate]] for PAYLOAD-CARRYING, corpus-sized frames (shingle
+    * sets, fingerprints, artifact tables): local mode snapshots at
+    * `DISK_ONLY` instead of `localCheckpoint`'s memory-and-disk
+    * default. These frames are read back sequentially by id-keyed
+    * joins, so disk is the right tier — holding them in unified
+    * memory starves the joins that consume them: the r11 100× sweep
+    * (500 k docs) measured q58 dying in AQE's broadcast build because
+    * ~GBs of snapshot blocks had the storage pool (the fix measured
+    * there; gated scales are unaffected — the frames are tiny). Loop
+    * frames (labels, edges, candidate ids) stay on [[truncate]]:
+    * they're touched every round and small. Durable mode is already
+    * parquet — nothing changes.
+    */
+  def truncateBulky(df: DataFrame, dir: Option[String], sub: String): DataFrame =
+    dir match {
+      case Some(_) => truncate(df, dir, sub)
+      case None => df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
   /** Best-effort recursive delete of a snapshot path (no-op when the
     * path does not exist).
     */
@@ -35,3 +55,4 @@ private[operators] object DurableSnapshots {
       .delete(p, true)
   }
 }
+

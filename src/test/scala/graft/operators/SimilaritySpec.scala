@@ -744,6 +744,33 @@ class SimilaritySpec extends SparkSpec {
     assert(probeBudget(1) === 1)    // floor: never zero probes
     assertThrows[IllegalArgumentException](probeBudget(0))
     assertThrows[IllegalArgumentException](probeBudget(7, 0))
+    // boundary corners (VERDICT r10 #8): full fraction = every list at
+    // any width; the 56-of-128 family needs 438‰ (437 floors to 55)
+    assert(probeBudget(1, 1000) === 2)
+    assert(probeBudget(16, 1000) === 65536)
+    assert(probeBudget(7, 438) === 56)
+    assert(probeBudget(7, 437) === 55)
+    assert(probeBudget(16, 1) === 65)   // 0.1% of 65536, never zero
+    assert(probeBudget(1, 1) === 1)     // floor dominates tiny fractions
+    // monotone in both arguments (a budget can never shrink as lists
+    // or the fraction grow)
+    for (b <- 1 to 15) assert(probeBudget(b + 1) >= probeBudget(b))
+    for (f <- Seq(1, 100, 375, 438, 999))
+      assert(probeBudget(9, f + 1) >= probeBudget(9, f))
+    assertThrows[IllegalArgumentException](probeBudget(7, 1001))
+    assertThrows[IllegalArgumentException](probeBudget(17))
+  }
+
+  test("retrievalMrr: empty truth and empty ann are empty results, not crashes (VERDICT r10 #8)") {
+    val ann = Seq((1L, 2L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val truth = Seq((1L, 2L)).toDF("query_id", "neighbor_id")
+    val emptyTruth = truth.filter($"query_id" < 0)
+    assert(Similarity.retrievalMrr(ann, emptyTruth).count() === 0L)
+    // empty ann: every truth row is a miss, never a crash
+    val missed = Similarity.retrievalMrr(ann.filter($"rank" < 0), truth).collect()
+    assert(missed.length === 1)
+    assert(missed.head.getLong(missed.head.fieldIndex("found")) === 0L)
+    assert(missed.head.getLong(missed.head.fieldIndex("rr_ppm")) === 0L)
   }
 
   test("queryIvfAdcIndex: empty query set serves an empty result, not a crash") {

@@ -70,4 +70,44 @@ class StreamingQualitySpec extends SparkSpec {
     assert(zone.filter(!$"keep" && length($"text") > 0).count() > 0L,
       "the drop side must carry the rejected content, not bare ids")
   }
+
+  test("replay after model retrain: the frozen model keeps replayed grades bit-identical (VERDICT r10 #8)") {
+    import graft.operators.LanguageModel
+    val root = java.nio.file.Files.createTempDirectory("graft_sq_retrain").toString
+    val modelPath = s"$root/model"
+    val fluent = (0L until 20L).map(i =>
+      i -> "the cat sat on the mat and the dog ran to the cat").toDF("doc_id", "text")
+    LanguageModel.save(LanguageModel.train(fluent, "doc_id", "text"), modelPath)
+    val lm = LanguageModel.load(spark, modelPath)
+    // exactly what start() does before the first micro-batch
+    val frozen = lm.copy(
+      bigramCounts = lm.bigramCounts.localCheckpoint(),
+      prefixCounts = lm.prefixCounts.localCheckpoint())
+    val batch = Seq(100L -> "the cat sat on the mat",
+      101L -> "zq wv xj kp").toDF("doc_id", "text")
+    val out = s"$root/zone"
+    def zone = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+    StreamingQuality.scoreAndWrite(batch, frozen, out, 7L,
+      minFluencyPpm = 30000L, minBigrams = 1L, "doc_id", "text")
+    val before = zone
+    // the artifact RETRAINS underneath: overwrite with a disjoint
+    // corpus (different vocabulary, different V) at the same path
+    val retrained = (0L until 20L).map(i =>
+      i -> "zq wv xj kp zq wv xj kp").toDF("doc_id", "text")
+    LanguageModel.save(LanguageModel.train(retrained, "doc_id", "text"), modelPath)
+    // crash-replay of the same ingest batch id against the frozen model
+    StreamingQuality.scoreAndWrite(batch, frozen, out, 7L,
+      minFluencyPpm = 30000L, minBigrams = 1L, "doc_id", "text")
+    assert(zone === before,
+      "a replayed batch id must rewrite the SAME grades across a retrain")
+    // and the retrained artifact genuinely grades differently — the
+    // hazard the freeze exists for (keep flags flip for both docs)
+    val lm2 = LanguageModel.load(spark, modelPath)
+    val fNew = LanguageModel.scoreFluencyPpm(batch, lm2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val fOld = before.map(r => r.getLong(0) ->
+      r.getLong(before.head.fieldIndex("fluency_ppm"))).toMap
+    assert(fNew(100L) < fOld(100L), "fluent doc must score lower under the disjoint retrain")
+    assert(fNew(101L) > fOld(101L), "garbage doc must score higher under its own retrain")
+  }
 }
