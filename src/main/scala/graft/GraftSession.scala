@@ -24,7 +24,12 @@ object GraftSession {
   def defaultBuilder(master: String = "local[32]", cores: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // shuffle width defaults to the core count locally; a cluster (or
+      // a local sweep over 100× data, where core-count partitions make
+      // multi-GB sort/agg buffers) overrides via SPARK_GRAFT_SHUFFLE —
+      // the ~2-3× total-cores posture
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // parquet TIMESTAMP(isAdjustedToUTC=false) reads as classic

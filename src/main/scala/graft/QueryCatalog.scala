@@ -145,6 +145,28 @@ object QueryCatalog {
     p.toString
   }
 
+  /** Plant-id offset that cannot collide with natural ids at ANY
+    * corpus scale: the smallest multiple of 1,000,000 above every id
+    * in the frame (r11 — ADVICE r10's q182 finding applied to the
+    * whole plant family). A fixed offset silently merges plants with
+    * real rows once a scaled corpus outgrows it: the sf10 sweep corpus
+    * (doc ids to ~700 k, vec ids to 200 k) crossed every fixed
+    * document offset the catalog used. One max() over the id column
+    * (answered from parquet footer statistics); every oracle computes
+    * the identical scalar with the same arithmetic, so both engines
+    * place plants at the same ids at every scale. Multi-group plants
+    * use 2·off / 3·off — disjoint from the corpus AND each other.
+    */
+  private def plantOffset(df: DataFrame, idCol: String): Long = {
+    val m = df.agg(max(col(idCol))).head
+    val maxId = if (m.isNullAt(0)) 0L else m.getLong(0)
+    (maxId / 1000000L + 1L) * 1000000L
+  }
+
+  /** The [[plantOffset]] scalar as oracle SQL (DuckDB). */
+  private def plantOffsetSql(table: String, idCol: String): String =
+    s"(SELECT (max($idCol) // 1000000 + 1) * 1000000 FROM $table)"
+
   /** Memoization assumes the parquet under `dir` is immutable for the
     * session's lifetime (true for the driver's generated testdata); a
     * session that rewrites its inputs mid-flight would be served the
@@ -534,7 +556,7 @@ object QueryCatalog {
     "q23_docs_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val dupes = d.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("doc_id", col("doc_id") + plantOffset(d, "doc_id"))
       Dedup.exact(d.unionByName(dupes), "doc_id", "text")
         .orderBy(col("text_hash"))
     }),
@@ -581,8 +603,9 @@ object QueryCatalog {
     // compared set by the planted keying filter.
     "q26_docs_minhash_neardup" -> ((s, dir) => {
       val d = assertAscii(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val off = plantOffset(d, "doc_id") // collision-free at any scale (r11)
       val mutated = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000L).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1),
             greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(1)))).as("text"))
       val all = d.unionByName(mutated)
@@ -590,13 +613,17 @@ object QueryCatalog {
       // references the sets five times (banding, pair verification,
       // and the two audit gram-count joins) — unmaterialized, each
       // reference re-shingled the corpus and q26 was the slowest query
-      // in the r5 driver bench at 13.3 s. (localCheckpoint: bench-scale
-      // truncation; a cluster pipeline would use a reliable checkpoint.)
+      // in the r5 driver bench at 13.3 s. (DISK_ONLY: payload frames
+      // starve join memory from the storage pool at sweep scale; a
+      // cluster pipeline would use a reliable checkpoint.)
       val prepared = Dedup.prepareNearDup(all, "doc_id", "text", k = 48, shingleSize = 3)
-        .localCheckpoint()
-      val sets = prepared.select(col("doc_id"), col("sh"))
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // hint("merge"): a corpus-sized payload side must never broadcast
+      // (its size estimate undercounts by orders of magnitude — the r11
+      // sweep lesson, Dedup.neverBroadcast)
+      val sets = prepared.select(col("doc_id"), col("sh")).hint("merge")
       Dedup.nearDupPairsPrepared(prepared, threshold = 0.5, k = 48, bands = 24)
-        .filter(col("doc_a") % 7 === 0 && col("doc_b") === col("doc_a") + 200000L)
+        .filter(col("doc_a") % 7 === 0 && col("doc_b") === col("doc_a") + off)
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
@@ -617,14 +644,15 @@ object QueryCatalog {
     // Near-threshold Hamming behavior stays spec-gated.
     "q27_docs_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val off = plantOffset(d, "doc_id") // collision-free at any scale (r11)
       val copies = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
       val rev = d.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 800000L).as("doc_id"), reverse(col("text")).as("text"))
+        .select((col("doc_id") + 2L * off).as("doc_id"), reverse(col("text")).as("text"))
       Dedup.simhashPairs(d.unionByName(copies).unionByName(rev), "doc_id", "text",
           maxHamming = 3)
-        .filter((col("doc_a") % 7 === 0 && col("doc_b") === col("doc_a") + 200000L) ||
-                (col("doc_a") % 11 === 0 && col("doc_b") === col("doc_a") + 800000L))
+        .filter((col("doc_a") % 7 === 0 && col("doc_b") === col("doc_a") + off) ||
+                (col("doc_a") % 11 === 0 && col("doc_b") === col("doc_a") + 2L * off))
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -641,17 +669,18 @@ object QueryCatalog {
     // (j = 0.800 at sf0.1) a (1-j²)^24 ≈ 2e-11 event.
     "q28_docs_ngram_jaccard" -> ((s, dir) => {
       val d = assertAscii(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val off = plantOffset(d, "doc_id") // collision-free at any scale (r11)
       val mutated = d.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           concat(col("text"), lit(" appended tail")).as("text"))
       val all = d.unionByName(mutated)
       // same single-pass materialization as q26 (char-level grams here)
       val prepared = Dedup.prepareNearDup(all, "doc_id", "text",
           k = 48, shingleSize = 6, charLevel = true)
-        .localCheckpoint()
-      val sets = prepared.select(col("doc_id"), col("sh"))
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val sets = prepared.select(col("doc_id"), col("sh")).hint("merge")
       Dedup.nearDupPairsPrepared(prepared, threshold = 0.8, k = 48, bands = 24)
-        .filter(col("doc_a") % 9 === 0 && col("doc_b") === col("doc_a") + 300000L)
+        .filter(col("doc_a") % 9 === 0 && col("doc_b") === col("doc_a") + off)
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
@@ -765,10 +794,11 @@ object QueryCatalog {
     // are excluded by the keying filter and stay spec-gated.
     "q37_emb_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      val off = plantOffset(e, "vec_id") // collision-free at any scale (r11)
       val dupes = e.filter(col("vec_id") % 40 === 0)
-        .withColumn("vec_id", col("vec_id") + 500000L)
+        .withColumn("vec_id", col("vec_id") + off)
       Similarity.embeddingNearDupPairs(e.unionByName(dupes), threshold = 0.95, dim = 64)
-        .filter(col("id_a") % 40 === 0 && col("id_b") === col("id_a") + 500000L)
+        .filter(col("id_a") % 40 === 0 && col("id_b") === col("id_a") + off)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"))
     }),
@@ -778,7 +808,7 @@ object QueryCatalog {
     "q38_docs_curation" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val dupes = d.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("doc_id", col("doc_id") + plantOffset(d, "doc_id"))
       val all = d.unionByName(dupes)
       val keepIds = Dedup.exact(all, "doc_id", "text").select(col("keep_id").as("doc_id"))
       val kept = all.join(keepIds, Seq("doc_id"), "left_semi")
@@ -883,7 +913,7 @@ object QueryCatalog {
     "q58_docs_neardup_resolve" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutated = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000L).as("doc_id"),
+        .select((col("doc_id") + plantOffset(d, "doc_id")).as("doc_id"),
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), lit(1),
             greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(1)))).as("text"))
       Dedup.resolveNearDups(d.unionByName(mutated), "doc_id", "text",
@@ -908,13 +938,14 @@ object QueryCatalog {
     // metadata), not a data scan.
     "q59_docs_fingerprint_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val off = plantOffset(d, "doc_id") // collision-free at any scale (r11)
       val partial = d.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           substring(col("text"), 1, 200).as("text"))
       val mdf = math.max(1000L, d.count() / 5).min(Int.MaxValue.toLong).toInt
       Dedup.fingerprintPairs(d.unionByName(partial), "doc_id", "text",
           k = 8, w = 4, minShared = 3, maxDocFreq = mdf)
-        .filter(col("doc_a") % 5 === 0 && col("doc_b") === col("doc_a") + 400000L)
+        .filter(col("doc_a") % 5 === 0 && col("doc_b") === col("doc_a") + off)
         .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"))
     }),
@@ -933,7 +964,7 @@ object QueryCatalog {
     "q60_emb_neardup_resolve" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val copies = e.filter(col("vec_id") % 25 === 0)
-        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn("vec_id", col("vec_id") + plantOffset(e, "vec_id"))
       Similarity.resolveEmbeddingNearDups(e.unionByName(copies),
           threshold = 0.95, dim = 64)
         .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
@@ -1007,13 +1038,14 @@ object QueryCatalog {
       // unified memory they starve the joins that read them (r11 sweep)
       val history = Dedup.artifacts(d, "doc_id", "text")
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val off = plantOffset(d, "doc_id") // collision-free at any scale (r11)
       val batch = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
         .unionByName(d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 600000L).as("doc_id"),
+          .select((col("doc_id") + 2L * off).as("doc_id"),
             concat(col("text"), lit(" appended near dup token")).as("text")))
         .unionByName(d.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 700000L).as("doc_id"),
+          .select((col("doc_id") + 3L * off).as("doc_id"),
             reverse(col("text")).as("text")))
       Dedup.dedupeIncrement(Dedup.artifacts(batch, "doc_id", "text"),
           history, threshold = 0.5, bands = 8)
@@ -1202,10 +1234,11 @@ object QueryCatalog {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val rev13 = d.filter(col("doc_id") % 13 === 0)
         .select(col("doc_id"), reverse(col("text")).as("text"))
+      val off = plantOffset(d, "doc_id") // collision-free at any scale (r11)
       val batch = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
-        .unionByName(rev13.select((col("doc_id") + 700000L).as("doc_id"), col("text")))
-        .unionByName(rev13.select((col("doc_id") + 750000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+        .unionByName(rev13.select((col("doc_id") + 2L * off).as("doc_id"), col("text")))
+        .unionByName(rev13.select((col("doc_id") + 3L * off).as("doc_id"), col("text")))
       Dedup.exactIncrement(batch, d, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
@@ -2384,14 +2417,15 @@ object QueryCatalog {
       val base = t(s, dir, "documents")
         .filter(length(col("text")) >= 100)
         .select(col("doc_id"), col("text"))
+      val off = plantOffset(base, "doc_id") // collision-free at any scale (r11)
       val planted = base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 800000L).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           concat_ws(" ", array_repeat(substring(col("text"), 1, 24), lit(40)))
             .as("text"))
       val sig = Quality
         .compressionSignals(base.unionByName(planted), "doc_id", "text")
         .withColumn("doc_class",
-          when(col("doc_id") >= 800000L, lit("planted_rep"))
+          when(col("doc_id") >= off, lit("planted_rep"))
             .otherwise(lit("prose")))
       val stats = sig.groupBy(col("doc_class")).agg(
         count(lit(1)).as("n_docs"),
@@ -2466,7 +2500,7 @@ object QueryCatalog {
     "q139_docs_cluster_sizes" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val dupes = d.filter(col("doc_id") % 25 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("doc_id", col("doc_id") + plantOffset(d, "doc_id"))
       d.unionByName(dupes)
         .groupBy(col("text"))
         .agg(count(lit(1)).as("cluster_size"))
@@ -2638,7 +2672,7 @@ object QueryCatalog {
     "q148_curation_e2e" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000L))
+        .withColumn("doc_id", col("doc_id") + plantOffset(d, "doc_id")))
       val keep = corpus
         .groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -2689,7 +2723,7 @@ object QueryCatalog {
         .select(col("p_partkey"), (cents + 1000L).as("price_cents"),
           lit("updated").as("status"), (col("p_partkey") % 30 === 0).as("is_del"))
       val inserts = part.filter(col("p_partkey") % 7 === 0)
-        .select((col("p_partkey") + 1000000L).as("p_partkey"),
+        .select((col("p_partkey") + plantOffset(part, "p_partkey")).as("p_partkey"),
           lit(9999L).as("price_cents"), lit("new").as("status"),
           lit(false).as("is_del"))
       RawLayer.mergeInto(target, updates.unionByName(inserts),
@@ -2762,7 +2796,7 @@ object QueryCatalog {
     "q153_source_scorecard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val corpus = d.unionByName(d.filter(col("doc_id") % 25 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
+        .withColumn("doc_id", col("doc_id") + plantOffset(d, "doc_id")))
       corpus
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -2796,7 +2830,7 @@ object QueryCatalog {
     "q154_source_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val planted = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
+        .select((col("doc_id") + plantOffset(d, "doc_id")).as("doc_id"),
           concat(lit("src"), (col("doc_id") % 7).cast("string")).as("source"),
           col("text"))
       val corpus = d.select(col("doc_id"), col("source"), col("text"))
@@ -3042,7 +3076,7 @@ object QueryCatalog {
     "q163_diag_dedup_keep" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val dupes = d.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("doc_id", col("doc_id") + plantOffset(d, "doc_id"))
       val all = d.unionByName(dupes)
       val keepIds = Dedup.exact(all, "doc_id", "text").select(col("keep_id").as("doc_id"))
       all.join(keepIds, Seq("doc_id"), "left_semi")
@@ -5212,13 +5246,13 @@ object QueryCatalog {
     "q83_docs_incremental_exact" ->
       """WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents),
         |batch AS (
-        |  SELECT doc_id + 500000 AS doc_id, text FROM documents
+        |  SELECT doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents) AS doc_id, text FROM documents
         |  WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 700000, reverse(text) FROM documents
+        |  SELECT doc_id + 2 * (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents), reverse(text) FROM documents
         |  WHERE doc_id % 13 = 0
         |  UNION ALL
-        |  SELECT doc_id + 750000, reverse(text) FROM documents
+        |  SELECT doc_id + 3 * (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents), reverse(text) FROM documents
         |  WHERE doc_id % 13 = 0
         |), fresh AS (
         |  SELECT b.doc_id, md5(b.text) AS h FROM batch b
@@ -5356,7 +5390,7 @@ object QueryCatalog {
         |docs AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
-        |  SELECT doc_id + 200000,
+        |  SELECT doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents),
         |         array_to_string(t[1:CAST(GREATEST(len(t) - 2, 1) AS BIGINT)], ' ')
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |        FROM base WHERE doc_id % 7 = 0)
@@ -5613,7 +5647,7 @@ object QueryCatalog {
         |FROM (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) u
+        |  SELECT doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents) AS doc_id, text FROM documents WHERE doc_id % 10 = 0) u
         |GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
     "q24_docs_quality" ->
       """SELECT doc_id, length(text) AS len_chars,
@@ -5735,7 +5769,7 @@ object QueryCatalog {
       """WITH all_docs AS (
         |  SELECT doc_id, text, source FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents), text, source FROM documents WHERE doc_id % 10 = 0
         |), keep AS (
         |  SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
         |), kept AS (
@@ -6394,7 +6428,7 @@ object QueryCatalog {
       """WITH all_docs AS (
         |  SELECT doc_id, text, lang FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents), text, lang FROM documents WHERE doc_id % 10 = 0
         |), keep AS (
         |  SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
         |), deduped AS (
@@ -6452,7 +6486,7 @@ object QueryCatalog {
         |         'current'
         |  FROM part WHERE p_partkey % 10 <> 0
         |  UNION ALL
-        |  SELECT p_partkey + 1000000, 9999, 'new'
+        |  SELECT p_partkey + (SELECT (max(p_partkey) // 1000000 + 1) * 1000000 FROM part), 9999, 'new'
         |  FROM part WHERE p_partkey % 7 = 0
         |)
         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -6520,7 +6554,7 @@ object QueryCatalog {
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, source, text FROM documents
+        |  SELECT doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents), source, text FROM documents
         |  WHERE doc_id % 25 = 0
         |), stats AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6549,7 +6583,7 @@ object QueryCatalog {
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000,
+        |  SELECT doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents),
         |         'src' || CAST(doc_id % 7 AS VARCHAR) AS source, text
         |  FROM documents WHERE doc_id % 10 = 0
         |), keys AS (
@@ -6713,7 +6747,7 @@ object QueryCatalog {
       """WITH all_docs AS (
         |  SELECT doc_id, text, source FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents), text, source FROM documents WHERE doc_id % 10 = 0
         |), keep AS (
         |  SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
         |), kept AS (
@@ -6863,7 +6897,7 @@ object QueryCatalog {
         |  FROM grams_a a JOIN grams_b b ON a.doc_id = b.doc_id AND a.g = b.g
         |  GROUP BY a.doc_id
         |)
-        |SELECT sa.doc_id AS doc_a, sa.doc_id + 200000 AS doc_b,
+        |SELECT sa.doc_id AS doc_a, sa.doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents) AS doc_b,
         |       CAST(sa.n AS BIGINT) AS n_grams_a,
         |       CAST(sb.n AS BIGINT) AS n_grams_b,
         |       CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_shared
@@ -6875,7 +6909,7 @@ object QueryCatalog {
     // plants never reach the ≤ 3 gate (measured signature distance
     // ≥ 13 at every scale), so the planted-copy set IS the output.
     "q27_docs_simhash" ->
-      """SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b,
+      """SELECT doc_id AS doc_a, doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents) AS doc_b,
         |       CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 7 = 0
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -6900,7 +6934,7 @@ object QueryCatalog {
         |  FROM grams_a a JOIN grams_b b ON a.doc_id = b.doc_id AND a.g = b.g
         |  GROUP BY a.doc_id
         |)
-        |SELECT sa.doc_id AS doc_a, sa.doc_id + 300000 AS doc_b,
+        |SELECT sa.doc_id AS doc_a, sa.doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents) AS doc_b,
         |       CAST(sa.n AS BIGINT) AS n_grams_a,
         |       CAST(sb.n AS BIGINT) AS n_grams_b,
         |       CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_shared
@@ -6911,14 +6945,14 @@ object QueryCatalog {
     // q37: identical-vector plants land in identical LSH buckets and
     // verify at cosine ≈ 1 ≫ 0.95, so the planted set is exact.
     "q37_emb_neardup" ->
-      """SELECT vec_id AS id_a, vec_id + 500000 AS id_b
+      """SELECT vec_id AS id_a, vec_id + (SELECT (max(vec_id) // 1000000 + 1) * 1000000 FROM embeddings) AS id_b
         |FROM embeddings WHERE vec_id % 40 = 0
         |ORDER BY id_a""".stripMargin,
     // q59: every planted 200-char-prefix copy shares ≥ 12 winnowing
     // fingerprints with its source at every tested scale (gate: ≥ 3),
     // so the planted containment set is exact.
     "q59_docs_fingerprint_overlap" ->
-      """SELECT doc_id AS doc_a, doc_id + 400000 AS doc_b
+      """SELECT doc_id AS doc_a, doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents) AS doc_b
         |FROM documents WHERE doc_id % 5 = 0
         |ORDER BY doc_a""".stripMargin,
     // q68: survivors from first principles — exact copies and near-dup
@@ -6927,7 +6961,7 @@ object QueryCatalog {
     // the reversed texts (q70 gram pattern + q73 reachability CTE).
     "q68_docs_incremental_dedup" ->
       """WITH RECURSIVE rev AS (
-        |  SELECT doc_id + 700000 AS doc_id, reverse(text) AS text
+        |  SELECT doc_id + 3 * (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents) AS doc_id, reverse(text) AS text
         |  FROM documents WHERE doc_id % 13 = 0
         |), toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -17,9 +17,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // stderr, one line per query — sweep-scale runs read this for
+        // the per-family cost curve; the driver's gate ignores it
+        System.err.println(
+          f"[verify] $name ok t=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
