@@ -37,7 +37,17 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Rebalance before the flop-dense cross product: the compute here
+    // is |Q|·n cosines, so parallelism must come from the ROW count,
+    // not the byte size. A 200 k-vector corpus is ~50 MB — one HDFS
+    // block / one parquet row group — and inheriting the scan's
+    // byte-derived splits serializes the whole job (measured at the
+    // sf10 sweep: 4 000 queries × 200 k corpus = 800 M cosines in ONE
+    // 845-s task while 31 cores idled). One (id, vector) exchange of
+    // the corpus is noise next to the quadratic compute it feeds.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = if (c0.rdd.getNumPartitions < par) c0.repartition(par) else c0
     val cross = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       // narrow to (ids, cosine) BEFORE the ranking exchange — the

@@ -123,7 +123,18 @@ object ScaleUp {
           }
           shifted.drop("__i")
       }
-      out.write.mode("overwrite").parquet(Tables.path(outDir, t))
+      // Scaled tables fan out across the core count on write: a single
+      // output file at these sizes is a single parquet row group, and
+      // every scan-side computation over it (tokenize, explode, decode,
+      // cosine) then inherits ONE task no matter the byte-split config —
+      // the first sf10 sweep's 52 MB single-file embeddings serialized
+      // an 800 M-cosine stage onto one core. Dims (region/nation) and
+      // 1× copies keep the source layout.
+      val balanced =
+        if (shiftCols.contains(t) && copies > 1)
+          out.repartition(spark.sparkContext.defaultParallelism)
+        else out
+      balanced.write.mode("overwrite").parquet(Tables.path(outDir, t))
       println(s"[scaleup] $t -> ${Tables.path(outDir, t)}")
     }
     spark.stop()
