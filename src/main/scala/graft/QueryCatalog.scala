@@ -3616,6 +3616,28 @@ object QueryCatalog {
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("media_a"), col("media_b"))
     }),
+
+    // contrastive importance selection (r11): the DSIR / CCNet
+    // data-selection loop — score every document against a TARGET-
+    // domain LM (trained on the lang='en' slice) and a RAW-pool LM
+    // (trained on the doc_id % 3 hash sample), keep the top 300‰ by
+    // the integer contrast. One corpus explode scores both models
+    // (scoreContrastPpm); the cut is exact top-m by (contrast DESC,
+    // doc_id) via the bounded score-histogram (selectTopPermille) —
+    // no global row sort at 100 TB.
+    "q189_docs_importance_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lmT = LanguageModel.train(
+        docs.filter(col("lang") === "en"), "doc_id", "text")
+      val lmR = LanguageModel.train(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      val scored = LanguageModel.scoreContrastPpm(
+        docs, lmT, lmR, "doc_id", "text")
+      Sampling.selectTopPermille(scored, "contrast_ppm", "doc_id", 300)
+        .select(col("doc_id"), col("n_bigrams"), col("target_ppm"),
+          col("raw_ppm"), col("contrast_ppm"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4631,6 +4653,63 @@ object QueryCatalog {
         |SELECT media_a, media_b, hamming FROM ham
         |WHERE hamming <= 3
         |ORDER BY media_a, media_b""".stripMargin,
+    // q189: the q184 integer-ppm scoring form against BOTH models
+    // (target = lang='en' slice, raw = doc_id % 3 sample), contrast =
+    // difference of the two floored means; the 300‰ cut is top-m by
+    // (contrast DESC, doc_id) with m = count·300 // 1000 — the
+    // engine's histogram selection computes exactly that set.
+    "q189_docs_importance_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |), tb AS (
+        |  SELECT b.* FROM b JOIN d USING (doc_id) WHERE d.lang = 'en'
+        |), rb AS (
+        |  SELECT * FROM b WHERE doc_id % 3 = 0
+        |), cbt AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_bt FROM tb GROUP BY 1
+        |), cpt AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c_pt FROM tb GROUP BY 1
+        |), cbr AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_br FROM rb GROUP BY 1
+        |), cpr AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c_pr FROM rb GROUP BY 1
+        |), vt AS (
+        |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vs
+        |  FROM (SELECT unnest(ws) AS w FROM d WHERE lang = 'en')
+        |), vr AS (
+        |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vs
+        |  FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id % 3 = 0)
+        |), sc AS (
+        |  SELECT b.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         SUM((COALESCE(cbt.c_bt, 0) + 1) * 1000000
+        |             // (COALESCE(cpt.c_pt, 0) + vt.vs)) AS sum_t,
+        |         SUM((COALESCE(cbr.c_br, 0) + 1) * 1000000
+        |             // (COALESCE(cpr.c_pr, 0) + vr.vs)) AS sum_r
+        |  FROM b LEFT JOIN cbt USING (bigram) LEFT JOIN cbr USING (bigram)
+        |         LEFT JOIN cpt USING (w1) LEFT JOIN cpr USING (w1), vt, vr
+        |  GROUP BY 1
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |         CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0
+        |              ELSE CAST(sc.sum_t // sc.n_bigrams AS BIGINT) END AS target_ppm,
+        |         CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0
+        |              ELSE CAST(sc.sum_r // sc.n_bigrams AS BIGINT) END AS raw_ppm
+        |  FROM d LEFT JOIN sc USING (doc_id)
+        |), m AS (
+        |  SELECT count(*) * 300 // 1000 AS m FROM scored
+        |)
+        |SELECT doc_id, n_bigrams, target_ppm, raw_ppm,
+        |       target_ppm - raw_ppm AS contrast_ppm
+        |FROM scored
+        |QUALIFY row_number() OVER (
+        |  ORDER BY target_ppm - raw_ppm DESC, doc_id) <= (SELECT m FROM m)
+        |ORDER BY doc_id""".stripMargin,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

@@ -174,6 +174,56 @@ object LanguageModel {
       .drop("__ppm_sum")
   }
 
+  /** Contrastive (importance-weight) score against TWO models in one
+    * corpus pass — the DSIR / CCNet data-selection signal (Xie et al.
+    * 2023 "Data Selection for Language Models via Importance
+    * Resampling"; CCNet thresholds the same contrast against a
+    * Wikipedia LM): documents that the TARGET-domain model likes more
+    * than the RAW-pool model carry positive `contrast_ppm` and are the
+    * ones importance resampling keeps. Both scores are the exact
+    * [[scoreFluencyPpm]] integer form, so `contrast_ppm = target_ppm −
+    * raw_ppm` is oracle-hashable, and equals the two-pass composition
+    * bit-for-bit (spec-pinned) while exploding and aggregating the
+    * corpus ONCE: four model-side equi-joins ordered bigram-bigram
+    * then w1-w1 so each key's exchange is reused by the adjacent join.
+    * Model frames are never broadcast (billions of n-grams at 100 TB).
+    */
+  def scoreContrastPpm(docs: DataFrame, lmTarget: BigramLm, lmRaw: BigramLm,
+      idCol: String, textCol: String): DataFrame = {
+    val b = explodedBigrams(docs, idCol, textCol)
+    val cbT = lmTarget.bigramCounts
+      .select(col("bigram"), col("c_bigram").as("__cb_t"))
+    val cbR = lmRaw.bigramCounts
+      .select(col("bigram"), col("c_bigram").as("__cb_r"))
+    val cpT = lmTarget.prefixCounts
+      .select(col("w1"), col("c_prefix").as("__cp_t"))
+    val cpR = lmRaw.prefixCounts
+      .select(col("w1"), col("c_prefix").as("__cp_r"))
+    def contrib(cb: String, cp: String, v: Long) = expr(
+      s"(coalesce($cb, 0L) + 1L) * 1000000L DIV (coalesce($cp, 0L) + ${v}L)")
+    val perDoc = b
+      .join(cbT, Seq("bigram"), "left")
+      .join(cbR, Seq("bigram"), "left")
+      .join(cpT, Seq("w1"), "left")
+      .join(cpR, Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(contrib("__cb_t", "__cp_t", lmTarget.vocabSize)).as("__sum_t"),
+        sum(contrib("__cb_r", "__cp_r", lmRaw.vocabSize)).as("__sum_r"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+      .withColumn("target_ppm",
+        when(col("n_bigrams") === 0L, 0L)
+          .otherwise(expr("CAST(__sum_t DIV n_bigrams AS BIGINT)")))
+      .withColumn("raw_ppm",
+        when(col("n_bigrams") === 0L, 0L)
+          .otherwise(expr("CAST(__sum_r DIV n_bigrams AS BIGINT)")))
+      .withColumn("contrast_ppm", col("target_ppm") - col("raw_ppm"))
+      .drop("__sum_t", "__sum_r")
+  }
+
   /** Persist a trained model as the deployable artifact (the CCNet
     * shape: the LM ships to the scoring cluster as files, not as a
     * training-job closure): two count tables + a 1-row meta table.

@@ -154,4 +154,43 @@ object Sampling {
     }
     df.filter(bucket(col(keyCol)) < threshold)
   }
+
+  /** Exact top-⌊n·permille/1000⌋ rows by (`scoreCol` DESC, `idCol`
+    * ASC) — the selection step of importance resampling: score every
+    * document, keep the best fraction. Semantically a global ORDER BY
+    * + LIMIT, but implemented without a global row sort: the cut
+    * threshold comes from a HISTOGRAM over distinct score values,
+    * whose cardinality is bounded by the score grid (integer ppm
+    * scores ⇒ ≤ ~2·10⁶ + 1 rows no matter the corpus size), so the
+    * single-partition cumulative window runs over a bounded frame —
+    * the sketch-cells posture, not an n-row sort. Rows then join the
+    * per-score quota (broadcast-sized by the same bound) and only
+    * boundary ties rank within their score group (partitioned window,
+    * id-ordered — deterministic on reruns). At 100 TB: two scans of
+    * the scored frame + one bounded aggregate; no shuffle carries more
+    * than (score, id).
+    */
+  def selectTopPermille(
+      df: DataFrame, scoreCol: String, idCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0, 1000], got $permille")
+    val m = df.count() * permille / 1000
+    if (m == 0L) return df.limit(0)
+    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val quotas = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__before", col("__cum") - col("__cnt"))
+      .filter(col("__before") < m)
+      .withColumn("__quota", least(col("__cnt"), lit(m) - col("__before")))
+      .select(col(scoreCol), col("__quota"))
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(scoreCol)).orderBy(col(idCol))
+    df.join(quotas, Seq(scoreCol))
+      .withColumn("__rn", row_number().over(wId))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
 }

@@ -284,4 +284,37 @@ class LanguageModelSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
     for (id <- Seq(10L, 11L, 12L)) assert(p(id) <= f(id))
   }
+
+  test("scoreContrastPpm ≡ the two-pass composition, bit for bit") {
+    import spark.implicits._
+    val pool = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "der hund sitzt auf dem teppich"),
+      (4L, "mat the on sat cat the"),
+      (5L, "x")).toDF("doc_id", "text")
+    val lmT = LanguageModel.train(pool.filter($"doc_id" <= 2L), "doc_id", "text")
+    val lmR = LanguageModel.train(pool, "doc_id", "text")
+    val one = LanguageModel.scoreContrastPpm(pool, lmT, lmR, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "target_ppm", "raw_ppm", "contrast_ppm")
+      .collect().toSeq
+    def f(lm: LanguageModel.BigramLm) =
+      LanguageModel.scoreFluencyPpm(pool, lm, "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val ft = f(lmT); val fr = f(lmR)
+    for (r <- one) {
+      val id = r.getLong(0)
+      assert(r.getLong(1) === ft(id)._1)
+      assert(r.getLong(2) === ft(id)._2, s"target_ppm doc $id")
+      assert(r.getLong(3) === fr(id)._2, s"raw_ppm doc $id")
+      assert(r.getLong(4) === ft(id)._2 - fr(id)._2)
+    }
+    // in-domain text scores above out-of-domain under the contrast
+    val byId = one.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(byId(1L) > byId(3L), "target-domain doc must out-contrast German")
+    // zero-bigram doc is the separate too-short class: all-zero scores
+    assert(byId(5L) === 0L)
+  }
 }

@@ -95,4 +95,29 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixToTarget(mixRows, "src", "id",
         Map("web" -> 500000L, "nope" -> 500000L)))
   }
+
+  test("selectTopPermille: exact top-m by (score DESC, id ASC), ties cut by id") {
+    // 10 rows: scores 5,5,5,3,3,2,2,2,2,1 — top 400‰ of 10 = 4 rows:
+    // all three 5s, then the lowest-id 3.
+    val df = Seq(
+      (0L, 5L), (1L, 5L), (2L, 5L), (3L, 3L), (9L, 3L),
+      (4L, 2L), (5L, 2L), (6L, 2L), (7L, 2L), (8L, 1L)).toDF("id", "score")
+    val kept = Sampling.selectTopPermille(df, "score", "id", 400)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 2L, 3L))
+  }
+
+  test("selectTopPermille: 0 keeps nothing, 1000 keeps everything; rerun-stable") {
+    val df = (0L until 100L).map(i => (i, i % 7)).toDF("id", "score")
+    assert(Sampling.selectTopPermille(df, "score", "id", 0).count() === 0L)
+    assert(Sampling.selectTopPermille(df, "score", "id", 1000).count() === 100L)
+    val a = Sampling.selectTopPermille(df, "score", "id", 250)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.selectTopPermille(df.repartition(13), "score", "id", 250)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "the cut must be a pure function of (score, id)")
+    assert(a.size === 25)
+    intercept[IllegalArgumentException](
+      Sampling.selectTopPermille(df, "score", "id", 1001))
+  }
 }
