@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.{RawLayer, Scd2}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
+import graft.operators.{AsOfJoin, Chunking, Classifier, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -3638,6 +3638,27 @@ object QueryCatalog {
           col("raw_ppm"), col("contrast_ppm"))
         .orderBy(col("doc_id"))
     }),
+
+    // trained quality classifier (r11): the fastText-style "resembles
+    // the reference corpus" screen as fixed-point logistic regression
+    // — hard-sigmoid link, integer micro-unit weights, three batch-GD
+    // passes over the doc_id % 2 labeled slice (label: lang = 'en'),
+    // then EVERY document scored. All divisions floor on both engines
+    // (Classifier.fdiv), gradients sum in DECIMAL(38,0)/HUGEINT, so
+    // training and inference hash identically.
+    "q190_docs_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = Classifier.docFeatures(
+        docs.withColumn("label", (col("lang") === "en").cast("long")),
+        "doc_id", "text", keep = Seq("label"))
+      val model = Classifier.trainLogistic(
+        feat.filter(col("doc_id") % 2 === 0),
+        Seq("x0", "x1", "x2", "x3"), "label", iters = 3)
+      Classifier.scoreLogistic(feat, model, Seq("x0", "x1", "x2", "x3"))
+        .select(col("doc_id"), col("label"), col("score_ppm"),
+          col("predicted"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3697,6 +3718,71 @@ object QueryCatalog {
     * excluded, list_id breaking exact ties. Same 48-of-128 probe
     * budget as r6; measured recall@5 0.72 → 0.86/0.79 at sf0.01/sf0.1.
     */
+  /** q190's oracle: the fixed-point logistic-regression training loop
+    * (Classifier.trainLogistic) unrolled to `iters` CTE pairs. Every
+    * arithmetic step mirrors the engine exactly — ppm features with
+    * truncating divisions, hard-sigmoid clamp, HUGEINT gradient sums (the
+    * DECIMAL(38,0) twin), and DuckDB's `//`, which truncates toward
+    * zero on signed operands just like the engine's tdiv/BigInt
+    * convention.
+    */
+  private def logisticOracleSql(iters: Int): String = {
+    val fs = Seq("x0", "x1", "x2", "x3")
+    def g(alias: String) = fs.map(c => s"g_$c").mkString(", ")
+    def zOf(w: String) = fs.map(c => s"$w.w_$c * $c").mkString(" + ")
+    def sigma(w: String) =
+      s"GREATEST(0, LEAST(1000000, 500000 + ((${zOf(w)}) // 1000000) // 4))"
+    val sb = new StringBuilder
+    sb.append(
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         CAST(1000000 AS BIGINT) AS x0,
+        |         CAST(stop * 1000000 // GREATEST(ntok, 1) AS BIGINT) AS x1,
+        |         CAST(alpha * 1000000 // GREATEST(len, 1) AS BIGINT) AS x2,
+        |         CAST(LEAST(len, 2000) * 500 AS BIGINT) AS x3
+        |  FROM (
+        |    SELECT doc_id, lang, length(text) AS len,
+        |           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+        |           CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |           len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |               x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS stop
+        |    FROM documents)
+        |), tr AS (SELECT * FROM f WHERE doc_id % 2 = 0
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr
+        |), g1 AS (
+        |  SELECT """.stripMargin)
+    sb.append(fs.map(c =>
+      s"SUM(CAST(500000 - y * 1000000 AS HUGEINT) * $c) AS g_$c").mkString(",\n         "))
+    sb.append("\n  FROM tr\n), w1 AS (\n  SELECT ")
+    sb.append(fs.map(c =>
+      s"0 - (4 * g_$c) // (n.n * 1000000) AS w_$c").mkString(",\n         "))
+    sb.append("\n  FROM g1, n\n)")
+    for (t <- 2 to iters) {
+      val prev = s"w${t - 1}"
+      sb.append(s", e$t AS (\n")
+      sb.append(s"  SELECT tr.*, CAST(${sigma(prev)} - y * 1000000 AS HUGEINT) AS err\n")
+      sb.append(s"  FROM tr, $prev\n), g$t AS (\n  SELECT ")
+      sb.append(fs.map(c => s"SUM(err * $c) AS g_$c").mkString(",\n         "))
+      sb.append(s"\n  FROM e$t\n), w$t AS (\n  SELECT ")
+      sb.append(fs.map(c =>
+        s"$prev.w_$c - (4 * g_$c) // (n.n * 1000000) AS w_$c").mkString(",\n         "))
+      sb.append(s"\n  FROM g$t, $prev, n\n)")
+    }
+    val wf = s"w$iters"
+    sb.append(
+      s"""
+         |SELECT doc_id, label, score_ppm,
+         |       CAST(CASE WHEN score_ppm >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+         |FROM (
+         |  SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+         |         CAST(${sigma(wf)} AS BIGINT) AS score_ppm
+         |  FROM f, $wf)
+         |ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+
   /** The sign-IVF probe as a reusable CTE chain (q, c, cl, …, probe):
     * `signIvfOracleSql` closes it with the exact-cosine ranking;
     * `ivfAdcOracleSql` (q175) splices the PQ CTEs between the probe
@@ -4710,6 +4796,13 @@ object QueryCatalog {
         |QUALIFY row_number() OVER (
         |  ORDER BY target_ppm - raw_ppm DESC, doc_id) <= (SELECT m FROM m)
         |ORDER BY doc_id""".stripMargin,
+    // q190: the fixed-point logistic training loop unrolled — each
+    // iteration is one CTE pair (gradient sums in HUGEINT, weight
+    // update with DuckDB's `//`, which truncates toward zero exactly
+    // like the engine's tdiv/BigInt convention on signed operands).
+    // Iteration 1 is closed-form (zero weights ⇒ σ = 500000
+    // everywhere).
+    "q190_docs_quality_classifier" -> logisticOracleSql(iters = 3),
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->
