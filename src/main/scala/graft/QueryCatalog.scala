@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.{RawLayer, Scd2}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Chunking, Classifier, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
+import graft.operators.{AsOfJoin, Bpe, Chunking, Classifier, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -3659,6 +3659,34 @@ object QueryCatalog {
           col("predicted"))
         .orderBy(col("doc_id"))
     }),
+
+    // distributed BPE merge training (r11): tokenizer induction as a
+    // data-parallel loop — the corpus touched ONCE (word-frequency
+    // groupBy), then every merge iteration runs on the vocabulary-
+    // sized word table; only the winning pair crosses the driver per
+    // iteration. The wrapped-symbol-string representation makes each
+    // merge a single codegen'd literal replace with the same greedy
+    // left-to-right semantics in both engines (see Bpe scaladoc), so
+    // the six learned rules AND the post-merge symbol totals hash
+    // bit-for-bit against the unrolled-CTE oracle.
+    "q191_docs_bpe_merges" -> ((s, dir) => {
+      val words = Bpe.wordCounts(t(s, dir, "documents"), "text")
+      Bpe.trainDf(s, words, nMerges = 6).orderBy(col("merge_rank"))
+    }),
+
+    // BPE encoding under the learned rules (r11): the replace chain
+    // applied to the word TABLE (never re-scanning the corpus),
+    // exploded symbols weighted by word count — the top of the learned
+    // vocabulary with exact weighted frequencies.
+    "q192_docs_bpe_encode" -> ((s, dir) => {
+      // one corpus pass total: the vocab-sized word table feeds both
+      // the merge loop and the final encode from local blocks
+      val words = Bpe.wordCounts(t(s, dir, "documents"), "text")
+        .localCheckpoint()
+      val rules = Bpe.train(words, nMerges = 6)
+      Bpe.encode(words, rules.map(r => (r.left_sym, r.right_sym)))
+        .orderBy(col("tcount").desc, col("token")).limit(50)
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -3780,6 +3808,70 @@ object QueryCatalog {
          |         CAST(${sigma(wf)} AS BIGINT) AS score_ppm
          |  FROM f, $wf)
          |ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+
+  /** The BPE merge loop unrolled as chained CTEs (q191/q192): w{i} is
+    * the word table after i merges in the engine's wrapped-symbol
+    * representation, p{i} the weighted adjacent-pair counts, m{i} the
+    * deterministic argmax (count DESC, pair ASC), and the merge
+    * application is DuckDB's literal `replace` — which scans left to
+    * right, non-overlapping, exactly like Spark's `StringReplace`, so
+    * the greedy BPE semantics match by construction (see Bpe
+    * scaladoc). `encode = false` emits the six rules with post-merge
+    * symbol totals; `encode = true` applies all rules and emits the
+    * top-50 learned vocabulary with exact weighted counts.
+    */
+  private def bpeOracleSql(nMerges: Int, encode: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS wcount
+        |  FROM tok WHERE word <> '' GROUP BY 1
+        |), w0 AS (
+        |  SELECT left(s, length(s) - 1) AS sym, wcount
+        |  FROM (SELECT ' ' || regexp_replace(word, '(.)', '\1  ', 'g') AS s,
+        |               wcount
+        |        FROM wc)
+        |)""".stripMargin)
+    for (i <- 0 until nMerges) {
+      sb.append(s""", p$i AS (
+        |  SELECT a[j] AS l, a[j+1] AS r, CAST(SUM(wcount) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(sym), '  ') AS a, wcount FROM w$i),
+        |       UNNEST(generate_series(1, len(a) - 1)) AS t(j)
+        |  GROUP BY 1, 2
+        |), m$i AS (
+        |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1
+        |), w${i + 1} AS (
+        |  SELECT replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+        |                 ' ' || m.l || m.r || ' ') AS sym, wcount
+        |  FROM w$i, m$i m
+        |)""".stripMargin)
+      if (!encode) sb.append(s""", s${i + 1} AS (
+        |  SELECT CAST(SUM(wcount * len(string_split(trim(sym), '  '))) AS BIGINT) AS st
+        |  FROM w${i + 1}
+        |)""".stripMargin)
+    }
+    if (encode) {
+      sb.append(s"""
+        |SELECT token, tcount FROM (
+        |  SELECT token, CAST(SUM(wcount) AS BIGINT) AS tcount
+        |  FROM (SELECT unnest(string_split(trim(sym), '  ')) AS token, wcount
+        |        FROM w$nMerges)
+        |  GROUP BY 1)
+        |ORDER BY tcount DESC, token LIMIT 50""".stripMargin)
+    } else {
+      val rows = (0 until nMerges).map(i =>
+        s"""  SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, m$i.l AS left_sym,
+           |         m$i.r AS right_sym, m$i.cnt AS pair_count, s${i + 1}.st AS symbol_total
+           |  FROM m$i, s${i + 1}""".stripMargin)
+      sb.append("\nSELECT * FROM (\n")
+      sb.append(rows.mkString("\n  UNION ALL\n"))
+      sb.append("\n)\nORDER BY merge_rank")
+    }
     sb.toString
   }
 
@@ -4803,6 +4895,11 @@ object QueryCatalog {
     // Iteration 1 is closed-form (zero weights ⇒ σ = 500000
     // everywhere).
     "q190_docs_quality_classifier" -> logisticOracleSql(iters = 3),
+    // q191/q192: the BPE merge loop unrolled — merge application is
+    // literal replace on the wrapped symbol string, identical greedy
+    // semantics in both engines (see bpeOracleSql).
+    "q191_docs_bpe_merges" -> bpeOracleSql(nMerges = 6, encode = false),
+    "q192_docs_bpe_encode" -> bpeOracleSql(nMerges = 6, encode = true),
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->
