@@ -3687,6 +3687,28 @@ object QueryCatalog {
       Bpe.encode(words, rules.map(r => (r.left_sym, r.right_sym)))
         .orderBy(col("tcount").desc, col("token")).limit(50)
     }),
+
+    // maximal repeated-span mining (r11): the ExactSubstr dedup shape
+    // (Lee et al. 2022) — per document, the maximal token runs whose
+    // every 10-token window occurs >= 2 times anywhere in the corpus
+    // (cross-document or within-document). Plants: the 30-token
+    // prefix of every doc_id % 11 == 0 document re-issued as a new
+    // document (span-derived collision-free ids), guaranteeing
+    // cross-document verbatim runs the miner must recover exactly.
+    // The engine exchanges only (doc_id, pos, 64-bit gram hash); the
+    // oracle recomputes with literal gram strings — equal absent
+    // 64-bit collisions (the fingerprints precedent).
+    "q193_docs_repeated_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val off = plantOffset(d, "doc_id") // collision-free at any scale (r11)
+      val plants = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          expr("array_join(slice(filter(split(trim(text), '\\\\s+'), " +
+            "x -> x != ''), 1, 30), ' ')").as("text"))
+      val all = d.select(col("doc_id"), col("text")).unionByName(plants)
+      Dedup.repeatedSpans(all, "doc_id", "text", w = 10)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4900,6 +4922,39 @@ object QueryCatalog {
     // semantics in both engines (see bpeOracleSql).
     "q191_docs_bpe_merges" -> bpeOracleSql(nMerges = 6, encode = false),
     "q192_docs_bpe_encode" -> bpeOracleSql(nMerges = 6, encode = true),
+    // q193: repeated windows by literal gram text (the engine hashes
+    // them — equal absent 64-bit collisions), islands via the
+    // p − row_number() run-grouping identity.
+    "q193_docs_repeated_spans" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + ${plantOffsetSql("documents", "doc_id")} AS doc_id,
+        |         array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |                                     x -> x <> '')[1:30], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM base WHERE length(trim(text)) > 0
+        |), g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS gram
+        |  FROM d, UNNEST(generate_series(1, len(toks) - 9)) AS t(i)
+        |), rep AS (
+        |  SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+        |       UNNEST(generate_series(pos, pos + 9)) AS t(p)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM cov
+        |)
+        |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |       CAST(COUNT(*) AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     // q43: frame sampling is pure integer arithmetic over the payload
     // byte length — every 2nd complete 64-byte chunk.
     "q43_multimodal_frames" ->

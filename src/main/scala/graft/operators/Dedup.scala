@@ -957,4 +957,67 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"),
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Maximal repeated-span mining — the ExactSubstr dedup shape
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): report, per document, the maximal token runs
+    * whose every `w`-token window occurs ≥ 2 times ANYWHERE in the
+    * corpus (other documents or the same one). The suffix-array
+    * construction the paper uses is replaced by the windowed
+    * equivalent that distributes: a repeated substring of ≥ w tokens
+    * contains only repeated w-windows, so the union of repeated-window
+    * positions, merged into consecutive runs, recovers the repeated
+    * spans (distinct nearby repeats that touch or overlap merge into
+    * one reported run — the standard windowed coarsening).
+    * Returns (doc_id, span_start — 1-based token index, span_len).
+    *
+    * Where [[removeFrequentSpans]] scrubs CORPUS-FREQUENT fixed
+    * n-grams (boilerplate, df ≥ minDf documents), this finds ANY
+    * duplicated run (count ≥ 2 occurrences, within-document repeats
+    * included) and reports its maximal extent — the pass you run to
+    * measure/excise verbatim duplication that whole-doc and near-dup
+    * dedup both miss.
+    *
+    * Scale shape — every exchange is narrow:
+    *  - windows are built inside codegen and leave the scan as
+    *    (doc_id, pos, 8-byte xxhash64(gram)) — the gram TEXT never
+    *    crosses a shuffle (the r10 narrow-exchange rule; 64-bit
+    *    collisions mark a non-repeated window repeated with ~n²/2⁶⁴
+    *    odds — the [[fingerprints]] precedent, negligible at any
+    *    realistic corpus);
+    *  - the occurrence count is map-side combinable on the hash; the
+    *    repeated-set join is hash-keyed and pinned sort-merge
+    *    ([[neverBroadcast]] — the repeated set is NOT guaranteed
+    *    small, unlike boilerplate);
+    *  - covered positions dedup and island-merge as 16-byte
+    *    (doc_id, pos) rows; the per-document window is bounded by
+    *    document length.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(trim(`$textCol`), '\\\\s+'), x -> x != '')").as("toks"))
+    val grams = toks.select(col("doc_id"),
+        expr(s"CASE WHEN size(toks) >= $w THEN " +
+          s"transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> struct(i AS pos, xxhash64(array_join(slice(toks, i, $w), ' ')) AS gh)) " +
+          s"ELSE CAST(array() AS array<struct<pos: int, gh: bigint>>) END").as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val rep = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gh"))
+    val covered = grams.join(neverBroadcast(rep), Seq("gh"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${w - 1})")).as("p"))
+      .distinct()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    covered.withColumn("grp", col("p") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        count(lit(1)).cast("long").as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RepeatedSpansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def spansOf(docs: Seq[(Long, String)], w: Int = 3): Seq[(Long, Long, Long)] =
+    Dedup.repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("cross-document, within-document, and multi-span cases — hand computed") {
+    // doc 1/3 share the run "b c d"; doc 2 repeats "x x x" WITHIN
+    // itself (positions 1 and 2 → covered 1..4); doc 4 carries three
+    // separate repeated runs (bcd with docs 1/3; "z z z" twice within
+    // itself at positions 8 and 14) that must NOT merge across the
+    // unique gaps.
+    val spans = spansOf(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x x x x"),
+      (3L, "q b c d r"),
+      (4L, "b c d m n o p z z z q r s z z z")))
+    assert(spans === Seq(
+      (1L, 2L, 3L),
+      (2L, 1L, 4L),
+      (3L, 2L, 3L),
+      (4L, 1L, 3L), (4L, 8L, 3L), (4L, 14L, 3L)))
+  }
+
+  test("no repeats, short docs, and empty docs produce no spans") {
+    assert(spansOf(Seq(
+      (1L, "a b c d"),
+      (2L, "e f"), // shorter than the window
+      (3L, ""))).isEmpty)
+  }
+
+  test("touching repeats coarsen into one maximal run (windowed semantics)") {
+    // "a b c" repeats (docs 5/6) and "c d e" repeats (docs 5/7); in
+    // doc 5 their extents touch at position 3 → one merged run 1..5.
+    val spans = spansOf(Seq(
+      (5L, "a b c d e"),
+      (6L, "a b c x y"),
+      (7L, "z c d e w")))
+    assert(spans === Seq(
+      (5L, 1L, 5L),
+      (6L, 1L, 3L),
+      (7L, 2L, 3L)))
+  }
+
+  test("loud require on a degenerate window") {
+    intercept[IllegalArgumentException] {
+      Dedup.repeatedSpans(Seq((1L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", w = 1)
+    }
+  }
+}
