@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.{RawLayer, Scd2}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Bpe, Chunking, Classifier, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
+import graft.operators.{AsOfJoin, Bpe, Chunking, Classifier, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Sharding, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -3709,6 +3709,29 @@ object QueryCatalog {
       Dedup.repeatedSpans(all, "doc_id", "text", w = 10)
         .orderBy(col("doc_id"), col("span_start"))
     }),
+
+    // deterministic corpus shuffle + shard assignment (r11): every
+    // document gets a pseudorandom reproducible position (md5 order)
+    // and an equal-count shard; the global index is computed with the
+    // Ids split (hex-prefix buckets + within-bucket rank) so no
+    // corpus-sized single-partition window exists. Output: the exact
+    // assignment on a deterministic sample slice.
+    "q194_docs_shuffle_shards" -> ((s, dir) => {
+      val assigned = Sharding.shuffleShards(
+        t(s, dir, "documents"), "doc_id", "text", nShards = 8)
+      assigned.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), col("global_idx"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // shard balance audit (r11): what equal-COUNT sharding does to
+    // TOKEN balance — per-shard doc and token totals, the number the
+    // training loop actually feeds on.
+    "q195_docs_shard_balance" -> ((s, dir) => {
+      val assigned = Sharding.shuffleShards(
+        t(s, dir, "documents"), "doc_id", "text", nShards = 8)
+      Sharding.shardBalance(assigned).orderBy(col("shard_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4922,6 +4945,40 @@ object QueryCatalog {
     // semantics in both engines (see bpeOracleSql).
     "q191_docs_bpe_merges" -> bpeOracleSql(nMerges = 6, encode = false),
     "q192_docs_bpe_encode" -> bpeOracleSql(nMerges = 6, encode = true),
+    // q194/q195: md5 order is engine-identical (same lowercase hex of
+    // the decimal id string), so the dense rank, the arithmetic shard
+    // cut, and the per-shard totals all hash-check exactly.
+    "q194_docs_shuffle_shards" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), i AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY h, doc_id) - 1 AS gi,
+        |         (SELECT count(*) FROM a) AS c
+        |  FROM a
+        |)
+        |SELECT doc_id, CAST(gi AS BIGINT) AS global_idx,
+        |       CAST((gi * 8) // c AS BIGINT) AS shard_id
+        |FROM i WHERE doc_id % 37 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "q195_docs_shard_balance" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), i AS (
+        |  SELECT ntok,
+        |         row_number() OVER (ORDER BY h, doc_id) - 1 AS gi,
+        |         (SELECT count(*) FROM a) AS c
+        |  FROM a
+        |)
+        |SELECT CAST((gi * 8) // c AS BIGINT) AS shard_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |FROM i GROUP BY 1
+        |ORDER BY shard_id""".stripMargin,
     // q193: repeated windows by literal gram text (the engine hashes
     // them — equal absent 64-bit collisions), islands via the
     // p − row_number() run-grouping identity.
