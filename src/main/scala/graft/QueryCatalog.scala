@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.{RawLayer, Scd2}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Bpe, Chunking, Classifier, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Sharding, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
+import graft.operators.{AsOfJoin, Bpe, Chunking, Classifier, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LangId, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Sharding, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -3732,6 +3732,20 @@ object QueryCatalog {
         t(s, dir, "documents"), "doc_id", "text", nShards = 8)
       Sharding.shardBalance(assigned).orderBy(col("shard_id"))
     }),
+
+    // trained char-trigram language ID (r11): the Cavnar-Trenkle rank
+    // profile classifier — profiles induced from the doc_id % 2 = 0
+    // labeled slice, every document scored by the integer out-of-place
+    // distance, argmin with (dist, lang) tie-break. The TRAINED twin
+    // of the heuristic lang-id (q22 family); profiles are bounded at
+    // languages x k rows, the one legitimately-broadcast side.
+    "q196_docs_langid_trained" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val profiles = LangId.trainProfiles(
+        d.filter(col("doc_id") % 2 === 0), "lang", "doc_id", "text", k = 64)
+      LangId.classify(d, profiles, "doc_id", "text", docTopN = 32, k = 64)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -4945,6 +4959,51 @@ object QueryCatalog {
     // semantics in both engines (see bpeOracleSql).
     "q191_docs_bpe_merges" -> bpeOracleSql(nMerges = 6, encode = false),
     "q192_docs_bpe_encode" -> bpeOracleSql(nMerges = 6, encode = true),
+    // q196: the rank-profile classifier end-to-end in SQL — same
+    // trigram windows, same (count DESC, tri) rank ties, same
+    // out-of-place sum and (dist, lang) argmin.
+    "q196_docs_langid_trained" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+        |), tg AS (
+        |  SELECT doc_id, lang, substr(t, i, 3) AS tri
+        |  FROM t0, UNNEST(generate_series(1, length(t) - 2)) AS ti(i)
+        |  WHERE length(t) >= 3
+        |), dc AS (
+        |  SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1, 2
+        |), lc AS (
+        |  SELECT lang, tri, CAST(count(*) AS BIGINT) AS c
+        |  FROM tg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        |), lp AS (
+        |  SELECT lang, tri, rp FROM (
+        |    SELECT lang, tri,
+        |           row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri) AS rp
+        |    FROM lc)
+        |  WHERE rp <= 64
+        |), dn AS (
+        |  SELECT doc_id, tri, rd FROM (
+        |    SELECT doc_id, tri,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tri) AS rd
+        |    FROM dc)
+        |  WHERE rd <= 32
+        |), langs AS (SELECT DISTINCT lang FROM lp
+        |), d2 AS (
+        |  SELECT dn.doc_id, langs.lang,
+        |         CAST(SUM(CASE WHEN lp.rp IS NULL THEN 64
+        |                       ELSE abs(dn.rd - lp.rp) END) AS BIGINT) AS dist
+        |  FROM dn CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.lang = langs.lang AND lp.tri = dn.tri
+        |  GROUP BY 1, 2
+        |), best AS (
+        |  SELECT doc_id, lang AS pred_lang, dist
+        |  FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1
+        |)
+        |SELECT d.doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang,
+        |       COALESCE(b.dist, CAST(-1 AS BIGINT)) AS dist
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN best b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q194/q195: md5 order is engine-identical (same lowercase hex of
     // the decimal id string), so the dense rank, the arithmetic shard
     // cut, and the per-shard totals all hash-check exactly.
