@@ -3733,6 +3733,25 @@ object QueryCatalog {
       Sharding.shardBalance(assigned).orderBy(col("shard_id"))
     }),
 
+    // exact-substring dedup, keep-first (r11): the removal mode of
+    // Lee et al. 2022 over q193's windowed construction — every token
+    // position covered by a NON-first occurrence of a repeated
+    // 10-window is dropped (first = globally smallest (doc_id, pos)),
+    // documents rebuilt from survivors. The planted prefix copies
+    // (higher ids than their originals) must vanish entirely while
+    // the originals survive verbatim.
+    "q197_docs_exact_substring_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val off = plantOffset(d, "doc_id") // collision-free at any scale (r11)
+      val plants = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          expr("array_join(slice(filter(split(trim(text), '\\\\s+'), " +
+            "x -> x != ''), 1, 30), ' ')").as("text"))
+      val all = d.select(col("doc_id"), col("text")).unionByName(plants)
+      Dedup.removeRepeatedSpans(all, "doc_id", "text", w = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // trained char-trigram language ID (r11): the Cavnar-Trenkle rank
     // profile classifier — profiles induced from the doc_id % 2 = 0
     // labeled slice, every document scored by the integer out-of-place
@@ -4959,6 +4978,46 @@ object QueryCatalog {
     // semantics in both engines (see bpeOracleSql).
     "q191_docs_bpe_merges" -> bpeOracleSql(nMerges = 6, encode = false),
     "q192_docs_bpe_encode" -> bpeOracleSql(nMerges = 6, encode = true),
+    // q197: keep-first exact-substring dedup — literal grams, the
+    // first-occurrence cut via a rank window per gram, coverage from
+    // rank >= 2 occurrences only, rebuild by ordered string_agg.
+    "q197_docs_exact_substring_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT (max(doc_id) // 1000000 + 1) * 1000000 FROM documents) AS doc_id,
+        |         array_to_string(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                     x -> x <> '')[1:30], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), d AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM base WHERE length(trim(text)) > 0
+        |), g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS gram
+        |  FROM d, UNNEST(generate_series(1, len(toks) - 9)) AS t(i)
+        |), occ AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM g
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM (SELECT doc_id, pos FROM occ WHERE rn >= 2),
+        |       UNNEST(generate_series(pos, pos + 9)) AS t(p)
+        |), tp AS (
+        |  SELECT doc_id, i AS p, toks[i] AS tok
+        |  FROM d, UNNEST(generate_series(1, len(toks))) AS t(i)
+        |), kept AS (
+        |  SELECT tp.doc_id,
+        |         string_agg(tp.tok, ' ' ORDER BY tp.p) AS cleaned,
+        |         CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM tp ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(kept.cleaned, '') AS cleaned,
+        |       CAST(len(d.toks) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q196: the rank-profile classifier end-to-end in SQL — same
     // trigram windows, same (count DESC, tri) rank ties, same
     // out-of-place sum and (dist, lang) argmin.

@@ -1020,4 +1020,59 @@ object Dedup {
         count(lit(1)).cast("long").as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
   }
+
+  /** Exact-substring dedup with keep-first semantics — the removal
+    * mode of Lee et al. 2022 on top of [[repeatedSpans]]' windowed
+    * construction: every token position covered by a NON-FIRST
+    * occurrence of a repeated `w`-window is dropped (first = globally
+    * smallest (doc_id, pos) — a total order, so the kept copy is
+    * deterministic), and documents are rebuilt from the surviving
+    * tokens. A verbatim duplicated run therefore survives exactly
+    * once, in its earliest document; later copies vanish even when
+    * the surrounding documents are otherwise unique — the duplication
+    * whole-document and near-dup dedup both miss.
+    * Returns (doc_id, cleaned, n_removed).
+    *
+    * Same narrow-exchange shape as [[repeatedSpans]] (8-byte gram
+    * hashes, (doc_id, pos) coverage rows); the first-occurrence cut is
+    * one rank window partitioned by gram hash — corpus-sized key
+    * count, per-key row counts = occurrence multiplicities.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(trim(`$textCol`), '\\\\s+'), x -> x != '')").as("toks"))
+    val grams = toks.select(col("doc_id"),
+        expr(s"CASE WHEN size(toks) >= $w THEN " +
+          s"transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> struct(i AS pos, xxhash64(array_join(slice(toks, i, $w), ' ')) AS gh)) " +
+          s"ELSE CAST(array() AS array<struct<pos: int, gh: bigint>>) END").as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gh")).orderBy(col("doc_id"), col("pos"))
+    val nonFirst = grams
+      .withColumn("rn", row_number().over(wOcc))
+      .filter(col("rn") >= 2)
+    val covered = nonFirst
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${w - 1})")).as("p"))
+      .distinct()
+    val tokPos = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val rebuilt = tokPos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(p, tok))), s -> s.tok), ' ')")
+          .as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

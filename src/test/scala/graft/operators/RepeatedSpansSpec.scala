@@ -49,6 +49,22 @@ class RepeatedSpansSpec extends SparkSpec {
       (7L, 2L, 3L)))
   }
 
+  test("keep-first removal: earliest copy survives verbatim, later copies vanish") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x x x x"),
+      (3L, "q b c d r"),
+      (100L, "a b c d e f")) // verbatim copy of doc 1, later id
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1L, "a b c d e f", 0L))) // first copy untouched
+    assert(out(1) === ((2L, "x", 3L))) // within-doc repeat keeps pos 1
+    assert(out(2) === ((3L, "q r", 3L))) // shared run removed, unique kept
+    assert(out(3) === ((100L, "", 6L))) // later verbatim copy fully gone
+  }
+
   test("loud require on a degenerate window") {
     intercept[IllegalArgumentException] {
       Dedup.repeatedSpans(Seq((1L, "a b")).toDF("doc_id", "text"),
