@@ -3752,6 +3752,32 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // end-to-end pretraining preprocessing (r11): the full pipeline a
+    // training run actually executes, composed from the catalog's own
+    // operators and verified as ONE artifact — exact dedup (keep-min
+    // per md5), quality screen (>= 10 tokens), target domain mixture
+    // (40/30/20/10 via mixToTarget's maximal-total quota), then
+    // deterministic shuffle-sharding; output is the training manifest:
+    // per (shard, source) document and token totals. Every stage is
+    // individually oracle-checked elsewhere (q23/q24/q103/q194) — this
+    // pins their COMPOSITION, where stage-boundary drift would hide.
+    "q198_docs_pretrain_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val kept = d.join(
+        Dedup.exact(d, "doc_id", "text").select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val quality = kept.filter(
+        expr("size(filter(split(trim(text), '\\\\s+'), x -> x != ''))") >= 10)
+      val mixed = Sampling.mixToTarget(quality, "source", "doc_id",
+        Map("src0" -> 400000L, "src1" -> 300000L,
+          "src2" -> 200000L, "src3" -> 100000L))
+      val assigned = Sharding.shuffleShards(mixed, "doc_id", "text", nShards = 4)
+      assigned.join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("shard_id"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("shard_id"), col("source"))
+    }),
+
     // trained char-trigram language ID (r11): the Cavnar-Trenkle rank
     // profile classifier — profiles induced from the doc_id % 2 = 0
     // labeled slice, every document scored by the integer out-of-place
@@ -5018,6 +5044,51 @@ object QueryCatalog {
         |       CAST(len(d.toks) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed
         |FROM d LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q198: the four stages chained in SQL — md5 keep-min dedup,
+    // token floor, the q103 quota mixture, the q194 md5-order shard
+    // cut — same integer arithmetic at every boundary.
+    "q198_docs_pretrain_pipeline" ->
+      """WITH kept AS (
+        |  SELECT d.* FROM documents d
+        |  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        |  USING (doc_id)
+        |), qf AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, source,
+        |           CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                x -> x <> '')) AS BIGINT) AS ntok
+        |    FROM kept)
+        |  WHERE ntok >= 10
+        |), t(source, parts) AS (
+        |  VALUES ('src0', 400000), ('src1', 300000),
+        |         ('src2', 200000), ('src3', 100000)
+        |), counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM qf GROUP BY source
+        |), tot AS (
+        |  SELECT MIN(n * 1000000 // parts) AS total
+        |  FROM counts JOIN t USING (source)
+        |), qq AS (
+        |  SELECT source, (SELECT total FROM tot) * parts // 1000000 AS quota FROM t
+        |), ranked AS (
+        |  SELECT doc_id, source, ntok,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+        |                    doc_id) AS rn
+        |  FROM qf
+        |), mixed AS (
+        |  SELECT doc_id, source, ntok
+        |  FROM ranked JOIN qq USING (source) WHERE rn <= quota
+        |), i AS (
+        |  SELECT source, ntok,
+        |         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS gi,
+        |         (SELECT count(*) FROM mixed) AS c
+        |  FROM mixed
+        |)
+        |SELECT CAST((gi * 4) // c AS BIGINT) AS shard_id, source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |FROM i GROUP BY 1, 2
+        |ORDER BY shard_id, source""".stripMargin,
     // q196: the rank-profile classifier end-to-end in SQL — same
     // trigram windows, same (count DESC, tri) rank ties, same
     // out-of-place sum and (dist, lang) argmin.
