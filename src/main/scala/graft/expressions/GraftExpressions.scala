@@ -245,6 +245,65 @@ case class HyperplaneBucket(child: Expression, planes: IndexedSeq[Double], nPlan
     copy(child = newChild)
 }
 
+/** Dense per-query ADC lookup table: scatter (idx, sjc) entry arrays
+  * into one zero-filled array<long> of `size` cells (idx = sub·2^w +
+  * code). Built once per query; the natural broadcast side of the
+  * narrow compressed-domain scan.
+  */
+case class ScatterLut(left: Expression, right: Expression, size: Int)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType])
+        && Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs two array<bigint> inputs")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "scatter_lut"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Kernels.scatterLut(
+        a.asInstanceOf[ArrayData].toLongArray(),
+        b.asInstanceOf[ArrayData].toLongArray(), size))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  graft.expressions.Kernels.scatterLut($a.toLongArray(), $b.toLongArray(), $size));""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScatterLut =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC score of a packed code array against a dense per-query lookup
+  * table: Σⱼ lut[(j << w) + codes[j]] — one compiled kernel call per
+  * (query, vector) pair, so the compressed-domain scan's exchanges
+  * carry only (query_id, neighbor_id, adc) instead of m rows per pair.
+  */
+case class AdcLookupSum(left: Expression, right: Expression, width: Int)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType])
+        && Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs two array<bigint> inputs")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "adc_lookup_sum"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.adcLookupSum(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.Kernels.adcLookupSum($a, $b, $width)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLookupSum =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API wrappers for the custom expressions. */
 object GraftFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -264,4 +323,8 @@ object GraftFunctions {
   def vecCosine(a: Column, b: Column): Column = col(VecCosine(e(a), e(b)))
   def hyperplaneBucket(v: Column, planes: IndexedSeq[Double], nPlanes: Int): Column =
     col(HyperplaneBucket(e(v), planes, nPlanes))
+  def scatterLut(idxs: Column, vals: Column, size: Int): Column =
+    col(ScatterLut(e(idxs), e(vals), size))
+  def adcLookupSum(codes: Column, lut: Column, width: Int): Column =
+    col(AdcLookupSum(e(codes), e(lut), width))
 }

@@ -271,4 +271,41 @@ object Kernels {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Scatter (idx, val) pairs into a zero-filled dense array of `size`
+    * longs — the per-query ADC lookup-table build. Unobserved cells
+    * stay 0 and are never read (a corpus code always names a cell the
+    * codebook was trained on). Out-of-range idx throws loudly rather
+    * than truncating.
+    */
+  def scatterLut(idxs: Array[Long], vals: Array[Long], size: Int): Array[Long] = {
+    val out = new Array[Long](size)
+    var i = 0
+    while (i < idxs.length) {
+      out(idxs(i).toInt) = vals(i)
+      i += 1
+    }
+    out
+  }
+
+  /** ADC score of one corpus vector against one query's dense lookup
+    * table: Σⱼ lut[(j << w) + codes(j)] — m O(1) array reads per
+    * (query, vector) pair, replacing the (sub, code)-keyed join +
+    * m-row aggregation that exploded the compressed-domain scan to
+    * |pairs|·m shuffled rows. Takes ArrayData DIRECTLY: `toLongArray`
+    * would copy the m·2^w-cell table once per scored pair — a 16 KB
+    * memcpy multiplied by |Q|·n pairs dwarfed the m lookups it fed.
+    */
+  def adcLookupSum(
+      codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      lut: org.apache.spark.sql.catalyst.util.ArrayData, w: Int): Long = {
+    var s = 0L
+    var j = 0
+    val n = codes.numElements()
+    while (j < n) {
+      s += lut.getLong((j << w) + codes.getLong(j).toInt)
+      j += 1
+    }
+    s
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftFunctions
 import graft.functions.VectorFunctions
 
 /** Similarity search over an `array<float>` embedding column.
@@ -1065,6 +1066,36 @@ object Similarity {
       .agg(sum(col("qx") * col("mc")).as("sjc"))
   }
 
+  /** Dense per-query lookup-table frames from [[pqQueryTable]] rows:
+    * one array<long> of m·2^w cells per query, indexed sub·2^w + code.
+    * |Q|·m·2^w longs total — the natural BROADCAST side of the narrow
+    * compressed-domain scan (the per-query serving batch, not the
+    * corpus). Unobserved cells stay 0 and are never read: a corpus
+    * code always names a cell its own codebook was trained on.
+    */
+  private def pqLuts(sc: DataFrame, m: Int, w: Int): DataFrame =
+    sc.select(col("query_id"),
+        (col("sub").cast("long") * (1L << w) + col("code")).as("idx"),
+        col("sjc"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("idx"), col("sjc"))).as("ent"))
+      .select(col("query_id"),
+        GraftFunctions.scatterLut(
+          transform(col("ent"), s => s.getField("idx")),
+          transform(col("ent"), s => s.getField("sjc")),
+          m << w).as("lut"))
+
+  /** Packed per-vector code arrays (codes[j] = block j's code) from
+    * exploded code rows — the scan-side twin of the codebook
+    * aggregation, derived from the same materialized rows so the
+    * corpus is not re-encoded.
+    */
+  private def packCodes(codeRows: DataFrame): DataFrame =
+    codeRows.groupBy(col("neighbor_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
   /** ADC-rank `pairs` (query_id, neighbor_id) by summed table lookups,
     * keep the top `rerank` per query (ties on neighbor_id), then
     * exact-cosine re-rank the short list to top-k.
@@ -1087,16 +1118,24 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       m: Int = 8, rerank: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = dim / m
     val corpusC = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"))
     val codeRows = pqCodeRows(corpusC, dim, m)
-    val sc = pqQueryTable(queries, pqCodebook(codeRows), dim, m, idCol, vecCol)
-    // compressed-domain scan: every candidate's ADC score is the sum
-    // of its m table lookups — a join on (sub, code), never on floats
-    val adc = codeRows.select(col("neighbor_id"), col("sub"), col("code"))
-      .join(sc, Seq("sub", "code"))
+    val luts = pqLuts(
+      pqQueryTable(queries, pqCodebook(codeRows), dim, m, idCol, vecCol), m, w)
+    // narrow compressed-domain scan: packed codes stream against the
+    // BROADCAST per-query lookup tables and one kernel call scores
+    // each pair, so only (query_id, neighbor_id, adc) ever reaches the
+    // ranking exchange. The previous (sub, code)-keyed join + m-row
+    // aggregation materialized |Q|·n·m rows through a 2^(dim/m)·m-key
+    // shuffle — ~75 GB of spill at the 100× sweep point (n = 200 000,
+    // |Q| = n/50) before dying on disk.
+    val codesPacked = corpusC.select(col("neighbor_id"),
+      array(pqBlocks(dim, m).map(b => signBucket(col("cv2"), b)): _*).as("codes"))
+    val adc = codesPacked.crossJoin(broadcast(luts))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("sjc")).as("adc"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("adc"))
     adcRerank(adc, queries, corpusC, k, rerank, idCol, vecCol)
   }
 
@@ -1133,15 +1172,17 @@ object Similarity {
       queries: DataFrame, vectors: DataFrame, k: Int, dim: Int,
       m: Int = 8, rerank: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sc = pqQueryTable(queries, spark.read.parquet(s"$path/codebook"),
-      dim, m, idCol, vecCol)
-    // posexplode index IS the sub id: codes[j] was built from block j
-    val codesFlat = spark.read.parquet(s"$path/codes")
-      .select(col("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-    val adc = codesFlat.join(sc, Seq("sub", "code"))
+    val w = dim / m
+    val luts = pqLuts(
+      pqQueryTable(queries, spark.read.parquet(s"$path/codebook"),
+        dim, m, idCol, vecCol), m, w)
+    // the stored codes are already packed (codes[j] = block j): narrow
+    // kernel scan against broadcast LUTs, as in [[pqAdcTopK]]
+    val adc = spark.read.parquet(s"$path/codes")
+      .crossJoin(broadcast(luts))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("sjc")).as("adc"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("adc"))
     adcRerank(adc, queries,
       vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
       k, rerank, idCol, vecCol)
@@ -1369,13 +1410,16 @@ object Similarity {
       .select(col("query_id"), col("list_id"),
         aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("lc"))
-    // posexplode index IS the sub id: codes[j] was built from block j
+    // the stored codes are already packed (codes[j] = block j): narrow
+    // kernel scan against broadcast LUTs — exchanges carry only
+    // (query_id, neighbor_id, list_id, rs), as in [[ivfAdcTopK]]
+    val w = dim / m
+    val luts = pqLuts(sc, m, w)
     val adc = cands
+      .select(col("query_id"), col("neighbor_id"), col("list_id"), col("codes"))
+      .join(broadcast(luts), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("list_id"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(sc, Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"), col("list_id"))
-      .agg(sum(col("sjc")).as("rs"))
+        GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("rs"))
       .join(listConst, Seq("query_id", "list_id"))
       .select(col("query_id"), col("neighbor_id"), (col("rs") + col("lc")).as("adc"))
     adcRerank(adc, queries,
@@ -1464,13 +1508,20 @@ object Similarity {
       .join(corpusC.select(col("neighbor_id"), col("list_id")), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("list_id"))
-    // ADC restricted to the cut: join candidates into the scoring, so
-    // the scored volume is (candidates × m), not (corpus × |Q| × m)
+    // ADC restricted to the cut, scored NARROW: candidates join the
+    // packed code arrays (one row per vector, from the same
+    // materialized code rows) and the broadcast per-query LUTs, and
+    // one kernel call yields the residual score — exchanges carry
+    // (query_id, neighbor_id, list_id, rs) instead of candidates × m
+    // exploded rows (the join+aggregate shape spilled ~2.8 B rows at
+    // the 100× sweep point)
+    val w = dim / m
+    val luts = pqLuts(sc, m, w)
     val adc = cands
-      .join(codeRows.select(col("neighbor_id"), col("sub"), col("code")), Seq("neighbor_id"))
-      .join(sc, Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"), col("list_id"))
-      .agg(sum(col("sjc")).as("rs"))
+      .join(packCodes(codeRows), Seq("neighbor_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("list_id"),
+        GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("rs"))
       .join(listConst, Seq("query_id", "list_id"))
       .select(col("query_id"), col("neighbor_id"), (col("rs") + col("lc")).as("adc"))
     adcRerank(adc, queries, corpusC.select(col("neighbor_id"), col("cv2")),
@@ -1585,12 +1636,16 @@ object Similarity {
       .select(col("query_id"), col("list_id"),
         aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("lc"))
+    // narrow kernel scoring (see [[ivfAdcTopK]]): packed codes ×
+    // broadcast per-query LUTs, exchanges carry ids + one long
+    val w = dim / m
+    val luts = pqLuts(sc, m, w)
     val adcAll = DurableSnapshots.truncate(
       cands.select(col("query_id"), col("neighbor_id"), col("list_id"), col("nbetter"))
-        .join(codeRows.select(col("neighbor_id"), col("sub"), col("code")), Seq("neighbor_id"))
-        .join(sc, Seq("query_id", "sub", "code"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("list_id"), col("nbetter"))
-        .agg(sum(col("sjc")).as("rs"))
+        .join(packCodes(codeRows), Seq("neighbor_id"))
+        .join(broadcast(luts), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("list_id"), col("nbetter"),
+          GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("rs"))
         .join(listConst, Seq("query_id", "list_id"))
         .select(col("query_id"), col("neighbor_id"), col("nbetter"),
           (col("rs") + col("lc")).as("adc")),

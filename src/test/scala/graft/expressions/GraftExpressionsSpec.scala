@@ -98,4 +98,37 @@ class GraftExpressionsSpec extends SparkSpec {
     val Array(b1, b2) = df.collect().map(_.getLong(0))
     assert((b1 ^ b2) === 255L)
   }
+
+  test("scatterLut places entries densely; unobserved cells stay 0") {
+    val lut = Kernels.scatterLut(Array(3L, 0L, 5L), Array(30L, -7L, 50L), 8)
+    assert(lut.toSeq === Seq(-7L, 0L, 0L, 30L, 0L, 50L, 0L, 0L))
+  }
+
+  test("adcLookupSum = Σⱼ lut[(j << w) + codes[j]] — hand case") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def ad(xs: Array[Long]) = UnsafeArrayData.fromPrimitiveArray(xs)
+    // m = 2 blocks, w = 2 bits: lut cells 0-3 = block 0, 4-7 = block 1
+    val lut = ad(Array(10L, 11L, 12L, 13L, 20L, 21L, 22L, 23L))
+    // codes = [2, 1] → lut[2] + lut[4 + 1] = 12 + 21 = 33
+    assert(Kernels.adcLookupSum(ad(Array(2L, 1L)), lut, 2) === 33L)
+    // empty codes → 0 (vacuous sum)
+    assert(Kernels.adcLookupSum(ad(Array.emptyLongArray), lut, 2) === 0L)
+  }
+
+  test("adc lookup expressions agree between codegen plan and kernels") {
+    val df = Seq((Array(2L, 1L), Array(3L, 0L), Array(30L, -7L)))
+      .toDF("codes", "idxs", "vals")
+      .select(
+        GraftFunctions.adcLookupSum(
+          col("codes"),
+          GraftFunctions.scatterLut(col("idxs"), col("vals"), 8), 2).as("adc"))
+    // lut = [-7, 0, 0, 30, 0, 0, 0, 0]; codes [2, 1] → lut[2] + lut[5] = 0
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    assert(df.head.getLong(0) ===
+      Kernels.adcLookupSum(
+        UnsafeArrayData.fromPrimitiveArray(Array(2L, 1L)),
+        UnsafeArrayData.fromPrimitiveArray(
+          Kernels.scatterLut(Array(3L, 0L), Array(30L, -7L), 8)), 2))
+    assert(df.head.getLong(0) === 0L)
+  }
 }
