@@ -21,15 +21,34 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def defaultBuilder(master: String = "local[32]", cores: Int = 32): SparkSession.Builder =
+  /** Cores the session should assume: `SPARK_GRAFT_CPUS` when set,
+    * else the JVM's visible processor count. Callers that hardcoded 32
+    * over-provisioned shuffle width on smaller machines.
+    */
+  def availableCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Default shuffle width for `cores` executor threads: the sf10
+    * sweep measured 96-wide shuffles 2–4× SLOWER than 32 at fixed 32
+    * cores on the ANN family (q185 501 s → 121 s) — per-partition
+    * sort/agg buffers shrink below the spill threshold only to pay 3×
+    * the task-scheduling and merge fan-in. Width = cores is the right
+    * local default; `SPARK_GRAFT_SHUFFLE` remains the explicit
+    * override for sweeps that NEED wider (memory-bound 100× data) or a
+    * cluster posture (~2-3× total cores, AQE coalesces down).
+    */
+  def shuffleWidth(cores: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse(cores)
+
+  def defaultBuilder(master: String = s"local[${availableCores}]",
+      cores: Int = availableCores): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      // shuffle width defaults to the core count locally; a cluster (or
-      // a local sweep over 100× data, where core-count partitions make
-      // multi-GB sort/agg buffers) overrides via SPARK_GRAFT_SHUFFLE —
-      // the ~2-3× total-cores posture
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores.toString))
+      // shuffle width = cores (see [[shuffleWidth]]); a cluster (or a
+      // local sweep over 100× data, where core-count partitions make
+      // multi-GB sort/agg buffers) overrides via SPARK_GRAFT_SHUFFLE
+      .config("spark.sql.shuffle.partitions", shuffleWidth(cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // parquet TIMESTAMP(isAdjustedToUTC=false) reads as classic

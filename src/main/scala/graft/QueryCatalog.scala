@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.{RawLayer, Scd2}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Bpe, Chunking, Classifier, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LangId, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Sharding, Similarity, Sketches, TermStats, TypedOps, VersionedTable, ZOrder}
+import graft.operators.{AsOfJoin, Bpe, Chunking, Classifier, DataSkipping, Dedup, Funnel, Ids, IncrementalAgg, LangId, LanguageModel, Multimodal, PartitionedLake, Profiler, Quality, Sampling, ScaleJoins, Sharding, Similarity, Sketches, TermStats, TypedOps, VersionedTable, Windows, ZOrder}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -1245,13 +1245,19 @@ object QueryCatalog {
 
     // per-source quality deciles (ntile over token count): the binning
     // step behind "keep the top-k quality deciles per source" curation.
+    // A handful of sources × corpus-sized window partitions is the q99
+    // shape — Windows.ntileBucketed splits the sort by token-count
+    // bucket (width 8 ≈ hundreds of buckets over the token range), so
+    // no task ever holds a whole source.
     "q82_docs_quality_deciles" -> ((s, dir) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("n_tokens").desc, col("doc_id"))
-      t(s, dir, "documents")
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      Windows.ntileBucketed(d, Seq("source"), "n_tokens",
+          tieCols = Seq(col("doc_id")), n = 10, descending = true,
+          bucketWidth = 8L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tile").as("decile"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1400,16 +1406,18 @@ object QueryCatalog {
     // rank-family window functions over a tie-heavy ordering:
     // percent_rank/cume_dist are one division of exact integers —
     // bit-identical across engines (the catalog's no-round rule).
+    // l_returnflag has 3 values, so the naive window sorts the whole
+    // corpus in 3 tasks (153.5 s at sf10, unboundable at 100 TB);
+    // Windows.rankFunctions computes the identical four columns with
+    // every corpus-sized step partitioned by value bucket.
     "q99_rank_functions" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(floor(col("l_quantity")).cast("long"))
-      t(s, dir, "lineitem").select(
+      val base = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_returnflag"),
-        rank().over(w).cast("long").as("rnk"),
-        dense_rank().over(w).cast("long").as("drnk"),
-        percent_rank().over(w).as("prnk"),
-        cume_dist().over(w).as("cdist"))
+        floor(col("l_quantity")).cast("long").as("__k"))
+      Windows.rankFunctions(base, Seq("l_returnflag"), "__k")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("rnk"), col("drnk"), col("prnk"), col("cdist"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 

