@@ -3398,6 +3398,29 @@ object QueryCatalog {
         .orderBy(col("family"), col("n_probe"))
     }),
 
+    // q199 (r12): the SAMPLED calibration sweep — q177's exact twin
+    // with maxQueries = 24, the production tuning posture: ground
+    // truth (the sweep's dominant cost, |Q|·n) runs over a fixed
+    // hash-priority query sample, so calibration stays ~linear in n
+    // as the corpus grows (657 s of pinned full truth at sf10 was the
+    // r11 sweep's slowest green query). The sample priority is md5 of
+    // the id string — the one hash both engines compute identically —
+    // so the sampled sweep is value-checked end to end, not just the
+    // full one. At sf ≤ 0.01 the 24-query bound exceeds |Q| and the
+    // sample IS the full set (spec-pinned law); sf0.1's 40 queries
+    // make it a genuine sample inside the driver gate.
+    "q199_ann_recall_sampled" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n = e.count()
+      val bits = Similarity.autoQuantBits(n, 64)
+      val rerank = Similarity.autoAdcRerank(n)
+      Similarity.recallProbeCurve(e.filter(col("vec_id") % 50 === 0), e,
+          k = 5, dim = 64, bits = bits,
+          probeGrid = Seq(63, 188, 438).map(Similarity.probeBudget(bits, _)),
+          m = 8, rerank = rerank, maxQueries = Some(24))
+        .orderBy(col("family"), col("n_probe"))
+    }),
+
     // Persisted IVFADC index (r9): the full FAISS serving shape on
     // disk — centroids (probe table), residual codes partitioned by
     // list_id (the probe cut becomes partition pruning), residual
@@ -3995,7 +4018,7 @@ object QueryCatalog {
     */
   private def signIvfProbeCtes(
       dim: Int, bits: Int, nProbe: Int,
-      centroidWhere: String = ""): String = {
+      centroidWhere: String = "", queryLimit: Option[Int] = None): String = {
     val dims = Similarity.quantDims(dim, bits)
     val scale = Similarity.centroidScale
     def bucket(v: String) = dims.zipWithIndex.map { case (d, j) =>
@@ -4005,9 +4028,15 @@ object QueryCatalog {
     // computed from (q179's frozen-at-build-time coarse quantizer);
     // empty = centroids over the whole corpus (q44/q72/q134/q175...).
     val cw = if (centroidWhere.isEmpty) "" else s"\n  WHERE $centroidWhere"
+    // q199's sampled sweep: hash-priority sample of the query set —
+    // md5 of the id STRING is the one priority hash both engines
+    // compute identically (Spark has xxhash64, DuckDB does not)
+    val ql = queryLimit
+      .map(mq => s"\n  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id\n  LIMIT $mq")
+      .getOrElse("")
     s"""q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-       |  FROM embeddings WHERE vec_id % 50 = 0
+       |  FROM embeddings WHERE vec_id % 50 = 0$ql
        |), c AS (
        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
        |), cl AS (
@@ -4315,7 +4344,8 @@ object QueryCatalog {
     * counts, so the whole curve hashes exactly.
     */
   private def recallCalibrationOracleSql(
-      dim: Int, bits: Int, grid: Seq[Int], m: Int, rerank: Int, k: Int): String = {
+      dim: Int, bits: Int, grid: Seq[Int], m: Int, rerank: Int, k: Int,
+      queryLimit: Option[Int] = None): String = {
     val maxP = grid.max
     val pointCtes = grid.map { n =>
       s"""s_$n AS (
@@ -4352,7 +4382,7 @@ object QueryCatalog {
            |  (SELECT COUNT(*) FROM atop_$n JOIN truth USING (query_id, neighbor_id)) AS hits,
            |  (SELECT n_pairs FROM npairs) AS n_pairs""".stripMargin)
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${signIvfProbeCtes(dim, bits, maxP)}, ${residualPqCtes(dim, m)}, truth AS (
+    s"""WITH ${signIvfProbeCtes(dim, bits, maxP, queryLimit = queryLimit)}, ${residualPqCtes(dim, m)}, truth AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |           row_number() OVER (PARTITION BY query_id
@@ -4678,6 +4708,12 @@ object QueryCatalog {
     "q177_ann_recall_calibration" ->
       recallCalibrationOracleSql(dim = 64, bits = 7, grid = Seq(8, 24, 56),
         m = 8, rerank = 96, k = 5),
+    // q199 ≡ q177 restricted to the md5-priority 24-query sample —
+    // same generator, one LIMIT: the sampled production-tuning path
+    // is value-checked by the same arithmetic as the exact twin
+    "q199_ann_recall_sampled" ->
+      recallCalibrationOracleSql(dim = 64, bits = 7, grid = Seq(8, 24, 56),
+        m = 8, rerank = 96, k = 5, queryLimit = Some(24)),
     // q178 ≡ q175 at equal parameters by construction — one oracle
     // value-checks both, making the equivalence itself driver-checked
     "q178_emb_ann_ivfadc_index" ->

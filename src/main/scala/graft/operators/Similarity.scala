@@ -1567,7 +1567,10 @@ object Similarity {
   /** `maxQueries` (r10, VERDICT r9 #7) makes "calibrate on a query
     * sample at scale" executable instead of advisory: when set, the
     * sweep runs over a deterministic hash-priority sample of that many
-    * queries (the [[Sampling]] posture — no RNG, rerun-stable), so the
+    * queries (the [[Sampling]] posture — no RNG, rerun-stable; the
+    * priority hash is md5 of the id string, which BOTH engines
+    * implement identically, so the sampled sweep is itself
+    * oracle-checkable — q199), so the
     * sweep's dominant cost — brute-force ground truth, |Q|·n — stays
     * FIXED as the corpus grows and the whole calibration is ~linear in
     * n. Recall estimated from a few hundred queries is how every ANN
@@ -1589,7 +1592,7 @@ object Similarity {
         // list-constant subtrees, and each reference would re-run the
         // sort-limit otherwise
         DurableSnapshots.truncate(
-          queries.orderBy(xxhash64(col(idCol)), col(idCol)).limit(mq),
+          queries.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(mq),
           checkpointDir, "recall_qsample")
       case None => queries
     }
