@@ -25,8 +25,13 @@ object GraftSession {
     * else the JVM's visible processor count. Callers that hardcoded 32
     * over-provisioned shuffle width on smaller machines.
     */
-  def availableCores: Int =
-    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+  def availableCores: Int = availableCores(sys.env)
+
+  /** Env-injectable form so the derivation itself is spec-testable
+    * (both branches) regardless of the test JVM's real environment.
+    */
+  private[graft] def availableCores(env: Map[String, String]): Int =
+    env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
 
   /** Default shuffle width for `cores` executor threads: the sf10
@@ -38,8 +43,10 @@ object GraftSession {
     * override for sweeps that NEED wider (memory-bound 100× data) or a
     * cluster posture (~2-3× total cores, AQE coalesces down).
     */
-  def shuffleWidth(cores: Int): Int =
-    sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse(cores)
+  def shuffleWidth(cores: Int): Int = shuffleWidth(cores, sys.env)
+
+  private[graft] def shuffleWidth(cores: Int, env: Map[String, String]): Int =
+    env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse(cores)
 
   def defaultBuilder(master: String = s"local[${availableCores}]",
       cores: Int = availableCores): SparkSession.Builder =
@@ -78,7 +85,8 @@ object GraftSession {
       .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
 
-  def default(master: String = "local[32]", cores: Int = 32): SparkSession = {
+  def default(master: String = s"local[${availableCores}]",
+      cores: Int = availableCores): SparkSession = {
     val s = defaultBuilder(master, cores).getOrCreate()
     // also covers sessions that existed before this call (extensions
     // only apply at build time)
