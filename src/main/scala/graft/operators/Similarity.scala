@@ -572,6 +572,73 @@ object Similarity {
     }
   }
 
+  /** Which family [[annServeTopK]] will run under a per-vector memory
+    * budget — the serving-plan route (VERDICT r11 #6): [[annTopK]]'s
+    * dispatcher picks by corpus REGIME (LSH inside 1600·dim, sign-IVF
+    * past it), but both of those serve from full-precision vectors —
+    * 4·dim bytes each (float32, the canonical embedding storage). A
+    * memory-bounded deployment (the reason PQ exists: serve 100 TB of
+    * vectors from RAM-sized executors) states its budget as bytes per
+    * corpus vector; when the budget can't hold full vectors the only
+    * family that fits is IVFADC — codes are one byte per subquantizer
+    * (m bytes/vector, 32× smaller at dim 64 / m 8), and the float I/O
+    * that remains is the bounded rerank read, not the index. Split out
+    * from the executable form so specs and capacity planning can pin
+    * the route without running a query.
+    */
+  def annServePlan(n: Long, dim: Int, maxBytesPerVector: Int): String = {
+    require(maxBytesPerVector >= 1,
+      s"maxBytesPerVector out of range: $maxBytesPerVector")
+    if (maxBytesPerVector >= 4 * dim) annRoute(n, dim) else "ivf-adc"
+  }
+
+  /** Subquantizer count the byte budget buys: codes are one byte each,
+    * so m ≤ maxBytesPerVector; m must divide dim (each code covers
+    * w = dim/m components), and more codes = finer quantization — so
+    * take the largest power-of-two divisor of dim inside the budget.
+    * dim 64: budget 8 → m 8 (the pinned catalog geometry, w = 8);
+    * budget 32 → m 32 (w = 2, near-scalar); budget 1 → m 1 (the
+    * loudest compression that still runs). Monotone in the budget.
+    */
+  def adcCodeBudget(dim: Int, maxBytesPerVector: Int): Int = {
+    require(maxBytesPerVector >= 1,
+      s"maxBytesPerVector out of range: $maxBytesPerVector")
+    var m = Integer.highestOneBit(math.min(maxBytesPerVector, dim))
+    while (dim % m != 0) m >>= 1
+    m
+  }
+
+  /** ANN top-k under a per-vector serving-memory budget — the
+    * [[annTopK]] discipline extended to the compressed-domain family:
+    * budgets that hold full-precision vectors route to [[annTopK]]
+    * (regime-dispatched LSH/sign-IVF, exact-cosine ranking); tighter
+    * budgets route to [[ivfAdcTopK]] at the occupancy-tuned auto
+    * budgets ([[autoQuantBits]] lists, [[probeBudget]] probes,
+    * [[adcCodeBudget]] codes, [[autoAdcRerank]] exact rerank). Callers
+    * wanting memory-bounded serving previously chose the family and
+    * its five budgets manually; this makes the 32×-smaller-index path
+    * one parameter: the bytes the deployment can spend per vector.
+    */
+  def annServeTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      maxBytesPerVector: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusCount: Long = -1L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val n = if (corpusCount >= 0L) corpusCount else corpus.count()
+    annServePlan(n, dim, maxBytesPerVector) match {
+      case "ivf-adc" =>
+        val bits = autoQuantBits(n, dim)
+        ivfAdcTopK(queries, corpus, k, dim = dim, bits = bits,
+          nProbe = probeBudget(bits), m = adcCodeBudget(dim, maxBytesPerVector),
+          rerank = autoAdcRerank(n), idCol = idCol, vecCol = vecCol,
+          checkpointDir = checkpointDir)
+      case _ =>
+        annTopK(queries, corpus, k, dim = dim, idCol = idCol,
+          vecCol = vecCol, corpusCount = n)
+    }
+  }
+
   /** Occupancy-tuned coarse-quantizer width for the sign-IVF/IVFADC
     * family — the [[autoPlanesPerTable]] posture applied to `bits`:
     * grow the list count toward nlist ≈ √n (bits = ⌈log2(n)/2⌉, the

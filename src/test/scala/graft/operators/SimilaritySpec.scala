@@ -813,4 +813,40 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.annTopK(q, e, k = 5, dim = 64, corpusCount = bigN)
       .orderBy("query_id", "rank").collect().toSeq === ivf)
   }
+
+  test("annServeTopK: memory-budget route pinned; each route ≡ its family (VERDICT r11 #6)") {
+    import Similarity.{annServePlan, adcCodeBudget}
+    // boundary: 4·dim bytes = full-precision float32 vectors fit →
+    // the regime-dispatched exact-rank families; below it only the
+    // byte-coded IVFADC index fits the budget
+    assert(annServePlan(2000L, 64, 256) === "sign-lsh")   // full floats, in-regime
+    assert(annServePlan(200000L, 64, 256) === "sign-ivf") // full floats, past-regime
+    assert(Seq(255, 64, 8, 1)
+      .forall(annServePlan(200000L, 64, _) == "ivf-adc")) // budget-bound
+    assert(annServePlan(2000L, 64, 8) === "ivf-adc")      // tight budget beats regime
+    // the byte budget → subquantizer count: largest pow2 divisor of dim
+    assert(adcCodeBudget(64, 8) === 8)    // the pinned catalog geometry
+    assert(adcCodeBudget(64, 32) === 32)  // w = 2, near-scalar
+    assert(adcCodeBudget(64, 1) === 1)
+    assert(adcCodeBudget(64, 1000) === 64) // budget past dim caps at dim
+    assert(adcCodeBudget(48, 13) === 8)   // 13 → pow2 8 divides 48
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val n = e.count()
+    // roomy budget: exactly annTopK (the regime dispatcher)
+    val viaAnn = Similarity.annTopK(q, e, k = 5, dim = 64, corpusCount = n)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(Similarity.annServeTopK(q, e, k = 5, dim = 64,
+        maxBytesPerVector = 4 * 64)
+      .orderBy("query_id", "rank").collect().toSeq === viaAnn)
+    // tight budget: exactly ivfAdcTopK at the auto budgets
+    val bits = Similarity.autoQuantBits(n, 64)
+    val adc = Similarity.ivfAdcTopK(q, e, k = 5, dim = 64, bits = bits,
+        nProbe = Similarity.probeBudget(bits), m = 8,
+        rerank = Similarity.autoAdcRerank(n))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(Similarity.annServeTopK(q, e, k = 5, dim = 64,
+        maxBytesPerVector = 8)
+      .orderBy("query_id", "rank").collect().toSeq === adc)
+  }
 }
