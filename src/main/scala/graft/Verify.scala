@@ -9,6 +9,14 @@ object Verify {
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // SPARK_GRAFT_HASHDUMP=1 (sweep-scale local runs only; the driver
+    // sets no env): ship each query's 1-row engine-side digest instead
+    // of the full result — the coalesce(1) single-writer dump dominates
+    // per-query cost for row-preserving queries at sf10 (see HashDump).
+    // local_verify.py detects the digest schema and compares the same
+    // digest computed over the DuckDB oracle rows; value strictness is
+    // unchanged.
+    val hashMode = sys.env.get("SPARK_GRAFT_HASHDUMP").contains("1")
     val spark = GraftSession.defaultBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -19,8 +27,14 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val res = fn(spark, sfDir)
+        val out =
+          if (hashMode) HashDump.digestFrame(res).getOrElse {
+            System.err.println(s"[verify] $name hash-dump unsupported " +
+              "column type; falling back to full dump")
+            res
+          } else res
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // stderr, one line per query — sweep-scale runs read this for
         // the per-family cost curve; the driver's gate ignores it
         System.err.println(

@@ -304,6 +304,30 @@ case class AdcLookupSum(left: Expression, right: Expression, width: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** IEEE-754 bit pattern of a double as a signed long —
+  * `Double.doubleToLongBits` (NaN canonicalized to 0x7ff8…). The
+  * cross-engine hash-dump digest ([[graft.HashDump]]) renders doubles
+  * through this instead of a decimal string: bit patterns are the one
+  * double rendering two engines can agree on exactly (Java's shortest
+  * repr and Python's repr format the same value differently).
+  */
+case class DoubleBits(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a double input")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Double.doubleToLongBits(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToLongBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleBits =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the custom expressions. */
 object GraftFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -327,4 +351,5 @@ object GraftFunctions {
     col(ScatterLut(e(idxs), e(vals), size))
   def adcLookupSum(codes: Column, lut: Column, width: Int): Column =
     col(AdcLookupSum(e(codes), e(lut), width))
+  def doubleBits(d: Column): Column = col(DoubleBits(e(d)))
 }
