@@ -50,6 +50,12 @@ object MrrAudit {
       k = 10, nTables = tables, planesPerTable = planes)))
     timed("ann_topk_dispatch")(mrr(Similarity.annTopK(qs, e, k = 10, dim = 64,
       corpusCount = n)))
+    // the serving-plan dispatcher under a codes-only memory budget
+    // (8 B/vector at dim 64 = the 32× compressed index): must route to
+    // IVFADC at the auto budgets — the r12 annServePlan row
+    timed("ann_serve_8B_" + Similarity.annServePlan(n, 64, 8))(
+      mrr(Similarity.annServeTopK(qs, e, k = 10, dim = 64,
+        maxBytesPerVector = 8, corpusCount = n)))
     spark.stop()
   }
 }
