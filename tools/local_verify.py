@@ -41,18 +41,25 @@ def digest_cell(v):
     return str(v)  # ints decimal, strings as-is
 
 
-def duck_digest(rows, cols):
+def duck_digest(cur, cols):
     """(a, b, cols_csv, n): order-independent md5-sum digest over the
-    oracle rows, columns sorted by name — HashDump's formula."""
+    oracle cursor's rows, columns sorted by name — HashDump's formula.
+    Streams in chunks so sweep-scale results (60 M rows at sf10) never
+    materialize in Python memory."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    a = b = 0
-    for r in rows:
-        s = "\x01".join(digest_cell(r[i]) for i in order)
-        h = hashlib.md5(s.encode("utf-8")).hexdigest()
-        a += int(h[0:16], 16)
-        b += int(h[16:32], 16)
+    a = b = n = 0
+    while True:
+        chunk = cur.fetchmany(100_000)
+        if not chunk:
+            break
+        n += len(chunk)
+        for r in chunk:
+            s = "\x01".join(digest_cell(r[i]) for i in order)
+            h = hashlib.md5(s.encode("utf-8")).hexdigest()
+            a += int(h[0:16], 16)
+            b += int(h[16:32], 16)
     return (str(a % (1 << 64)), str(b % (1 << 64)),
-            ",".join(cols[i] for i in order), len(rows))
+            ",".join(cols[i] for i in order), n)
 
 
 def canon(rows, cols):
@@ -109,9 +116,8 @@ def main(sf_dir, out_dir):
             continue
         exp = con.execute(oracle[name])
         ecols = [d[0] for d in exp.description]
-        erows = exp.fetchall()
         if is_digest:
-            ea, eb, ecsv, en = duck_digest(erows, ecols)
+            ea, eb, ecsv, en = duck_digest(exp, ecols)
             if d["graft_digest_cols"] != ecsv:
                 print(f"FAIL-SCHEMA        {name:28} "
                       f"spark={d['graft_digest_cols']} duck={ecsv}")
@@ -126,6 +132,7 @@ def main(sf_dir, out_dir):
                 print(f"OK-DIGEST          {name:28} rows={en}")
                 ok += 1
             continue
+        erows = exp.fetchall()
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
         if gc != ec:
