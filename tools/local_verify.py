@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/local_verify.py <sf_dir> <verify_out_dir>
+Usage: python3 tools/local_verify.py <sf_dir> <verify_out_dir> [prefixes]
 
 For each query dir under <verify_out_dir>: load the Spark parquet
 result; if oracle_sql.json has SQL for it, run that SQL in DuckDB over
 the <sf_dir> tables and compare (columns sorted by name, rows sorted,
 values compared exactly; floats compared bitwise via repr).
+
+Optional 3rd arg (local iteration, mirrors Verify's): comma-separated
+query-name PREFIXES to compare — sweep-scale partial compares where a
+single oracle's DuckDB footprint needs its own run.
 """
 import hashlib
 import json
@@ -79,7 +83,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -93,10 +97,14 @@ def main(sf_dir, out_dir):
     import os
     ok = fail = rowsonly = 0
     result_dirs = sorted(d for d in glob.glob(f"{out_dir}/q*") if os.path.isdir(d))
+    if only:
+        prefixes = only.split(",")
+        result_dirs = [d for d in result_dirs
+                       if any(os.path.basename(d).startswith(p) for p in prefixes)]
     # reconcile against the declared query list: a query whose Verify
     # run threw writes no dir and must FAIL here, not vanish
     qlist_path = f"{out_dir}/queries.json"
-    if os.path.exists(qlist_path):
+    if os.path.exists(qlist_path) and not only:
         declared = set(json.load(open(qlist_path)))
         present = {os.path.basename(d) for d in result_dirs}
         for missing in sorted(declared - present):
@@ -159,4 +167,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
