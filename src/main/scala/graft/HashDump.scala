@@ -19,25 +19,36 @@ import graft.expressions.GraftFunctions
   *
   * Digest definition (the Python side mirrors it cell for cell):
   *  - columns sorted by name (the driver's own canonical order);
-  *  - each cell rendered to a canonical string: NULL -> the 0x02 sentinel;
-  *    strings as-is; booleans `true`/`false`; integers as decimal;
-  *    doubles as the DECIMAL STRING OF THEIR IEEE-754 BITS
-  *    (`Double.doubleToLongBits`, NaN canonicalized — bit patterns are
-  *    the one double rendering two engines agree on exactly; floats
-  *    widen losslessly to double first);
-  *  - cells joined with `\u0001` (NULL sentinel `\u0002`), md5 of the UTF-8 row string;
-  *  - digest = (Σ rows high64(md5) mod 2^64, Σ rows low64(md5) mod
-  *    2^64, row count). Sums are order-independent (rows arrive in
-  *    partition order) and, unlike XOR, do not cancel duplicate rows
-  *    in pairs.
+  *  - each cell rendered to a canonical string: NULL -> the 0x02
+  *    sentinel alone; every NON-NULL cell is a one-char TYPE TAG
+  *    followed by the value (ADVICE r12: the tag keeps long 5 and
+  *    string "5" digest-distinct, exactly as the full-dump compare
+  *    distinguishes them):
+  *      `S` + string, with the three digest metacharacters escaped as
+  *            0x03-pairs (0x03->0x03 0x03, 0x01->0x03 '1',
+  *            0x02->0x03 '2') so a string value can neither shift cell
+  *            boundaries across columns nor impersonate NULL;
+  *      `B` + `true`/`false`;
+  *      `L` + integer decimal;
+  *      `D` + the DECIMAL STRING OF THE DOUBLE'S IEEE-754 BITS
+  *            (`Double.doubleToLongBits`, NaN canonicalized — bit
+  *            patterns are the one double rendering two engines agree
+  *            on exactly; floats widen losslessly to double first);
+  *  - cells joined with 0x01 (NULL sentinel 0x02), md5 of the UTF-8
+  *    row string;
+  *  - digest = (sum over rows of high64(md5) mod 2^64, sum of
+  *    low64(md5) mod 2^64, row count). Sums are order-independent
+  *    (rows arrive in partition order) and, unlike XOR, do not cancel
+  *    duplicate rows in pairs.
   *
   * Strictness matches the full-dump compare: double bits are injective
-  * where Python `repr` is (all NaNs equal, −0.0 ≠ 0.0), and the
-  * 128-bit sum makes a silent collision across a 2^64-row corpus
-  * negligible. Only the five types the catalog emits (verified by
-  * inventory: long, int, string, double, boolean) are supported —
-  * [[digestFrame]] returns None for anything else and Verify falls
-  * back to the full dump for that query, loud in the log.
+  * where Python `repr` is (all NaNs equal, −0.0 ≠ 0.0), cells are
+  * boundary-safe and type-tagged, and the 128-bit sum makes a silent
+  * collision across a 2^64-row corpus negligible. Only the five types
+  * the catalog emits (verified by inventory: long, int, string,
+  * double, boolean) are supported — [[digestFrame]] returns None for
+  * anything else and Verify falls back to the full dump for that
+  * query, loud in the log.
   */
 object HashDump {
 
@@ -50,20 +61,40 @@ object HashDump {
   private val Two64 = new java.math.BigDecimal(
     java.math.BigInteger.ONE.shiftLeft(64))
 
+  private val Sep = "\u0001" // cell separator
+  private val Nul = "\u0002" // NULL sentinel (a full cell, never inside one)
+  private val Esc = "\u0003" // escape char inside string cells
+
   private def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType => true
     case StringType | BooleanType | DoubleType | FloatType => true
     case _ => false
   }
 
+  /** Escape the three digest metacharacters in a string column —
+    * escape char first so the other two rewrites can't double-escape.
+    * Shared with [[graft.etl.StagingLayer]]'s hash-dedup row key
+    * (the same boundary-shift hazard, in dedup clothing).
+    */
+  def escaped(c: Column): Column =
+    replace(
+      replace(
+        replace(c, lit(Esc), lit(Esc + Esc)),
+        lit(Sep), lit(Esc + "1")),
+      lit(Nul), lit(Esc + "2"))
+
   private def cell(name: String, dt: DataType): Column = {
     val c = col(name)
     val rendered = dt match {
-      case DoubleType => GraftFunctions.doubleBits(c).cast("string")
-      case FloatType  => GraftFunctions.doubleBits(c.cast("double")).cast("string")
-      case _          => c.cast("string") // ints decimal; boolean true/false
+      case DoubleType =>
+        concat(lit("D"), GraftFunctions.doubleBits(c).cast("string"))
+      case FloatType =>
+        concat(lit("D"), GraftFunctions.doubleBits(c.cast("double")).cast("string"))
+      case StringType  => concat(lit("S"), escaped(c))
+      case BooleanType => concat(lit("B"), c.cast("string"))
+      case _           => concat(lit("L"), c.cast("string")) // ints decimal
     }
-    coalesce(rendered, lit("\u0002"))
+    coalesce(rendered, lit(Nul))
   }
 
   /** The 1-row digest frame for `df`, or None when a column type has
@@ -73,7 +104,7 @@ object HashDump {
     val fields = df.schema.fields
     if (!fields.forall(f => supported(f.dataType))) return None
     val sortedFields = fields.sortBy(_.name)
-    val rowStr = concat_ws("\u0001",
+    val rowStr = concat_ws(Sep,
       sortedFields.map(f => cell(f.name, f.dataType)).toIndexedSeq: _*)
     val h = df.select(md5(rowStr).as("h"))
     def half(from: Int): Column =

@@ -22,8 +22,17 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional 3rd arg: comma-separated name prefixes — local iteration
     // only; the driver always calls with exactly (sfDir, outDir).
+    // A `-`-prefixed entry EXCLUDES its matches (r13: the sf10 sweep
+    // runs "-q177" — the one query whose exact oracle cannot run at
+    // that scale; q199 is its documented at-scale twin); plain entries
+    // include, and with only exclusions present everything else runs.
+    val (excl0, incl) = only.getOrElse(Set.empty).partition(_.startsWith("-"))
+    val excl = excl0.map(_.drop(1))
+    def selected(name: String): Boolean =
+      (incl.isEmpty || incl.exists(name.startsWith)) &&
+        !excl.exists(name.startsWith)
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -63,7 +72,7 @@ object Verify {
     // silently skipped by a glob-based comparator)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq
-        .filter(name => only.forall(_.exists(name.startsWith)))
+        .filter(selected)
         .sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }

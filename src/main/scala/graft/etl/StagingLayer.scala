@@ -32,9 +32,34 @@ object StagingLayer {
     * the `is_restock_needed` guard is vacuous after fillna — both are
     * declared reference semantics (SURVEY.md §2.9 notes), reproduced
     * as-is.
+    *
+    * `hashDedup` (VERDICT r12 #5, the 100 TB posture flag): the
+    * reference's full-row `dropDuplicates()` groups on all 16 wide
+    * columns — at scale the shuffle sorts and compares every column of
+    * every row. With the flag on, the grouping key is ONE md5 of the
+    * row's canonical rendering (cells null-sentineled and
+    * metacharacter-escaped via [[graft.HashDump.escaped]] so a string
+    * value can neither impersonate NULL nor shift cell boundaries —
+    * the ADVICE r12 digest discipline) and one arbitrary row per key
+    * survives; rows with equal keys are identical up to a 2^-128
+    * collision, so the result equals exact dedup (spec-pinned on the
+    * walmart fixture, dirty rows included). Default OFF for
+    * reference parity.
     */
-  def clean(df: DataFrame): DataFrame = {
-    val deduped = df.dropDuplicates()
+  def clean(df: DataFrame, hashDedup: Boolean = false): DataFrame = {
+    val deduped0 =
+      if (!hashDedup) df.dropDuplicates()
+      else {
+        val sep = 1.toChar.toString
+        val nul = 2.toChar.toString
+        val key = md5(concat_ws(sep, df.columns.toIndexedSeq.map { c =>
+          coalesce(graft.HashDump.escaped(col(c).cast("string")), lit(nul))
+        }: _*))
+        df.withColumn("__row_md5", key)
+          .dropDuplicates("__row_md5")
+          .drop("__row_md5")
+      }
+    val deduped = deduped0
       .filter(col("date").isNotNull)
       .withColumn("unit_price", col("unit_price").cast(DecimalType(10, 2)))
       .withColumn("total_sales", col("total_sales").cast(DecimalType(15, 2)))

@@ -161,27 +161,58 @@ object Sampling {
     * + LIMIT, but implemented without a global row sort: the cut
     * threshold comes from a HISTOGRAM over distinct score values,
     * whose cardinality is bounded by the score grid (integer ppm
-    * scores ⇒ ≤ ~2·10⁶ + 1 rows no matter the corpus size), so the
-    * single-partition cumulative window runs over a bounded frame —
-    * the sketch-cells posture, not an n-row sort. Rows then join the
-    * per-score quota (broadcast-sized by the same bound) and only
-    * boundary ties rank within their score group (partitioned window,
-    * id-ordered — deterministic on reruns). At 100 TB: two scans of
-    * the scored frame + one bounded aggregate; no shuffle carries more
-    * than (score, id).
+    * scores ⇒ ≤ ~2·10⁶ + 1 rows no matter the corpus size), and the
+    * histogram's cumulative sum is BUCKETED (VERDICT r12 #3, the
+    * [[Windows]] construction inline): per-1000-score-bucket totals →
+    * an exclusive prefix over BUCKET-cardinality rows (~2·10³, under a
+    * non-foldable constant partition key — single-partition by design,
+    * stated in the plan instead of tripping WindowExec's corpus-scale
+    * alarm) → within-bucket cumulative windows partitioned by bucket,
+    * so even the full ppm domain never sits in one task. Rows then
+    * join the per-score quota (broadcast-sized by the same bound) and
+    * only boundary ties rank within their score group (partitioned
+    * window, id-ordered — deterministic on reruns). At 100 TB: two
+    * scans of the scored frame + one bounded aggregate; no shuffle
+    * carries more than (score, id). `scoreCol` must be integral (the
+    * ppm grid); bucketing is exact floor division via pmod, so
+    * negative contrast scores bucket correctly.
     */
   def selectTopPermille(
       df: DataFrame, scoreCol: String, idCol: String, permille: Int): DataFrame = {
     require(permille >= 0 && permille <= 1000,
       s"permille must be in [0, 1000], got $permille")
+    require(df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }, s"selectTopPermille: scoreCol '$scoreCol' must be an integral " +
+      "ppm-grid score (the bounded-histogram contract)")
     val m = df.count() * permille / 1000
     if (m == 0L) return df.limit(0)
+    val bw = 1000L
+    // exact floor division (DIV truncates toward zero; subtracting the
+    // non-negative pmod first makes the dividend an exact multiple) —
+    // negative scores land in negative buckets, monotone with score
     val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .orderBy(col(scoreCol).desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val quotas = hist
-      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__bucket", expr(
+        s"CAST((`$scoreCol` - pmod(`$scoreCol`, ${bw}L)) DIV ${bw}L AS BIGINT)"))
+    val W = org.apache.spark.sql.expressions.Window
+    val perBucket = hist.groupBy(col("__bucket")).agg(sum(col("__cnt")).as("__brows"))
+    // pmod(b,1) ≡ 0 but is not foldable — the Ids.denseIds idiom: the
+    // prefix window is single-partition BY DESIGN over bucket-
+    // cardinality rows, and the constant key says so explicitly
+    val wOff = W.partitionBy(pmod(col("__bucket"), lit(1)))
+      .orderBy(col("__bucket").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__rowsBefore", coalesce(sum(col("__brows")).over(wOff), lit(0L)))
+      .select(col("__bucket"), col("__rowsBefore"))
+    val wCum = W.partitionBy(col("__bucket")).orderBy(col(scoreCol).desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val quotas = hist.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("__cum", col("__rowsBefore") + sum(col("__cnt")).over(wCum))
       .withColumn("__before", col("__cum") - col("__cnt"))
       .filter(col("__before") < m)
       .withColumn("__quota", least(col("__cnt"), lit(m) - col("__before")))

@@ -639,6 +639,102 @@ object Similarity {
     }
   }
 
+  /** Which PERSISTED index family the memory budget buys (VERDICT r12
+    * #4): the [[annServePlan]] discipline restricted to the two
+    * families that have an on-disk form — budgets that hold
+    * full-precision vectors (≥ 4·dim B/vec) serve from the sign-IVF
+    * index, tighter budgets from the 32×-smaller IVFADC index. The
+    * LSH regime is in-flight-only (its "index" would be the hash
+    * tables, corpus-sized in full vectors — at LSH-regime corpus sizes
+    * (n ≤ 1600·dim) there is nothing to save by persisting), so both
+    * full-precision routes collapse to "sign-ivf" here; the compressed
+    * route is byte-identical to [[annServePlan]]'s.
+    */
+  def annServeIndexPlan(n: Long, dim: Int, maxBytesPerVector: Int): String =
+    if (annServePlan(n, dim, maxBytesPerVector) == "ivf-adc") "ivf-adc"
+    else "sign-ivf"
+
+  /** Build the serving index [[annServeFromIndex]] reads — family AND
+    * geometry derived from the same budgets as the in-flight
+    * dispatcher ([[annServeIndexPlan]] family, [[autoQuantBits]]
+    * lists, [[adcCodeBudget]] codes), so the build/serve pair agrees
+    * by construction instead of by five manually repeated parameters.
+    * Returns the family built, for logging/spec pinning. A deployment
+    * that changes its budget (or whose corpus outgrows its quantizer)
+    * rebuilds; [[annServeFromIndex]]'s geometry check fails loudly on
+    * a budget/index mismatch rather than serving wrong ADC scores.
+    */
+  def buildAnnServeIndex(
+      corpus: DataFrame, path: String, dim: Int, maxBytesPerVector: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusCount: Long = -1L): String = {
+    val n = if (corpusCount >= 0L) corpusCount else corpus.count()
+    val bits = autoQuantBits(n, dim)
+    val plan = annServeIndexPlan(n, dim, maxBytesPerVector)
+    plan match {
+      case "ivf-adc" =>
+        buildIvfAdcIndex(corpus, path, dim, bits = bits,
+          m = adcCodeBudget(dim, maxBytesPerVector), idCol = idCol, vecCol = vecCol)
+      case _ =>
+        buildSignIvfIndex(corpus, path, dim, bits = bits,
+          idCol = idCol, vecCol = vecCol)
+    }
+    plan
+  }
+
+  /** Serve ANN top-k under a per-vector memory budget FROM A PERSISTED
+    * index (VERDICT r12 #4): [[annServeTopK]] rebuilds its quantizer
+    * in-flight on every call — fine for a pipeline stage, wrong for a
+    * deployment, which builds once ([[buildAnnServeIndex]]) and serves
+    * queries against the stored artifact. Routes under the same plan
+    * as the in-flight form: full-vector budgets →
+    * [[querySignIvfIndex]] (exact-cosine over probed stored lists),
+    * tighter budgets → [[queryIvfAdcIndex]] (compressed-domain ADC
+    * over probed code partitions + bounded float rerank from
+    * `vectors`, the lake table). Route ≡ family is spec-pinned both
+    * sides, and each route is value-identical to its in-flight
+    * counterpart at the same auto budgets (the q72/q178 guarantee,
+    * inherited structurally from the query functions it calls).
+    *
+    * `vectors` is the full-precision lake table the index was built
+    * from: the ADC route reads only its `rerank` survivors per query;
+    * the sign route never touches it (lists store the vectors). Both
+    * routes inherit the torn-index batch checks of their query
+    * functions; additionally the ADC route asserts the stored code
+    * width matches the budget's [[adcCodeBudget]] — a stale index
+    * built under a different budget would otherwise score with a
+    * mis-sliced lookup table.
+    */
+  def annServeFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vectors: DataFrame, k: Int, dim: Int,
+      maxBytesPerVector: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusCount: Long = -1L): DataFrame = {
+    val n = if (corpusCount >= 0L) corpusCount else vectors.count()
+    val bits = autoQuantBits(n, dim)
+    annServeIndexPlan(n, dim, maxBytesPerVector) match {
+      case "ivf-adc" =>
+        val m = adcCodeBudget(dim, maxBytesPerVector)
+        // loud geometry check: one partition-pruned row, not a scan
+        val stored = spark.read.parquet(s"$path/codes")
+          .select(size(col("codes")).as("m")).limit(1).collect()
+        stored.headOption.foreach { r =>
+          require(r.getInt(0) == m,
+            s"annServeFromIndex: index at $path stores ${r.getInt(0)} " +
+              s"codes/vector but the $maxBytesPerVector B/vec budget " +
+              s"implies m=$m — rebuild with buildAnnServeIndex under " +
+              "the current budget")
+        }
+        queryIvfAdcIndex(spark, path, queries, vectors, k, dim,
+          bits = bits, nProbe = probeBudget(bits), m = m,
+          rerank = autoAdcRerank(n), idCol = idCol, vecCol = vecCol)
+      case _ =>
+        querySignIvfIndex(spark, path, queries, k, dim,
+          bits = bits, nProbe = probeBudget(bits), idCol = idCol, vecCol = vecCol)
+    }
+  }
+
   /** Occupancy-tuned coarse-quantizer width for the sign-IVF/IVFADC
     * family — the [[autoPlanesPerTable]] posture applied to `bits`:
     * grow the list count toward nlist ≈ √n (bits = ⌈log2(n)/2⌉, the

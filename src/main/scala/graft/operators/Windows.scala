@@ -41,14 +41,40 @@ import org.apache.spark.sql.functions._
   *
   * `keyCol` must be a NON-NEGATIVE integral column (truncating DIV
   * would fold bucket −0.x onto 0.x otherwise — same contract as
-  * [[Ids.denseIds]]). `descending` orders by `keyCol` DESC; key DIV
-  * width is monotone on non-negative keys, so bucket-major order
-  * equals key order in either direction.
+  * [[Ids.denseIds]]) and, like the partition columns, NON-NULL
+  * (ADVICE r12): the bucketed construction re-attaches ranks by
+  * equi-join, and equality joins drop NULL keys — the built-ins rank
+  * NULL keys, so silently returning fewer rows would be a wrong
+  * result, not a contract. A NULL in any key/partition cell fails the
+  * job loudly AT EXECUTION TIME via an assert folded into the key
+  * expression — no extra corpus scan, the check rides the one
+  * aggregation pass that was already reading every row.
+  * `descending` orders by `keyCol` DESC; key DIV width is monotone on
+  * non-negative keys, so bucket-major order equals key order in
+  * either direction.
   */
 object Windows {
 
   private def bucketOf(keyCol: String, bucketWidth: Long): Column =
     expr(s"CAST(`$keyCol` DIV ${bucketWidth}L AS BIGINT)")
+
+  /** `keyCol`, with the non-null contract enforced per row: a row with
+    * a NULL key or partition cell evaluates the raise_error branch and
+    * fails the job. The guard cannot be pruned away because it IS the
+    * key value the rest of the plan consumes, and it costs nothing on
+    * conforming rows (the error branch never evaluates).
+    */
+  private def guardedKey(keyCol: String, partCols: Seq[String]): Column = {
+    val nonNull = partCols.foldLeft(col(keyCol).isNotNull) {
+      (acc, p) => acc && col(p).isNotNull
+    }
+    when(nonNull, col(keyCol)).otherwise(raise_error(lit(
+      s"graft.Windows: NULL in key '$keyCol' or partition columns " +
+        s"${partCols.mkString("(", ", ", ")")} — the bucketed rank " +
+        "contract requires non-null key and partition values " +
+        "(built-in window functions rank NULL keys; this operator " +
+        "refuses rather than silently dropping them)")))
+  }
 
   private def dir(c: Column, descending: Boolean): Column =
     if (descending) c.desc else c.asc
@@ -64,8 +90,11 @@ object Windows {
     require(partCols.nonEmpty, "partCols must not be empty")
     val part = partCols.map(col)
     // 1. distinct (part, key) with multiplicity — the one data-sized
-    //    shuffle, map-side combined down to distinct pairs
-    val vals = df.groupBy((part :+ col(keyCol)): _*)
+    //    shuffle, map-side combined down to distinct pairs. The
+    //    grouping key is the GUARDED key: a NULL key/partition cell
+    //    fails this pass loudly instead of being dropped by the
+    //    re-attach join in step 4 (ADVICE r12).
+    val vals = df.groupBy((part :+ guardedKey(keyCol, partCols).as(keyCol)): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__bucket", bucketOf(keyCol, bucketWidth))
     // 2. per-bucket totals → per-part exclusive prefix sums; these
@@ -119,7 +148,11 @@ object Windows {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(partCols.nonEmpty, "partCols must not be empty")
     val part = partCols.map(col)
-    val keyed = df.withColumn("__bucket", bucketOf(keyCol, bucketWidth))
+    // bucket from the GUARDED key: a NULL key/partition cell throws
+    // here, per row, instead of vanishing in the offsets join
+    val keyed = df.withColumn("__gkey", guardedKey(keyCol, partCols))
+      .withColumn("__bucket", bucketOf("__gkey", bucketWidth))
+      .drop("__gkey")
     val counts = keyed.groupBy((part :+ col("__bucket")): _*)
       .agg(count(lit(1)).as("__n"))
     val wOff = Window.partitionBy(part: _*)

@@ -56,6 +56,18 @@ object MrrAudit {
     timed("ann_serve_8B_" + Similarity.annServePlan(n, 64, 8))(
       mrr(Similarity.annServeTopK(qs, e, k = 10, dim = 64,
         maxBytesPerVector = 8, corpusCount = n)))
+    // index-backed serving (r13, VERDICT r12 #4): build the budgeted
+    // index once, serve from the artifact — same route discipline,
+    // quality must match the in-flight row above
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_mrr_serveidx").toString
+    val t0 = System.nanoTime()
+    val fam = Similarity.buildAnnServeIndex(e, idxDir, dim = 64,
+      maxBytesPerVector = 8, corpusCount = n)
+    println(f"MRR ann_serve_idx build family=$fam " +
+      f"t=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    timed(s"ann_serve_idx_8B_$fam")(
+      mrr(Similarity.annServeFromIndex(spark, idxDir, qs, e, k = 10,
+        dim = 64, maxBytesPerVector = 8, corpusCount = n)))
     spark.stop()
   }
 }

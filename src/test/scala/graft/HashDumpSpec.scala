@@ -79,13 +79,50 @@ class HashDumpSpec extends SparkSpec {
   }
 
   test("known-value digest: the exact md5-sum arithmetic both mirrors compute") {
-    // one row, one string column "k": row string = "k"(the cell is the
-    // bare value), md5("k") = 8ce4b16b22b58894aa86c421e8759df3 —
-    // a = 0x8ce4b16b22b58894, b = 0xaa86c421e8759df3 as unsigned sums
+    // one row, one string column "k": cell = type tag 'S' + "k", row
+    // string = "Sk", md5("Sk") = de06a156d85e5404406f3c9e7cac0919 —
+    // a = 0xDE06A156D85E5404, b = 0x406F3C9E7CAC0919 as unsigned sums
     val d = digest(Seq(Tuple1("k")).toDF("v"))
     assert(d.getAs[String]("graft_digest_a") ===
-      java.lang.Long.toUnsignedString(0x8ce4b16b22b58894L))
+      java.lang.Long.toUnsignedString(0xDE06A156D85E5404L))
     assert(d.getAs[String]("graft_digest_b") ===
-      java.lang.Long.toUnsignedString(0xaa86c421e8759df3L))
+      java.lang.Long.toUnsignedString(0x406F3C9E7CAC0919L))
+  }
+
+  // the three digest metacharacters, built without escape-sequence
+  // literals so the intent is unmissable
+  private val sep = 1.toChar.toString
+  private val nul = 2.toChar.toString
+  private val esc = 3.toChar.toString
+
+  test("cells are type-tagged: long 5 and string \"5\" digest apart (ADVICE r12)") {
+    val asLong = digest(Seq(Tuple1(5L)).toDF("v"))
+    val asStr = digest(Seq(Tuple1("5")).toDF("v"))
+    assert(asLong.getAs[String]("graft_digest_a") !==
+      asStr.getAs[String]("graft_digest_a"))
+    val asBool = digest(Seq(Tuple1(true)).toDF("v"))
+    val boolStr = digest(Seq(Tuple1("true")).toDF("v"))
+    assert(asBool.getAs[String]("graft_digest_a") !==
+      boolStr.getAs[String]("graft_digest_a"))
+  }
+
+  test("a literal NULL-sentinel string is not digest-equal to NULL (ADVICE r12)") {
+    val isNull = digest(Seq((1L, null: String)).toDF("n", "s"))
+    val looksNull = digest(Seq((1L, nul)).toDF("n", "s"))
+    assert(isNull.getAs[String]("graft_digest_a") !==
+      looksNull.getAs[String]("graft_digest_a"))
+  }
+
+  test("separator chars in string cells cannot shift cell boundaries (ADVICE r12)") {
+    // without escaping, both rows would render "Sa" sep "Sb" sep "Sc"
+    val left = digest(Seq((s"a${sep}b", "c")).toDF("a", "b"))
+    val right = digest(Seq(("a", s"b${sep}c")).toDF("a", "b"))
+    assert(left.getAs[String]("graft_digest_a") !==
+      right.getAs[String]("graft_digest_a"))
+    // the escape char itself is escaped — no second-order aliasing
+    val e1 = digest(Seq((s"${esc}1", "")).toDF("a", "b"))
+    val e2 = digest(Seq((esc, "1")).toDF("a", "b"))
+    assert(e1.getAs[String]("graft_digest_a") !==
+      e2.getAs[String]("graft_digest_a"))
   }
 }

@@ -120,4 +120,31 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.selectTopPermille(df, "score", "id", 1001))
   }
+
+  test("selectTopPermille: negative contrast scores bucket exactly (floor div)") {
+    // scores straddle bucket 0 and negative buckets — DSIR contrasts
+    // are signed; truncating DIV would fold −0.x and 0.x together
+    val df = Seq(
+      (0L, 2500L), (1L, 500L), (2L, -1L), (3L, -500L), (4L, -999L),
+      (5L, -1000L), (6L, -1001L), (7L, -2500L), (8L, -2500L), (9L, -9999L))
+      .toDF("id", "score")
+    val kept = Sampling.selectTopPermille(df, "score", "id", 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 2L, 3L, 4L))
+    // tie at the boundary cut by id: top 800‰ = 8 rows, tie (7,8) at
+    // −2500 → the lower id wins the last slot... both fit at m=8; at
+    // m=7 only id 7 of the pair survives
+    val seven = Sampling.selectTopPermille(df, "score", "id", 700)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(seven === Set(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    val eight = Sampling.selectTopPermille(df, "score", "id", 800)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(eight === Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("selectTopPermille: non-integral score column refuses loudly") {
+    val df = Seq((0L, 0.5), (1L, 0.25)).toDF("id", "score")
+    intercept[IllegalArgumentException](
+      Sampling.selectTopPermille(df, "score", "id", 500))
+  }
 }

@@ -849,4 +849,49 @@ class SimilaritySpec extends SparkSpec {
         maxBytesPerVector = 8)
       .orderBy("query_id", "rank").collect().toSeq === adc)
   }
+
+  test("annServeFromIndex: persisted-index serving ≡ in-flight, both routes (VERDICT r12 #4)") {
+    import Similarity.annServeIndexPlan
+    // plan: only two families have an on-disk form — full-precision
+    // budgets collapse to the sign-IVF index (the LSH regime is
+    // in-flight-only); the compressed route matches annServePlan
+    assert(annServeIndexPlan(2000L, 64, 256) === "sign-ivf")
+    assert(annServeIndexPlan(200000L, 64, 256) === "sign-ivf")
+    assert(annServeIndexPlan(2000L, 64, 8) === "ivf-adc")
+    assert(annServeIndexPlan(200000L, 64, 255) === "ivf-adc")
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val n = e.count()
+    val bits = Similarity.autoQuantBits(n, 64)
+    // sign route: build under a roomy budget, serve ≡ the same-family
+    // in-flight form at the same auto budgets
+    val dirS = java.nio.file.Files.createTempDirectory("graft_serveidx_s").toString
+    assert(Similarity.buildAnnServeIndex(e, dirS, dim = 64,
+      maxBytesPerVector = 256) === "sign-ivf")
+    val servedS = Similarity.annServeFromIndex(spark, dirS, q, e, k = 5,
+        dim = 64, maxBytesPerVector = 256)
+      .orderBy("query_id", "rank").collect().toSeq
+    val inflightS = Similarity.signIvfTopK(q, e, k = 5, dim = 64,
+        bits = bits, nProbe = Similarity.probeBudget(bits))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(servedS === inflightS)
+    // ADC route: tight budget, serve ≡ ivfAdcTopK at the same autos
+    // (which is also what in-flight annServeTopK runs at this budget)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_serveidx_a").toString
+    assert(Similarity.buildAnnServeIndex(e, dirA, dim = 64,
+      maxBytesPerVector = 8) === "ivf-adc")
+    val servedA = Similarity.annServeFromIndex(spark, dirA, q, e, k = 5,
+        dim = 64, maxBytesPerVector = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val inflightA = Similarity.ivfAdcTopK(q, e, k = 5, dim = 64, bits = bits,
+        nProbe = Similarity.probeBudget(bits), m = 8,
+        rerank = Similarity.autoAdcRerank(n))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(servedA === inflightA)
+    // geometry check: serving an index built at m=8 under a budget
+    // implying m=32 refuses loudly instead of mis-slicing the LUT
+    intercept[IllegalArgumentException](
+      Similarity.annServeFromIndex(spark, dirA, q, e, k = 5, dim = 64,
+        maxBytesPerVector = 32))
+  }
 }

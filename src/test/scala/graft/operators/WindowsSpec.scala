@@ -96,6 +96,55 @@ class WindowsSpec extends SparkSpec {
     assert(got === Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
   }
 
+  // ---- non-null contract (ADVICE r12) --------------------------------
+
+  test("rankFunctions: NULL key fails loudly instead of dropping rows") {
+    val df = Seq((1L, "p", java.lang.Long.valueOf(3L)),
+      (2L, "p", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "part", "key")
+    val e = intercept[Exception] {
+      Windows.rankFunctions(df, Seq("part"), "key").count()
+    }
+    assert(e.getMessage.contains("graft.Windows") ||
+      Option(e.getCause).exists(_.getMessage.contains("graft.Windows")))
+  }
+
+  test("rowNumbers: NULL partition value fails loudly instead of dropping rows") {
+    val df = Seq((1L, "p", 3L), (2L, null.asInstanceOf[String], 5L))
+      .toDF("id", "part", "key")
+    val e = intercept[Exception] {
+      Windows.rowNumbers(df, Seq("part"), "key", tieCols = Seq(col("id"))).count()
+    }
+    assert(e.getMessage.contains("graft.Windows") ||
+      Option(e.getCause).exists(_.getMessage.contains("graft.Windows")))
+  }
+
+  // ---- degenerate inputs (VERDICT r12 #6) -----------------------------
+
+  test("rankFunctions: empty frame returns empty with the rank columns") {
+    val empty = tied.limit(0)
+    val got = Windows.rankFunctions(empty, Seq("part"), "key")
+    assert(got.count() === 0L)
+    assert(Seq("rnk", "drnk", "prnk", "cdist").forall(got.columns.contains))
+    assert(Windows.rowNumbers(empty, Seq("part"), "key",
+      tieCols = Seq(col("id"))).count() === 0L)
+  }
+
+  test("rankFunctions: single-bucket key domain ≡ built-ins (bucketWidth ≫ keys)") {
+    val w = Window.partitionBy(col("part")).orderBy(col("key"))
+    val exp = tied.select(col("id"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cdist"))
+    // all keys (0..40) land in bucket 0 — the construction degenerates
+    // to one within-bucket window per partition and must stay exact
+    val got = Windows.rankFunctions(tied, Seq("part"), "key",
+      bucketWidth = 1000000L)
+    assert(rows(got, "id", "rnk", "drnk", "prnk", "cdist") ===
+      rows(exp, "id", "rnk", "drnk", "prnk", "cdist"))
+  }
+
   // ---- plan guard: no corpus-sized window partition -----------------
 
   /** Every WindowExec must be either bucket-partitioned (its partition

@@ -32,17 +32,23 @@ NAN_BITS = 0x7FF8000000000000  # Double.doubleToLongBits canonical NaN
 
 
 def digest_cell(v):
-    """Mirror graft.HashDump's per-cell canonical rendering exactly."""
+    """Mirror graft.HashDump's per-cell canonical rendering exactly:
+    NULL = the bare \x02 sentinel; every non-null cell is a one-char
+    type tag + value, string cells with the three digest
+    metacharacters escaped (ADVICE r12: boundary-safe + type-tagged)."""
     if v is None:
         return "\x02"
     if isinstance(v, bool):  # before int: bool is an int subtype
-        return "true" if v else "false"
+        return "B" + ("true" if v else "false")
     if isinstance(v, float):
         if math.isnan(v):
-            return str(NAN_BITS)
+            return "D" + str(NAN_BITS)
         bits = struct.unpack(">q", struct.pack(">d", v))[0]
-        return str(bits)
-    return str(v)  # ints decimal, strings as-is
+        return "D" + str(bits)
+    if isinstance(v, str):  # escape char first — no double-escaping
+        return "S" + (v.replace("\x03", "\x03\x03")
+                       .replace("\x01", "\x031").replace("\x02", "\x032"))
+    return "L" + str(v)  # ints decimal
 
 
 def duck_digest(cur, cols):
@@ -97,15 +103,29 @@ def main(sf_dir, out_dir, only=None):
     import os
     ok = fail = rowsonly = 0
     result_dirs = sorted(d for d in glob.glob(f"{out_dir}/q*") if os.path.isdir(d))
+    # prefix filter, mirroring Verify's 3rd arg: plain entries include,
+    # "-"-prefixed entries exclude (with only exclusions present,
+    # everything else is compared) — the sf10 sweep runs "-q177"
     if only:
         prefixes = only.split(",")
+        incl = [p for p in prefixes if not p.startswith("-")]
+        excl = [p[1:] for p in prefixes if p.startswith("-")]
+
+        def selected(name):
+            return ((not incl or any(name.startswith(p) for p in incl))
+                    and not any(name.startswith(p) for p in excl))
         result_dirs = [d for d in result_dirs
-                       if any(os.path.basename(d).startswith(p) for p in prefixes)]
+                       if selected(os.path.basename(d))]
+    else:
+        def selected(name):
+            return True
     # reconcile against the declared query list: a query whose Verify
-    # run threw writes no dir and must FAIL here, not vanish
+    # run threw writes no dir and must FAIL here, not vanish. The same
+    # filter applies to the declared side so partial compares still
+    # reconcile their own slice.
     qlist_path = f"{out_dir}/queries.json"
-    if os.path.exists(qlist_path) and not only:
-        declared = set(json.load(open(qlist_path)))
+    if os.path.exists(qlist_path):
+        declared = {q for q in json.load(open(qlist_path)) if selected(q)}
         present = {os.path.basename(d) for d in result_dirs}
         for missing in sorted(declared - present):
             print(f"{'FAIL-MISSING':18} {missing:28} no result written")
