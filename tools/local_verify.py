@@ -92,6 +92,21 @@ def norm(v):
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     import os
+    # sweep-scale escape hatch: DuckDB's default memory budget spills
+    # the quadratic-baseline oracles (q174/q185-truth at sf10: 800 M
+    # intermediate pairs) to disk past the sandbox's headroom — on a
+    # RAM-rich box, GRAFT_DUCKDB_MEM=96GB holds them in memory instead
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    # the quadratic-baseline oracles spill ~80 GB at sf10 — past the
+    # sandbox disk but comfortably inside RAM: GRAFT_DUCKDB_TEMP can
+    # point the spill at a tmpfs (/dev/shm), paired with a LOWER
+    # memory_limit so working set + spill stay under physical RAM
+    tmp = os.environ.get("GRAFT_DUCKDB_TEMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # driver testdata = single parquet files; sweep-scale scratch
