@@ -4087,15 +4087,24 @@ object QueryCatalog {
        |)""".stripMargin
   }
 
+  // simd precomputes the narrow sort key BELOW the window so DuckDB's
+  // window sort carries (query_id, neighbor_id, simk) instead of the
+  // two dim-double arrays per candidate row — at sf10 (|Q| = 4 000,
+  // ~300 M candidate rows) the inline form sorts ~300 GB and OOMs the
+  // sandbox; this form runs in ~40 s with zero spill. Same integers.
   private def signIvfOracleSql(dim: Int, bits: Int, nProbe: Int, k: Int): String =
-    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, ranked AS (
+    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, simd AS (
        |  SELECT probe.query_id, cl.neighbor_id,
-       |         row_number() OVER (PARTITION BY probe.query_id
-       |           ORDER BY floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) DESC, cl.neighbor_id) AS rank
+       |         floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) AS simk
        |  FROM probe
        |  JOIN q ON probe.query_id = q.query_id
        |  JOIN cl USING (list_id)
        |  WHERE probe.query_id <> cl.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY simk DESC, neighbor_id) AS rank
+       |  FROM simd
        |)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
