@@ -4010,20 +4010,78 @@ object QueryCatalog {
     sb.toString
   }
 
-  /** The sign-IVF probe as a reusable CTE chain (q, c, cl, …, probe):
-    * `signIvfOracleSql` closes it with the exact-cosine ranking;
-    * `ivfAdcOracleSql` (q175) splices the PQ CTEs between the probe
-    * and its own ranking. One generator, so the probe arithmetic
-    * cannot drift between the two oracles.
+  /** The ANN auto-budget params as ONE SQL CTE (`ap`), mirroring
+    * `Similarity.autoQuantBits` / `probeBudget` / `autoAdcRerank`
+    * exactly: the ENGINE side of every ANN catalog query derives its
+    * quantizer width, probe count and rerank cut from the corpus
+    * count, so a FIXED-constant oracle only matches at driver scales
+    * (n ≤ 2 000 ⇒ bits 7 — the r13 sf10 sweep caught exactly this:
+    * q134 hash-FAILed at n = 200 000 where the engine runs 512 lists
+    * / 192 probes against a 128/48 oracle). This CTE recomputes the
+    * same integers from `COUNT(*) OVER embeddings`:
+    *   bl   = ceil(log2 n)            (floor(log2(n-1))+1; exact —
+    *                                   log2 of a power of two is
+    *                                   IEEE-exact, so no FP edge)
+    *   bits = min(max(7, (bl+1)//2), 16)           [autoQuantBits]
+    *   np_P = max(1, (1<<bits)·P // 1000)          [probeBudget @ P‰]
+    *   rk   = min(max(96, n//100), 1024)           [autoAdcRerank]
+    * All four catalog permilles (63/188/375/438) are emitted so one
+    * shape serves every caller; scalar subqueries on `ap` fold to
+    * constants in DuckDB.
+    */
+  private val annParamsCte: String = {
+    val nps = Seq(63, 188, 375, 438).map(p =>
+      s"       GREATEST(1, ((CAST(1 AS BIGINT) << bits) * $p) // 1000) AS np_$p").mkString(",\n")
+    s"""ap AS (
+       |  SELECT n, bits,
+       |$nps,
+       |       LEAST(GREATEST(96, n // 100), 1024) AS rk
+       |  FROM (
+       |    SELECT n, CAST(LEAST(GREATEST(7,
+       |        ((CASE WHEN n <= 1 THEN 0
+       |          ELSE CAST(floor(log2(CAST(n - 1 AS DOUBLE))) AS BIGINT) + 1
+       |          END) + 1) // 2), 16) AS INTEGER) AS bits
+       |    FROM (SELECT COUNT(*) AS n FROM embeddings) t0) t1
+       |)""".stripMargin
+  }
+
+  /** The sign-quantizer list id as a bits-ADAPTIVE expression: one
+    * generated branch per realizable `autoQuantBits` value (7 → n ≤
+    * 8 192 … 10 → n ≤ 1 048 576, each branch's plane positions from
+    * the same `Similarity.quantDims` the engine strides), switched on
+    * `ap.bits` at runtime. Beyond the generated branches the CASE
+    * falls to a CAST that raises — a corpus past ~1M vectors fails
+    * LOUDLY rather than bucketing with a silently wrong layout (the
+    * engine itself has no such limit; regenerate with more branches).
+    */
+  private def adaptiveBucket(v: String, dim: Int): String = {
+    val branches = (7 to 10).map { bits =>
+      val expr = Similarity.quantDims(dim, bits).zipWithIndex.map {
+        case (d, j) => s"(CASE WHEN $v[$d] > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n         + ")
+      s"""       WHEN (SELECT bits FROM ap) = $bits THEN
+         |           $expr""".stripMargin
+    }.mkString("\n")
+    s"""(CASE
+       |$branches
+       |       ELSE CAST('graft oracle: corpus needs quantizer bits > 10 (n > ~1M); regenerate adaptiveBucket with more branches' AS INTEGER)
+       |       END)""".stripMargin
+  }
+
+  /** The sign-IVF probe as a reusable CTE chain (ap, q, c, cl, …,
+    * probe): `signIvfOracleSql` closes it with the exact-cosine
+    * ranking; `ivfAdcOracleSql` (q175) splices the PQ CTEs between the
+    * probe and its own ranking. One generator, so the probe arithmetic
+    * cannot drift between the two oracles. Quantizer width and probe
+    * count come from the `ap` params CTE (scale-adaptive — see
+    * [[annParamsCte]]); `permille` picks which probe fraction the cut
+    * uses (375 for the sign-IVF family, 438 for ADC).
     */
   private def signIvfProbeCtes(
-      dim: Int, bits: Int, nProbe: Int,
+      dim: Int, permille: Int,
       centroidWhere: String = "", queryLimit: Option[Int] = None): String = {
-    val dims = Similarity.quantDims(dim, bits)
     val scale = Similarity.centroidScale
-    def bucket(v: String) = dims.zipWithIndex.map { case (d, j) =>
-      s"(CASE WHEN $v[$d] > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("\n       + ")
+    def bucket(v: String) = adaptiveBucket(v, dim)
     // `centroidWhere` restricts the POPULATION the centroids are
     // computed from (q179's frozen-at-build-time coarse quantizer);
     // empty = centroids over the whole corpus (q44/q72/q134/q175...).
@@ -4034,7 +4092,7 @@ object QueryCatalog {
     val ql = queryLimit
       .map(mq => s"\n  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id\n  LIMIT $mq")
       .getOrElse("")
-    s"""q AS (
+    s"""$annParamsCte, q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
        |  FROM embeddings WHERE vec_id % 50 = 0$ql
        |), c AS (
@@ -4083,7 +4141,7 @@ object QueryCatalog {
        |  FROM sc a JOIN sc b ON a.query_id = b.query_id
        |  GROUP BY a.query_id, a.list_id
        |), probe AS (
-       |  SELECT query_id, list_id FROM pr WHERE nbetter < $nProbe
+       |  SELECT query_id, list_id FROM pr WHERE nbetter < (SELECT np_$permille FROM ap)
        |)""".stripMargin
   }
 
@@ -4092,8 +4150,8 @@ object QueryCatalog {
   // two dim-double arrays per candidate row — at sf10 (|Q| = 4 000,
   // ~300 M candidate rows) the inline form sorts ~300 GB and OOMs the
   // sandbox; this form runs in ~40 s with zero spill. Same integers.
-  private def signIvfOracleSql(dim: Int, bits: Int, nProbe: Int, k: Int): String =
-    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe)}, simd AS (
+  private def signIvfOracleSql(dim: Int, k: Int): String =
+    s"""WITH ${signIvfProbeCtes(dim, permille = 375)}, simd AS (
        |  SELECT probe.query_id, cl.neighbor_id,
        |         floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) AS simk
        |  FROM probe
@@ -4108,7 +4166,7 @@ object QueryCatalog {
        |)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  private val signIvfOracle: String = signIvfOracleSql(dim = 64, bits = 7, nProbe = 48, k = 5)
+  private val signIvfOracle: String = signIvfOracleSql(dim = 64, k = 5)
 
   /** q174: PQ/ADC emulation. GENERATED from the same
     * `Similarity.pqBlocks` the operator uses, so sub-vector layout,
@@ -4160,22 +4218,30 @@ object QueryCatalog {
   }
 
   /** Shared ADC→re-rank oracle tail: rank `adc` (query_id,
-    * neighbor_id, adc), cut at `rerank`, exact-cosine re-rank to k.
+    * neighbor_id, adc), cut at `rerankSql` (a literal for the pinned
+    * PQ baselines, `(SELECT rk FROM ap)` for the auto-scaled IVFADC
+    * family), exact-cosine re-rank to k. The rsim CTE keeps the
+    * re-rank window's sort input narrow (ids + integer key, not the
+    * two dim-double arrays — the q134/sf10 OOM lesson).
     */
-  private def adcRerankSql(rerank: Int, k: Int): String =
+  private def adcRerankSql(rerankSql: String, k: Int): String =
     s"""topr AS (
        |  SELECT query_id, neighbor_id,
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY adc DESC, neighbor_id) AS r
        |  FROM adc
-       |), ranked AS (
+       |), rsim AS (
        |  SELECT t.query_id, t.neighbor_id,
-       |         row_number() OVER (PARTITION BY t.query_id
-       |           ORDER BY floor(list_cosine_similarity(q.qv, c.cv) * 1000000) DESC, t.neighbor_id) AS rank
+       |         floor(list_cosine_similarity(q.qv, c.cv) * 1000000) AS simk
        |  FROM topr t
        |  JOIN q ON t.query_id = q.query_id
        |  JOIN c ON t.neighbor_id = c.neighbor_id
-       |  WHERE t.r <= $rerank
+       |  WHERE t.r <= $rerankSql
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY simk DESC, neighbor_id) AS rank
+       |  FROM rsim
        |)
        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
@@ -4183,18 +4249,48 @@ object QueryCatalog {
   private lazy val pqAdcOracle: String =
     pqAdcOracleSql(dim = 64, m = 8, rerank = 64, k = 5)
 
-  private def pqAdcOracleSql(dim: Int, m: Int, rerank: Int, k: Int): String =
+  // The ADC score as a dense per-query LUT ARRAY indexed per row — the
+  // SQL mirror of the engine's ScatterLut/AdcLookupSum kernel: the
+  // (sub, code)-keyed join + |Q|·n-group SUM materializes |pairs|·m
+  // rows through a giant hash aggregate (~140 GB of agg/spill state at
+  // sf10 — it exhausted RAM + disk in the r13 sweep, the same cliff
+  // the ENGINE hit and fixed in r11). Here each query folds its
+  // per-(sub, code) sjc into one m·2^w array, each neighbor its m
+  // codes into one array, and the score is m in-row lookups — the only
+  // large relation is the narrow (query_id, neighbor_id, adc) stream.
+  // Semantics identical: every neighbor code exists in the codebook by
+  // construction, so the join matched all m subs; COALESCE(0) only
+  // fills grid cells no neighbor can hit.
+  private def pqAdcOracleSql(dim: Int, m: Int, rerank: Int, k: Int): String = {
+    val w = dim / m
+    val cCount = 1L << w
+    val adcSum = (0 until m).map(s =>
+      s"lt[${s * cCount} + cds[${s + 1}] + 1]").mkString("\n       + ")
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
        |  FROM embeddings WHERE vec_id % 50 = 0
        |), c AS (
        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
-       |), ${pqCtes(dim, m)}, adc AS (
-       |  SELECT psc.query_id, pcodes.neighbor_id, SUM(psc.sjc) AS adc
-       |  FROM pcodes JOIN psc ON pcodes.sub = psc.sub AND pcodes.code = psc.code
-       |  WHERE psc.query_id <> pcodes.neighbor_id
-       |  GROUP BY psc.query_id, pcodes.neighbor_id
-       |), ${adcRerankSql(rerank, k)}""".stripMargin
+       |), ${pqCtes(dim, m)}, lutd AS (
+       |  SELECT q.query_id, sg.sub, cg.code, COALESCE(psc.sjc, 0) AS sjc
+       |  FROM q
+       |  CROSS JOIN generate_series(0, ${m - 1}) AS sg(sub)
+       |  CROSS JOIN generate_series(0, ${cCount - 1}) AS cg(code)
+       |  LEFT JOIN psc ON psc.query_id = q.query_id
+       |              AND psc.sub = sg.sub AND psc.code = cg.code
+       |), lut AS (
+       |  SELECT query_id, list(sjc ORDER BY sub * $cCount + code) AS lt
+       |  FROM lutd GROUP BY query_id
+       |), ncodes AS (
+       |  SELECT neighbor_id, list(code ORDER BY sub) AS cds
+       |  FROM pcodes GROUP BY neighbor_id
+       |), adc AS (
+       |  SELECT lut.query_id, ncodes.neighbor_id,
+       |         $adcSum AS adc
+       |  FROM lut CROSS JOIN ncodes
+       |  WHERE lut.query_id <> ncodes.neighbor_id
+       |), ${adcRerankSql(rerank.toString, k)}""".stripMargin
+  }
 
   /** q175: residual-encoded IVFADC (canonical FAISS composition, r9).
     * The q44 probe CTEs select the candidate lists; corpus vectors are
@@ -4245,10 +4341,40 @@ object QueryCatalog {
        |)""".stripMargin
   }
 
+  /** The residual-ADC LUT pair (rlut + rncodes CTEs, in-row sum expr)
+    * — the dense-array scoring shared by the IVFADC oracle and the
+    * calibration sweep, same rationale as [[pqAdcOracleSql]]'s LUT:
+    * the (sub, code) join + candidate-grouped SUM is the memory cliff
+    * at sf10; m in-row array lookups per candidate are not.
+    */
+  private def residualAdcLut(dim: Int, m: Int): (String, String) = {
+    val w = dim / m
+    val cCount = 1L << w
+    val ctes =
+      s"""rlutd AS (
+         |  SELECT q.query_id, sg.sub, cg.code, COALESCE(rsc.sjc, 0) AS sjc
+         |  FROM q
+         |  CROSS JOIN generate_series(0, ${m - 1}) AS sg(sub)
+         |  CROSS JOIN generate_series(0, ${cCount - 1}) AS cg(code)
+         |  LEFT JOIN rsc ON rsc.query_id = q.query_id
+         |              AND rsc.sub = sg.sub AND rsc.code = cg.code
+         |), rlut AS (
+         |  SELECT query_id, list(sjc ORDER BY sub * $cCount + code) AS rlt
+         |  FROM rlutd GROUP BY query_id
+         |), rncodes AS (
+         |  SELECT neighbor_id, list(code ORDER BY sub) AS rcds
+         |  FROM rcodes GROUP BY neighbor_id
+         |)""".stripMargin
+    val sumExpr = (0 until m).map(s =>
+      s"rlt[CAST(${s * cCount} + rcds[${s + 1}] + 1 AS BIGINT)]").mkString("\n       + ")
+    (ctes, sumExpr)
+  }
+
   private def ivfAdcOracleSql(
-      dim: Int, bits: Int, nProbe: Int, m: Int, rerank: Int, k: Int,
+      dim: Int, m: Int, k: Int,
       centroidWhere: String = ""): String = {
-    s"""WITH ${signIvfProbeCtes(dim, bits, nProbe, centroidWhere)}, ${residualPqCtes(dim, m)}, lc AS (
+    val (rlutCtes, rSum) = residualAdcLut(dim, m)
+    s"""WITH ${signIvfProbeCtes(dim, permille = 438, centroidWhere)}, ${residualPqCtes(dim, m)}, $rlutCtes, lc AS (
        |  SELECT probe.query_id, probe.list_id, SUM(qi.qx * cm.m) AS lc
        |  FROM probe
        |  JOIN qi ON qi.query_id = probe.query_id
@@ -4259,16 +4385,15 @@ object QueryCatalog {
        |  FROM probe JOIN cl USING (list_id)
        |  WHERE probe.query_id <> cl.neighbor_id
        |), adcr AS (
-       |  SELECT cand.query_id, cand.neighbor_id, cand.list_id, SUM(rsc.sjc) AS rs
+       |  SELECT cand.query_id, cand.neighbor_id, cand.list_id,
+       |         $rSum AS rs
        |  FROM cand
-       |  JOIN rcodes rc ON rc.neighbor_id = cand.neighbor_id
-       |  JOIN rsc ON rsc.query_id = cand.query_id
-       |         AND rsc.sub = rc.sub AND rsc.code = rc.code
-       |  GROUP BY 1, 2, 3
+       |  JOIN rlut ON rlut.query_id = cand.query_id
+       |  JOIN rncodes ON rncodes.neighbor_id = cand.neighbor_id
        |), adc AS (
        |  SELECT adcr.query_id, adcr.neighbor_id, adcr.rs + lc.lc AS adc
        |  FROM adcr JOIN lc ON lc.query_id = adcr.query_id AND lc.list_id = adcr.list_id
-       |), ${adcRerankSql(rerank, k)}""".stripMargin
+       |), ${adcRerankSql("(SELECT rk FROM ap)", k)}""".stripMargin
   }
 
   /** q180: the frozen-quantizer servability audit, recomputed from the
@@ -4277,13 +4402,10 @@ object QueryCatalog {
     * uses; `baseWhere` is the build-subset predicate (q179's split).
     */
   private def ivfAdcServabilityOracleSql(
-      dim: Int, bits: Int, baseWhere: String): String = {
-    val dims = Similarity.quantDims(dim, bits)
+      dim: Int, baseWhere: String): String = {
     val scale = Similarity.centroidScale
-    val bucket = dims.zipWithIndex.map { case (d, j) =>
-      s"(CASE WHEN cv[$d] > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("\n       + ")
-    s"""WITH c AS (
+    val bucket = adaptiveBucket("cv", dim)
+    s"""WITH $annParamsCte, c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
        |), cl AS (
        |  SELECT vec_id,
@@ -4320,12 +4442,9 @@ object QueryCatalog {
     * value-checked exactly, q31/q44-style.
     */
   private def decontaminateBlockedOracleSql(
-      dim: Int, bits: Int, thresholdE6: Long): String = {
-    val dims = Similarity.quantDims(dim, bits)
-    def bucket(v: String) = dims.zipWithIndex.map { case (d, j) =>
-      s"(CASE WHEN $v[$d] > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("\n       + ")
-    s"""WITH bl AS (
+      dim: Int, thresholdE6: Long): String = {
+    def bucket(v: String) = adaptiveBucket(v, dim)
+    s"""WITH $annParamsCte, bl AS (
        |  SELECT CAST(embedding AS DOUBLE[]) AS bv,
        |         ${bucket("CAST(embedding AS DOUBLE[])")} AS list_id
        |  FROM embeddings WHERE vec_id % 37 = 0
@@ -4353,50 +4472,59 @@ object QueryCatalog {
     * counts, so the whole curve hashes exactly.
     */
   private def recallCalibrationOracleSql(
-      dim: Int, bits: Int, grid: Seq[Int], m: Int, rerank: Int, k: Int,
+      dim: Int, gridPermilles: Seq[Int], m: Int, k: Int,
       queryLimit: Option[Int] = None): String = {
-    val maxP = grid.max
-    val pointCtes = grid.map { n =>
-      s"""s_$n AS (
+    // grid points are probe FRACTIONS (permille of the list count) —
+    // the denomination the engine sweeps (probeBudget(bits, p)); the
+    // absolute probe counts come from the adaptive `ap` CTE so the
+    // sweep's x-axis scales with the quantizer exactly as the engine's
+    val maxP = gridPermilles.max
+    val pointCtes = gridPermilles.map { p =>
+      s"""s_p$p AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
          |           row_number() OVER (PARTITION BY query_id
          |             ORDER BY ck DESC, neighbor_id) AS rank
-         |    FROM cand WHERE nbetter < $n)
+         |    FROM cand WHERE nbetter < (SELECT np_$p FROM ap))
          |  WHERE rank <= $k
-         |), asurv_$n AS (
+         |), asurv_p$p AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
          |           row_number() OVER (PARTITION BY query_id
          |             ORDER BY adc DESC, neighbor_id) AS r
-         |    FROM adca WHERE nbetter < $n)
-         |  WHERE r <= $rerank
-         |), atop_$n AS (
+         |    FROM adca WHERE nbetter < (SELECT np_$p FROM ap))
+         |  WHERE r <= (SELECT rk FROM ap)
+         |), atop_p$p AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT a.query_id, a.neighbor_id,
          |           row_number() OVER (PARTITION BY a.query_id
          |             ORDER BY cand.ck DESC, a.neighbor_id) AS rank
-         |    FROM asurv_$n a
+         |    FROM asurv_p$p a
          |    JOIN cand ON cand.query_id = a.query_id
          |             AND cand.neighbor_id = a.neighbor_id)
          |  WHERE rank <= $k
          |)""".stripMargin
     }.mkString(", ")
-    val pointRows = grid.flatMap { n =>
+    val pointRows = gridPermilles.flatMap { p =>
       Seq(
-        s"""SELECT 'sign_ivf' AS family, $n AS n_probe,
-           |  (SELECT COUNT(*) FROM s_$n JOIN truth USING (query_id, neighbor_id)) AS hits,
+        s"""SELECT 'sign_ivf' AS family, CAST((SELECT np_$p FROM ap) AS INTEGER) AS n_probe,
+           |  (SELECT COUNT(*) FROM s_p$p JOIN truth USING (query_id, neighbor_id)) AS hits,
            |  (SELECT n_pairs FROM npairs) AS n_pairs""".stripMargin,
-        s"""SELECT 'ivfadc' AS family, $n AS n_probe,
-           |  (SELECT COUNT(*) FROM atop_$n JOIN truth USING (query_id, neighbor_id)) AS hits,
+        s"""SELECT 'ivfadc' AS family, CAST((SELECT np_$p FROM ap) AS INTEGER) AS n_probe,
+           |  (SELECT COUNT(*) FROM atop_p$p JOIN truth USING (query_id, neighbor_id)) AS hits,
            |  (SELECT n_pairs FROM npairs) AS n_pairs""".stripMargin)
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${signIvfProbeCtes(dim, bits, maxP, queryLimit = queryLimit)}, ${residualPqCtes(dim, m)}, truth AS (
+    val (rlutCtes, rSum) = residualAdcLut(dim, m)
+    s"""WITH ${signIvfProbeCtes(dim, permille = maxP, queryLimit = queryLimit)}, ${residualPqCtes(dim, m)}, $rlutCtes, tsim AS (
+       |  SELECT query_id, neighbor_id,
+       |         floor(list_cosine_similarity(qv, cv) * 1000000) AS simk
+       |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+       |), truth AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |           row_number() OVER (PARTITION BY query_id
-       |             ORDER BY floor(list_cosine_similarity(qv, cv) * 1000000) DESC, neighbor_id) AS rank
-       |    FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+       |             ORDER BY simk DESC, neighbor_id) AS rank
+       |    FROM tsim)
        |  WHERE rank <= $k
        |), npairs AS (
        |  SELECT COUNT(*) AS n_pairs FROM truth
@@ -4406,22 +4534,20 @@ object QueryCatalog {
        |  FROM pr
        |  JOIN q ON q.query_id = pr.query_id
        |  JOIN cl ON cl.list_id = pr.list_id
-       |  WHERE pr.nbetter < $maxP AND pr.query_id <> cl.neighbor_id
+       |  WHERE pr.nbetter < (SELECT np_$maxP FROM ap) AND pr.query_id <> cl.neighbor_id
        |), lc AS (
        |  SELECT pr.query_id, pr.list_id, SUM(qi.qx * cm.m) AS lc
        |  FROM pr
        |  JOIN qi ON qi.query_id = pr.query_id
        |  JOIN cm ON cm.list_id = pr.list_id AND cm.pos = qi.pos
-       |  WHERE pr.nbetter < $maxP
+       |  WHERE pr.nbetter < (SELECT np_$maxP FROM ap)
        |  GROUP BY 1, 2
        |), adcr AS (
        |  SELECT cand.query_id, cand.neighbor_id, cand.list_id, cand.nbetter,
-       |         SUM(rsc.sjc) AS rs
+       |         $rSum AS rs
        |  FROM cand
-       |  JOIN rcodes rc ON rc.neighbor_id = cand.neighbor_id
-       |  JOIN rsc ON rsc.query_id = cand.query_id
-       |         AND rsc.sub = rc.sub AND rsc.code = rc.code
-       |  GROUP BY 1, 2, 3, 4
+       |  JOIN rlut ON rlut.query_id = cand.query_id
+       |  JOIN rncodes ON rncodes.neighbor_id = cand.neighbor_id
        |), adca AS (
        |  SELECT adcr.query_id, adcr.neighbor_id, adcr.nbetter, adcr.rs + lc.lc AS adc
        |  FROM adcr JOIN lc ON lc.query_id = adcr.query_id AND lc.list_id = adcr.list_id
@@ -4710,40 +4836,40 @@ object QueryCatalog {
         |ORDER BY event_type""".stripMargin,
     "q174_emb_ann_pq_adc" -> pqAdcOracle,
     "q175_emb_ann_ivfadc" ->
-      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5),
+      ivfAdcOracleSql(dim = 64, m = 8, k = 5),
     // q176 ≡ q174 at equal parameters by construction — one oracle
     // value-checks both, making the equivalence itself part of the gate
     "q176_emb_ann_pq_index" -> pqAdcOracle,
     "q177_ann_recall_calibration" ->
-      recallCalibrationOracleSql(dim = 64, bits = 7, grid = Seq(8, 24, 56),
-        m = 8, rerank = 96, k = 5),
+      recallCalibrationOracleSql(dim = 64, gridPermilles = Seq(63, 188, 438),
+        m = 8, k = 5),
     // q199 ≡ q177 restricted to the md5-priority 24-query sample —
     // same generator, one LIMIT: the sampled production-tuning path
     // is value-checked by the same arithmetic as the exact twin
     "q199_ann_recall_sampled" ->
-      recallCalibrationOracleSql(dim = 64, bits = 7, grid = Seq(8, 24, 56),
-        m = 8, rerank = 96, k = 5, queryLimit = Some(24)),
+      recallCalibrationOracleSql(dim = 64, gridPermilles = Seq(63, 188, 438),
+        m = 8, k = 5, queryLimit = Some(24)),
     // q178 ≡ q175 at equal parameters by construction — one oracle
     // value-checks both, making the equivalence itself driver-checked
     "q178_emb_ann_ivfadc_index" ->
-      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5),
+      ivfAdcOracleSql(dim = 64, m = 8, k = 5),
     // q179: the SAME generator with the centroid population restricted
     // to the build subset — the frozen-coarse-quantizer serving
     // arithmetic (codes/codebook over everything, centroids from the
     // build two-thirds) value-checked end to end
     "q179_emb_ann_ivfadc_append" ->
-      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5,
+      ivfAdcOracleSql(dim = 64, m = 8, k = 5,
         centroidWhere = "neighbor_id % 3 <> 0"),
     // q180: the servability report recomputed from the corpus with the
     // frozen-quantizer arithmetic (build = vec_id % 3 <> 0, q179's
     // split) — index-on-disk ≡ corpus-derived is the checked claim
     "q180_ann_ivfadc_servability" ->
-      ivfAdcServabilityOracleSql(dim = 64, bits = 7,
+      ivfAdcServabilityOracleSql(dim = 64,
         baseWhere = "vec_id % 3 <> 0"),
     // q181 ≡ q179 with compaction in between — one oracle checks both,
     // making compaction-invisibility itself driver-checked
     "q181_ann_ivfadc_compacted" ->
-      ivfAdcOracleSql(dim = 64, bits = 7, nProbe = 56, m = 8, rerank = 96, k = 5,
+      ivfAdcOracleSql(dim = 64, m = 8, k = 5,
         centroidWhere = "neighbor_id % 3 <> 0"),
     // q182: exact brute-force screen, so the full flagged set is
     // value-checked (cosines stay internal — only threshold-crossing
@@ -4767,7 +4893,7 @@ object QueryCatalog {
     // q183: the same screen through the sign-bucket block join — the
     // approximate candidate cut is pure sign tests, reproduced exactly
     "q183_emb_decontaminate_blocked" ->
-      decontaminateBlockedOracleSql(dim = 64, bits = 7, thresholdE6 = 950000L),
+      decontaminateBlockedOracleSql(dim = 64, thresholdE6 = 950000L),
     // q184: add-one bigram LM trained on the doc_id % 5 <> 0 slice —
     // every value is integer floor arithmetic (per-bigram ppm floored
     // BEFORE the sum, the sum floored by the bigram count), so both
@@ -4810,22 +4936,30 @@ object QueryCatalog {
     // oracle) joined against the brute-force true NN — per-query
     // integer reciprocal rank, the ranking-quality twin of q177.
     "q185_ann_retrieval_mrr" ->
-      s"""WITH ${signIvfProbeCtes(dim = 64, bits = 7, nProbe = 48)}, ranked AS (
+      s"""WITH ${signIvfProbeCtes(dim = 64, permille = 375)}, simd AS (
          |  SELECT probe.query_id, cl.neighbor_id,
-         |         row_number() OVER (PARTITION BY probe.query_id
-         |           ORDER BY floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) DESC, cl.neighbor_id) AS rank
+         |         floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) AS simk
          |  FROM probe
          |  JOIN q ON probe.query_id = q.query_id
          |  JOIN cl USING (list_id)
          |  WHERE probe.query_id <> cl.neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY simk DESC, neighbor_id) AS rank
+         |  FROM simd
          |), ann AS (
          |  SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
-         |), bf AS (
+         |), bsim AS (
          |  SELECT q.query_id, c.neighbor_id,
-         |         row_number() OVER (PARTITION BY q.query_id
-         |           ORDER BY floor(list_cosine_similarity(q.qv, c.cv) * 1000000) DESC, c.neighbor_id) AS tr
+         |         floor(list_cosine_similarity(q.qv, c.cv) * 1000000) AS simk
          |  FROM q CROSS JOIN c
          |  WHERE q.query_id <> c.neighbor_id
+         |), bf AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY simk DESC, neighbor_id) AS tr
+         |  FROM bsim
          |), truth AS (
          |  SELECT query_id, neighbor_id FROM bf WHERE tr = 1
          |), m AS (
@@ -6294,11 +6428,15 @@ object QueryCatalog {
         |  FROM embeddings WHERE vec_id % 50 = 0
         |), c AS (
         |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |), bsim AS (
+        |  SELECT query_id, neighbor_id,
+        |         floor(list_cosine_similarity(qv, cv) * 1000000) AS simk
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
         |), ranked AS (
         |  SELECT query_id, neighbor_id,
         |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY floor(list_cosine_similarity(qv, cv) * 1000000) DESC, neighbor_id) AS rank
-        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+        |           ORDER BY simk DESC, neighbor_id) AS rank
+        |  FROM bsim
         |)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
@@ -6308,12 +6446,16 @@ object QueryCatalog {
         |  FROM embeddings WHERE vec_id % 50 = 0
         |), c AS (
         |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |), bsim AS (
+        |  SELECT query_id, neighbor_id,
+        |         floor(list_cosine_similarity(qv, cv) * 1000000) AS simk
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
         |), topk AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
         |           row_number() OVER (PARTITION BY query_id
-        |             ORDER BY floor(list_cosine_similarity(qv, cv) * 1000000) DESC, neighbor_id) AS rank
-        |    FROM q CROSS JOIN c WHERE query_id <> neighbor_id) t
+        |             ORDER BY simk DESC, neighbor_id) AS rank
+        |    FROM bsim) t
         |  WHERE rank <= 5
         |), votes AS (
         |  SELECT t.query_id, e.label AS nlabel, COUNT(*) AS votes
@@ -6329,39 +6471,70 @@ object QueryCatalog {
     // Similarity.signLshTopK / signIvfTopK), so the oracle reproduces
     // the identical candidate sets and the exact-cosine ranking is the
     // same q29-proven list_cosine_similarity comparison.
+    // q31 is regime-dispatched on the ENGINE side (annTopK): inside
+    // the LSH regime (n <= 1600*dim = 102 400) it runs the pinned
+    // (4 planes x 8 tables) axis-LSH plan; past it, sign-IVF at the
+    // adaptive budgets. The oracle mirrors BOTH legs, switched on the
+    // same corpus count (the ap CTE): the LSH leg is guarded to the
+    // n <= 16 000 band where autoLshPlan still returns (4, 8) — in
+    // the 16k..102.4k band (no oracle gate runs there) it raises
+    // loudly rather than encoding a stale plan. Windows sort narrow
+    // (ids + integer key) on both legs.
     "q31_emb_ann_lsh" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0
-        |), c AS (
-        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
-        |), qb AS (
-        |  SELECT query_id, t AS tbl,
-        |         (CASE WHEN qv[t*4+1] > 0 THEN 1 ELSE 0 END)
-        |       + (CASE WHEN qv[t*4+2] > 0 THEN 2 ELSE 0 END)
-        |       + (CASE WHEN qv[t*4+3] > 0 THEN 4 ELSE 0 END)
-        |       + (CASE WHEN qv[t*4+4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM q CROSS JOIN generate_series(0, 7) AS ts(t)
-        |), cb AS (
-        |  SELECT neighbor_id, t AS tbl,
-        |         (CASE WHEN cv[t*4+1] > 0 THEN 1 ELSE 0 END)
-        |       + (CASE WHEN cv[t*4+2] > 0 THEN 2 ELSE 0 END)
-        |       + (CASE WHEN cv[t*4+3] > 0 THEN 4 ELSE 0 END)
-        |       + (CASE WHEN cv[t*4+4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM c CROSS JOIN generate_series(0, 7) AS ts(t)
-        |), cand AS (
-        |  SELECT DISTINCT query_id, neighbor_id
-        |  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
-        |  WHERE query_id <> neighbor_id
-        |), ranked AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |         row_number() OVER (PARTITION BY cand.query_id
-        |           ORDER BY floor(list_cosine_similarity(q.qv, c.cv) * 1000000) DESC, cand.neighbor_id) AS rank
-        |  FROM cand JOIN q ON q.query_id = cand.query_id
-        |            JOIN c ON c.neighbor_id = cand.neighbor_id
-        |)
-        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+      s"""WITH ${signIvfProbeCtes(dim = 64, permille = 375)}, qb AS (
+         |  SELECT query_id, t AS tbl,
+         |         CASE WHEN (SELECT n FROM ap) > 16000
+         |           THEN CAST('q31 oracle: autoLshPlan leaves the pinned 4x8 past n=16000; sign-IVF leg starts at n=102401' AS INTEGER)
+         |           ELSE
+         |         (CASE WHEN qv[t*4+1] > 0 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN qv[t*4+2] > 0 THEN 2 ELSE 0 END)
+         |       + (CASE WHEN qv[t*4+3] > 0 THEN 4 ELSE 0 END)
+         |       + (CASE WHEN qv[t*4+4] > 0 THEN 8 ELSE 0 END) END AS bucket
+         |  FROM q CROSS JOIN generate_series(0, 7) AS ts(t)
+         |  WHERE (SELECT n FROM ap) <= 102400
+         |), cb AS (
+         |  SELECT neighbor_id, t AS tbl,
+         |         CASE WHEN (SELECT n FROM ap) > 16000
+         |           THEN CAST('q31 oracle: autoLshPlan leaves the pinned 4x8 past n=16000; sign-IVF leg starts at n=102401' AS INTEGER)
+         |           ELSE
+         |         (CASE WHEN cv[t*4+1] > 0 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN cv[t*4+2] > 0 THEN 2 ELSE 0 END)
+         |       + (CASE WHEN cv[t*4+3] > 0 THEN 4 ELSE 0 END)
+         |       + (CASE WHEN cv[t*4+4] > 0 THEN 8 ELSE 0 END) END AS bucket
+         |  FROM c CROSS JOIN generate_series(0, 7) AS ts(t)
+         |  WHERE (SELECT n FROM ap) <= 102400
+         |), lcand AS (
+         |  SELECT DISTINCT query_id, neighbor_id
+         |  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+         |  WHERE query_id <> neighbor_id
+         |), lsim AS (
+         |  SELECT lcand.query_id, lcand.neighbor_id,
+         |         floor(list_cosine_similarity(q.qv, c.cv) * 1000000) AS simk
+         |  FROM lcand JOIN q ON q.query_id = lcand.query_id
+         |             JOIN c ON c.neighbor_id = lcand.neighbor_id
+         |), lranked AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY simk DESC, neighbor_id) AS rank
+         |  FROM lsim
+         |), isim AS (
+         |  SELECT probe.query_id, cl.neighbor_id,
+         |         floor(list_cosine_similarity(q.qv, cl.cv) * 1000000) AS simk
+         |  FROM probe
+         |  JOIN q ON probe.query_id = q.query_id
+         |  JOIN cl USING (list_id)
+         |  WHERE probe.query_id <> cl.neighbor_id
+         |    AND (SELECT n FROM ap) > 102400
+         |), iranked AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY simk DESC, neighbor_id) AS rank
+         |  FROM isim
+         |)
+         |SELECT query_id, neighbor_id, rank FROM lranked WHERE rank <= 5
+         |UNION ALL
+         |SELECT query_id, neighbor_id, rank FROM iranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q34_distinct_agg" ->
       """SELECT l_returnflag,
         |       COUNT(DISTINCT l_suppkey) AS n_suppliers,
