@@ -4222,14 +4222,22 @@ object QueryCatalog {
     * PQ baselines, `(SELECT rk FROM ap)` for the auto-scaled IVFADC
     * family), exact-cosine re-rank to k. The rsim CTE keeps the
     * re-rank window's sort input narrow (ids + integer key, not the
-    * two dim-double arrays — the q134/sf10 OOM lesson).
+    * two dim-double arrays — the q134/sf10 OOM lesson). The topr cut
+    * happens in two steps: a CONSTANT `r <= 1024` first (1024 =
+    * autoAdcRerank's cap, so always a superset of the real cut) —
+    * DuckDB's streaming top-N-through-window optimization only fires
+    * on constant comparands, and without it the window SORTS the full
+    * candidate stream (~350 M rows / >70 GB of spill at sf10); the
+    * adaptive `rerankSql` filter then runs on ≤ 1024·|Q| rows.
     */
   private def adcRerankSql(rerankSql: String, k: Int): String =
     s"""topr AS (
-       |  SELECT query_id, neighbor_id,
-       |         row_number() OVER (PARTITION BY query_id
-       |           ORDER BY adc DESC, neighbor_id) AS r
-       |  FROM adc
+       |  SELECT query_id, neighbor_id, r FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc DESC, neighbor_id) AS r
+       |    FROM adc)
+       |  WHERE r <= 1024
        |), rsim AS (
        |  SELECT t.query_id, t.neighbor_id,
        |         floor(list_cosine_similarity(q.qv, c.cv) * 1000000) AS simk
