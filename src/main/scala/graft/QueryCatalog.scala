@@ -4029,8 +4029,18 @@ object QueryCatalog {
     * shape serves every caller; scalar subqueries on `ap` fold to
     * constants in DuckDB.
     */
+  /** The probe permilles `annParamsCte` emits `np_P` columns for.
+    * `signIvfProbeCtes` / `recallCalibrationOracleSql` interpolate
+    * `np_$p` column names from their arguments, so a permille outside
+    * this set would generate SQL referencing a nonexistent column —
+    * a binder error at oracle RUN time, far from the call site. Both
+    * generators `require` membership instead (fail at CATALOG-BUILD
+    * time, at the offending call).
+    */
+  private val annPermilles: Seq[Int] = Seq(63, 188, 375, 438)
+
   private val annParamsCte: String = {
-    val nps = Seq(63, 188, 375, 438).map(p =>
+    val nps = annPermilles.map(p =>
       s"       GREATEST(1, ((CAST(1 AS BIGINT) << bits) * $p) // 1000) AS np_$p").mkString(",\n")
     s"""ap AS (
        |  SELECT n, bits,
@@ -4077,9 +4087,13 @@ object QueryCatalog {
     * [[annParamsCte]]); `permille` picks which probe fraction the cut
     * uses (375 for the sign-IVF family, 438 for ADC).
     */
-  private def signIvfProbeCtes(
+  private[graft] def signIvfProbeCtes(
       dim: Int, permille: Int,
       centroidWhere: String = "", queryLimit: Option[Int] = None): String = {
+    require(annPermilles.contains(permille),
+      s"signIvfProbeCtes: permille=$permille has no np_$permille column in " +
+        s"annParamsCte (emitted set: ${annPermilles.mkString(",")}) — add it " +
+        "there or the oracle SQL binds against a nonexistent column")
     val scale = Similarity.centroidScale
     def bucket(v: String) = adaptiveBucket(v, dim)
     // `centroidWhere` restricts the POPULATION the centroids are
@@ -4479,9 +4493,13 @@ object QueryCatalog {
     * brute-force ranking. Everything integer: hits and n_pairs are
     * counts, so the whole curve hashes exactly.
     */
-  private def recallCalibrationOracleSql(
+  private[graft] def recallCalibrationOracleSql(
       dim: Int, gridPermilles: Seq[Int], m: Int, k: Int,
       queryLimit: Option[Int] = None): String = {
+    require(gridPermilles.nonEmpty && gridPermilles.forall(annPermilles.contains),
+      s"recallCalibrationOracleSql: gridPermilles ${gridPermilles.mkString(",")} " +
+        s"must all have np_ columns in annParamsCte (emitted set: " +
+        s"${annPermilles.mkString(",")})")
     // grid points are probe FRACTIONS (permille of the list count) —
     // the denomination the engine sweeps (probeBudget(bits, p)); the
     // absolute probe counts come from the adaptive `ap` CTE so the
@@ -6484,15 +6502,18 @@ object QueryCatalog {
     // (4 planes x 8 tables) axis-LSH plan; past it, sign-IVF at the
     // adaptive budgets. The oracle mirrors BOTH legs, switched on the
     // same corpus count (the ap CTE): the LSH leg is guarded to the
-    // n <= 16 000 band where autoLshPlan still returns (4, 8) — in
-    // the 16k..102.4k band (no oracle gate runs there) it raises
-    // loudly rather than encoding a stale plan. Windows sort narrow
-    // (ids + integer key) on both legs.
+    // n <= 2 000 band where autoLshPlan still returns the pinned
+    // (4, 8) — at n = 2 001 tables grows to 9 (buckets > 16 at
+    // targetOccupancy 125), so in the 2k..102.4k band (no oracle
+    // gate runs there: sf0.1 is exactly n = 2 000, sf10 is 200 000)
+    // it raises loudly rather than encoding a stale plan whose
+    // candidate pool is silently smaller than the engine's. Windows
+    // sort narrow (ids + integer key) on both legs.
     "q31_emb_ann_lsh" ->
       s"""WITH ${signIvfProbeCtes(dim = 64, permille = 375)}, qb AS (
          |  SELECT query_id, t AS tbl,
-         |         CASE WHEN (SELECT n FROM ap) > 16000
-         |           THEN CAST('q31 oracle: autoLshPlan leaves the pinned 4x8 past n=16000; sign-IVF leg starts at n=102401' AS INTEGER)
+         |         CASE WHEN (SELECT n FROM ap) > 2000
+         |           THEN CAST('q31 oracle: autoLshPlan grows past the pinned 4x8 at n=2001 (tables 9+); sign-IVF leg starts at n=102401' AS INTEGER)
          |           ELSE
          |         (CASE WHEN qv[t*4+1] > 0 THEN 1 ELSE 0 END)
          |       + (CASE WHEN qv[t*4+2] > 0 THEN 2 ELSE 0 END)
@@ -6502,8 +6523,8 @@ object QueryCatalog {
          |  WHERE (SELECT n FROM ap) <= 102400
          |), cb AS (
          |  SELECT neighbor_id, t AS tbl,
-         |         CASE WHEN (SELECT n FROM ap) > 16000
-         |           THEN CAST('q31 oracle: autoLshPlan leaves the pinned 4x8 past n=16000; sign-IVF leg starts at n=102401' AS INTEGER)
+         |         CASE WHEN (SELECT n FROM ap) > 2000
+         |           THEN CAST('q31 oracle: autoLshPlan grows past the pinned 4x8 at n=2001 (tables 9+); sign-IVF leg starts at n=102401' AS INTEGER)
          |           ELSE
          |         (CASE WHEN cv[t*4+1] > 0 THEN 1 ELSE 0 END)
          |       + (CASE WHEN cv[t*4+2] > 0 THEN 2 ELSE 0 END)
