@@ -83,6 +83,16 @@ object GraftSession {
       // ContextCleaner already schedules defaults to 30 min; 5 min
       // bounds dead-shuffle accretion at a negligible GC cost.
       .config("spark.cleaner.periodicGC.interval", "5min")
+      // the bounded top-k aggregates (BoundedTopK — the ANN ranking
+      // cut) are TypedImperativeAggregates, which run through
+      // ObjectHashAggregateExec; its default sort-based fallback
+      // triggers at 128 distinct keys per task, and the ANN paths
+      // carry thousands of query_id groups — each holding only a
+      // k-bounded heap (~1 KB at k=64). 64k in-memory groups per task
+      // is still only tens of MB; past that the sort-based fallback is
+      // the correct spill-aware behavior (correctness never depends on
+      // this knob).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
 
   def default(master: String = s"local[${availableCores}]",

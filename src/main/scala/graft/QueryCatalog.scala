@@ -3822,6 +3822,53 @@ object QueryCatalog {
       LangId.classify(d, profiles, "doc_id", "text", docTopN = 32, k = 64)
         .orderBy(col("doc_id"))
     }),
+
+    // multimodal curation e2e (r14, the q198-style composition for the
+    // image side): synthesize BMPs from text (q33's corpus), plant
+    // factor-2 resized copies (q188's plant set), perceptual-dedup on
+    // banded dhash pairs — greedy drop of every media_b, so the
+    // smaller id of a near-pair survives (plants' negative ids beat
+    // their sources) — then an integer brightness gate on the DECODED
+    // stats (mean byte ≥ 90, cross-multiplied: Σbytes ≥ 3·n_pixels·90
+    // — no division), resize the keepers to width 8 (q147 geometry;
+    // identity for the already-8-wide plants) and manifest per-image
+    // integer sums. Every stage is oracle-proven alone
+    // (q33/q188/q147); this row pins the COMPOSITION, like q198 does
+    // for the text side. Payloads never shuffle except as dedup
+    // survivors; every hash/sum/gate is integer-exact on both engines.
+    "q200_multimodal_curation_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.bmpFromText(s, t(s, dir, "documents"),
+        "doc_id", "text", width = 16)
+      val plants = Multimodal.resizeNearest(
+          media.filter(_.media_id % 9 == 0), outWidth = 8)
+        .map(r => Multimodal.MediaRecord(-r.media_id - 1L, "image", r.payload,
+          r.out_width, r.out_height, 0L))
+      val corpus = media.union(plants)
+      val dropped = Multimodal.perceptualPairs(
+          Multimodal.perceptualHashes(corpus).toDF(), "dhash", maxHamming = 3)
+        .select(col("media_b").as("media_id")).distinct()
+      val survivors = corpus.toDF()
+        .join(dropped, Seq("media_id"), "left_anti")
+        .as[Multimodal.MediaRecord]
+      val bright = Multimodal.imageStats(survivors).toDF()
+        .filter(col("sum_b") + col("sum_g") + col("sum_r")
+          >= col("n_pixels") * (3L * 90L))
+        .select(col("media_id"))
+      val gated = survivors.toDF()
+        .join(bright, Seq("media_id"), "left_semi")
+        .as[Multimodal.MediaRecord]
+      Multimodal.imageStats(
+          Multimodal.resizeNearest(gated, outWidth = 8)
+            .map(r => Multimodal.MediaRecord(r.media_id, "image", r.payload,
+              r.out_width, r.out_height, 0L)))
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_pixels"),
+          (col("sum_b") + col("sum_g") + col("sum_r")).as("sum_bytes"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   // ---------------------------------------------------------------
@@ -5148,6 +5195,86 @@ object QueryCatalog {
         |SELECT media_a, media_b, hamming FROM ham
         |WHERE hamming <= 3
         |ORDER BY media_a, media_b""".stripMargin,
+    // q200: the q188 dhash-pair chain (verbatim CTEs) feeding a greedy
+    // drop of every media_b, then the brightness gate and the resized
+    // manifest — both from ONE byte-sum CTE: an original's gate total
+    // is all its bytes, a plant's gate total AND every survivor's
+    // resized sum are the EVEN-COLUMN bytes (factor-2 nearest resize
+    // samples cols 0,2,..,14, and resizing the already-8-wide plant is
+    // the identity — engine scaladoc proves the index arithmetic).
+    "q200_multimodal_curation_e2e" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         GREATEST((length(text) + 47) // 48, 1) AS h
+        |  FROM documents
+        |), gi AS (
+        |  SELECT unnest(generate_series(0, 7)) AS i
+        |), grid AS (
+        |  SELECT d.doc_id, gy.i AS gy, gx.i AS gx,
+        |         (CASE WHEN ((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 1 <= d.len
+        |               THEN ord(substr(d.text, CAST(((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 1 AS INTEGER), 1)) ELSE 0 END)
+        |       + (CASE WHEN ((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 2 <= d.len
+        |               THEN ord(substr(d.text, CAST(((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 2 AS INTEGER), 1)) ELSE 0 END)
+        |       + (CASE WHEN ((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 3 <= d.len
+        |               THEN ord(substr(d.text, CAST(((gy.i * d.h // 8) * 16 + 2 * gx.i) * 3 + 3 AS INTEGER), 1)) ELSE 0 END)
+        |         AS g
+        |  FROM d CROSS JOIN gi gy CROSS JOIN gi gx
+        |), bits AS (
+        |  SELECT a.doc_id, a.gy * 7 + a.gx AS bit_idx,
+        |         CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        |  FROM grid a JOIN grid b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 7
+        |), media_bits AS (
+        |  SELECT doc_id AS media_id, bit_idx, bit FROM bits
+        |  UNION ALL
+        |  SELECT -doc_id - 1, bit_idx, bit FROM bits WHERE doc_id % 9 = 0
+        |), bands AS (
+        |  SELECT media_id, bit_idx // 16 AS band,
+        |         SUM(bit * (1 << (bit_idx % 16))) AS bh
+        |  FROM media_bits GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bh = r.bh AND l.media_id < r.media_id
+        |), ham AS (
+        |  SELECT c.media_a, c.media_b,
+        |         SUM(CASE WHEN la.bit <> rb.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN media_bits la ON la.media_id = c.media_a
+        |  JOIN media_bits rb ON rb.media_id = c.media_b AND rb.bit_idx = la.bit_idx
+        |  GROUP BY 1, 2
+        |), dropped AS (
+        |  SELECT DISTINCT media_b AS media_id FROM ham WHERE hamming <= 3
+        |), bytes AS (
+        |  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS v,
+        |         ((i - 1) // 3) % 16 AS colx
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len)) AS i FROM d)
+        |), sums AS (
+        |  SELECT doc_id, SUM(v) AS total,
+        |         SUM(CASE WHEN colx % 2 = 0 THEN v ELSE 0 END) AS even_total
+        |  FROM bytes GROUP BY doc_id
+        |), media AS (
+        |  SELECT doc_id AS media_id, doc_id, 16 AS w FROM d
+        |  UNION ALL
+        |  SELECT -doc_id - 1, doc_id, 8 FROM d WHERE doc_id % 9 = 0
+        |), kept AS (
+        |  SELECT m.media_id, m.doc_id, d.h
+        |  FROM media m
+        |  JOIN d USING (doc_id)
+        |  LEFT JOIN sums s USING (doc_id)
+        |  WHERE m.media_id NOT IN (SELECT media_id FROM dropped)
+        |    AND (CASE WHEN m.w = 16 THEN COALESCE(s.total, 0)
+        |              ELSE COALESCE(s.even_total, 0) END)
+        |        >= m.w * d.h * 270
+        |)
+        |SELECT k.media_id,
+        |       CAST(8 AS BIGINT) AS width,
+        |       CAST(k.h AS BIGINT) AS height,
+        |       CAST(8 * k.h AS BIGINT) AS n_pixels,
+        |       CAST(COALESCE(s.even_total, 0) AS BIGINT) AS sum_bytes
+        |FROM kept k LEFT JOIN sums s USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
     // q189: the q184 integer-ppm scoring form against BOTH models
     // (target = lang='en' slice, raw = doc_id % 3 sample), contrast =
     // difference of the two floored means; the 300‰ cut is top-m by

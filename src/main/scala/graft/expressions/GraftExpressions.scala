@@ -338,6 +338,8 @@ object GraftFunctions {
   def minhashFromSet(sh: Column, k: Int): Column = col(MinHashFromSet(e(sh), k))
   def minhashUnion(sig: Column, k: Int): Column =
     col(MinHashUnion(e(sig), k).toAggregateExpression())
+  def boundedTopK(score: Column, id: Column, k: Int): Column =
+    col(BoundedTopK(e(score), e(id), k).toAggregateExpression())
   def shingleSet(text: Column, shingleSize: Int, charLevel: Boolean): Column =
     col(ShingleSet(e(text), shingleSize, charLevel))
   def simhash64(text: Column): Column = col(SimHash64(e(text)))

@@ -57,12 +57,9 @@ object Similarity {
       // of exchange bytes; the scored triple is ~1.7 GB)
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
-    cross
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    // ranking via the bounded top-k aggregate (see [[rankTopK]]) —
+    // the |Q|·n scored pairs never reach an exchange
+    rankTopK(cross, k)
   }
 
   /** k-NN majority-label classification built on bruteForceTopK.
@@ -198,14 +195,9 @@ object Similarity {
     val queryLists = assign(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv", nProbe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
-    queryLists.join(corpusLists, Seq("list_id"))
+    rankTopK(queryLists.join(corpusLists, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2"))), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets
@@ -311,14 +303,9 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cid").as("list_id"))
     val lists = spark.read.parquet(s"$path/lists")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"), col("list_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
-    probed.join(lists, Seq("list_id"))
+    rankTopK(probed.join(lists, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv2"))), k)
   }
 
   /** Semantic (embedding-space) benchmark decontamination — the
@@ -442,14 +429,20 @@ object Similarity {
   }
 
   private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(rankKey(col("cosine")).desc, col("neighbor_id"))
-    // the ranking exchange carries only (ids, cosine) — callers'
-    // vector columns must not ride through the window shuffle
-    cands.select("query_id", "neighbor_id", "cosine")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    // bounded top-k AGGREGATE, not a row_number window: partial
+    // aggregation cuts to k pairs per query map-side, so the exchange
+    // carries ≤ |Q|·tasks·k pairs and nothing globally sorts the
+    // scored relation (the window form shuffled+sorted every scored
+    // pair — 800 M rows for the sf10 exhaustive scans). Same rank
+    // order and tie-break (rankKey desc, neighbor_id asc); callers'
+    // vector columns are projected away before the exchange as before.
+    cands.select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.boundedTopK(
+        rankKey(col("cosine")), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.i").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Sign-bit LSH top-k: table t buckets on the sign pattern of
@@ -1266,11 +1259,19 @@ object Similarity {
   private def adcRerank(
       pairsScored: DataFrame, queries: DataFrame, corpusC: DataFrame,
       k: Int, rerank: Int, idCol: String, vecCol: String): DataFrame = {
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val survivors = pairsScored.withColumn("r", row_number().over(wAdc))
-      .filter(col("r") <= rerank)
-      .select(col("query_id"), col("neighbor_id"))
+    // bounded top-`rerank` aggregate instead of a row_number window:
+    // the ADC cut's input is the full scored candidate relation (the
+    // EXHAUSTIVE scan's is |Q|·n — 800 M pairs at the sf10 sweep
+    // point, where the window's global sort was the catalog's slowest
+    // stage at 1 616 s), and only the k-th-best membership SET is
+    // needed, which the heap reproduces exactly (adc desc,
+    // neighbor_id asc).
+    val survivors = pairsScored
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.boundedTopK(
+        col("adc"), col("neighbor_id"), rerank).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.i").as("neighbor_id"))
     rankTopK(survivors
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
       .join(corpusC, Seq("neighbor_id"))

@@ -34,10 +34,18 @@ class PlanPropertiesSpec extends SparkSpec {
       s"column pruning lost — scan reads unused columns: $readSchema")
   }
 
-  test("q29: brute-force top-k plans a partial WindowGroupLimit before the shuffle") {
+  test("q29: brute-force top-k cuts through the bounded aggregate, not a window sort") {
+    // r14: rankTopK is a BoundedTopK ObjectHashAggregate — partial
+    // aggregation cuts to k pairs per query map-side, so the exchange
+    // carries heaps, never the |Q|·n scored pairs, and NOTHING sorts
+    // the scored relation (the prior WindowGroupLimit shape still
+    // emitted every map task's top-k into a global per-query sort —
+    // 1 616 s of the sf10 sweep on q174's 800 M-pair cut).
     val p = plan("q29_emb_cosine_topk")
-    assert(p.contains("WindowGroupLimit"),
-      "rank<=k not pushed down — full cross product would cross the shuffle")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded top-k aggregate missing — ranking would sort the cross product")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window ("),
+      s"a window sort crept back into the brute-force ranking:\n$p")
   }
 
   test("q45: TPC-H Q3 broadcasts the filtered customer side") {
