@@ -61,7 +61,7 @@ object QueryCatalog {
     * the reference's sample-data shape (SURVEY.md §1.5), and the
     * dashboard joins fan out accordingly on BOTH engines.
     */
-  private def synthInventory(s: SparkSession, dir: String): DataFrame =
+  private[graft] def synthInventory(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(
       concat(lit("TXN"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("transaction_id"),
       col("l_shipdate").as("date"),

@@ -41,8 +41,14 @@ object Pipeline {
       existingProduct: Option[DataFrame] = None,
       asOf: Timestamp = Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")),
       referenceSemantics: Boolean = true,
-      cacheStaging: Boolean = true): CuratedOutputs = {
-    val cleaned = StagingLayer.clean(raw)
+      cacheStaging: Boolean = true,
+      // the 100 TB posture flag, threaded to StagingLayer.clean: the
+      // parity default full-row dropDuplicates shuffles every wide
+      // column; hashDedup=true shuffles one md5 key instead (result
+      // equal up to 2^-128 — see StagingLayer.clean). Measured A/B at
+      // sf10 in SCALING.md "r14 at the 100× point".
+      hashDedup: Boolean = false): CuratedOutputs = {
+    val cleaned = StagingLayer.clean(raw, hashDedup = hashDedup)
     val staging = if (cacheStaging) cleaned.cache() else cleaned
     CuratedOutputs(
       dimDate = CuratedLayer.dimDate(staging),
