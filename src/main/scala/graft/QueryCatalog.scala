@@ -5143,12 +5143,20 @@ object QueryCatalog {
     // q188: the dHash chain recomputed from source bytes — BMP content
     // is the text bytes zero-padded (the q33 byte-access pattern), the
     // 8×8 grid samples pixel (2·gx, gy·h//8), grays are 3-byte sums,
-    // dhash bits compare horizontal neighbors, bands are 16-bit bit
-    // sums, Hamming counts differing bit rows. Plants (doc_id % 9 = 0,
+    // dhash bits compare horizontal neighbors. Plants (doc_id % 9 = 0,
     // media_id = -doc_id-1) reuse the original's bits: the factor-2
     // nearest resize samples the identical source pixels (engine
     // scaladoc proves the index arithmetic), so this IS the plant's
-    // hash, not an assumption about it.
+    // hash, not an assumption about it. MEMORY-FLAT SHAPE (r14): the
+    // 56 bit rows pack into ONE BIGINT per media (dh), Hamming is
+    // bit_count(xor) inline in the band join — never a 56-row-per-side
+    // reconstruction join — the Hamming filter runs BEFORE any dedup,
+    // and each pair is emitted only from its CANONICAL (first-
+    // matching) band, so no DISTINCT materializes the raw pair stream.
+    // At sf10 the padding-dominated top band holds a 30 k-image bucket
+    // (~1.7 B raw pairs): the prior shape OOM-killed DuckDB at 64 GB +
+    // 59 GB of spill; this one streams it. Same pair set (the engine
+    // mirrors the same canonical-band gate).
     "q188_image_phash_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) AS len,
@@ -5172,28 +5180,28 @@ object QueryCatalog {
         |  FROM grid a JOIN grid b
         |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
         |  WHERE a.gx < 7
-        |), media_bits AS (
-        |  SELECT doc_id AS media_id, bit_idx, bit FROM bits
+        |), dh AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(SUM(bit * (CAST(1 AS BIGINT) << bit_idx)) AS BIGINT) AS ph
+        |  FROM bits GROUP BY 1
+        |), media_hash AS (
+        |  SELECT media_id, ph FROM dh
         |  UNION ALL
-        |  SELECT -doc_id - 1, bit_idx, bit FROM bits WHERE doc_id % 9 = 0
+        |  SELECT -media_id - 1, ph FROM dh WHERE media_id % 9 = 0
         |), bands AS (
-        |  SELECT media_id, bit_idx // 16 AS band,
-        |         SUM(bit * (1 << (bit_idx % 16))) AS bh
-        |  FROM media_bits GROUP BY 1, 2
-        |), cand AS (
-        |  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.bh = r.bh AND l.media_id < r.media_id
-        |), ham AS (
-        |  SELECT c.media_a, c.media_b,
-        |         CAST(SUM(CASE WHEN la.bit <> rb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-        |  FROM cand c
-        |  JOIN media_bits la ON la.media_id = c.media_a
-        |  JOIN media_bits rb ON rb.media_id = c.media_b AND rb.bit_idx = la.bit_idx
-        |  GROUP BY 1, 2
+        |  SELECT media_id, ph, t.b AS band,
+        |         (ph >> (t.b * 16)) & 65535 AS bh
+        |  FROM media_hash CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) t
         |)
-        |SELECT media_a, media_b, hamming FROM ham
-        |WHERE hamming <= 3
+        |SELECT l.media_id AS media_a, r.media_id AS media_b,
+        |       CAST(bit_count(xor(l.ph, r.ph)) AS BIGINT) AS hamming
+        |FROM bands l JOIN bands r
+        |  ON l.band = r.band AND l.bh = r.bh AND l.media_id < r.media_id
+        |WHERE bit_count(xor(l.ph, r.ph)) <= 3
+        |  AND l.band = (CASE WHEN (xor(l.ph, r.ph) & 65535) = 0 THEN 0
+        |                     WHEN ((xor(l.ph, r.ph) >> 16) & 65535) = 0 THEN 1
+        |                     WHEN ((xor(l.ph, r.ph) >> 32) & 65535) = 0 THEN 2
+        |                     ELSE 3 END)
         |ORDER BY media_a, media_b""".stripMargin,
     // q200: the q188 dhash-pair chain (verbatim CTEs) feeding a greedy
     // drop of every media_b, then the brightness gate and the resized
@@ -5225,27 +5233,23 @@ object QueryCatalog {
         |  FROM grid a JOIN grid b
         |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
         |  WHERE a.gx < 7
-        |), media_bits AS (
-        |  SELECT doc_id AS media_id, bit_idx, bit FROM bits
+        |), dh AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(SUM(bit * (CAST(1 AS BIGINT) << bit_idx)) AS BIGINT) AS ph
+        |  FROM bits GROUP BY 1
+        |), media_hash AS (
+        |  SELECT media_id, ph FROM dh
         |  UNION ALL
-        |  SELECT -doc_id - 1, bit_idx, bit FROM bits WHERE doc_id % 9 = 0
+        |  SELECT -media_id - 1, ph FROM dh WHERE media_id % 9 = 0
         |), bands AS (
-        |  SELECT media_id, bit_idx // 16 AS band,
-        |         SUM(bit * (1 << (bit_idx % 16))) AS bh
-        |  FROM media_bits GROUP BY 1, 2
-        |), cand AS (
-        |  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b
+        |  SELECT media_id, ph, t.b AS band,
+        |         (ph >> (t.b * 16)) & 65535 AS bh
+        |  FROM media_hash CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) t
+        |), dropped AS (
+        |  SELECT DISTINCT r.media_id
         |  FROM bands l JOIN bands r
         |    ON l.band = r.band AND l.bh = r.bh AND l.media_id < r.media_id
-        |), ham AS (
-        |  SELECT c.media_a, c.media_b,
-        |         SUM(CASE WHEN la.bit <> rb.bit THEN 1 ELSE 0 END) AS hamming
-        |  FROM cand c
-        |  JOIN media_bits la ON la.media_id = c.media_a
-        |  JOIN media_bits rb ON rb.media_id = c.media_b AND rb.bit_idx = la.bit_idx
-        |  GROUP BY 1, 2
-        |), dropped AS (
-        |  SELECT DISTINCT media_b AS media_id FROM ham WHERE hamming <= 3
+        |  WHERE bit_count(xor(l.ph, r.ph)) <= 3
         |), bytes AS (
         |  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS v,
         |         ((i - 1) // 3) % 16 AS colx
