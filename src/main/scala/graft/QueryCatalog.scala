@@ -4539,6 +4539,18 @@ object QueryCatalog {
     * point; each point is a filter + window. Ground truth is q29's
     * brute-force ranking. Everything integer: hits and n_pairs are
     * counts, so the whole curve hashes exactly.
+    *
+    * ADC scoring here uses the SPARSE (sub, code)-keyed join
+    * (cand × rcodes × rsc, |cand|·m rows), NOT the dense rlut list of
+    * [[residualAdcLut]]: this generator's |Q| is bounded by design
+    * (q199 samples 24 queries; q177 runs only at driver scales), so
+    * |cand|·m stays ~17 M at sf10 — while DuckDB's plan for the dense
+    * list joined into the candidate stream under the sampled TOP_N
+    * query set degraded to a cross product that materialized the
+    * 16 KB per-query LUT per candidate row: >77 GB of spill, the r14
+    * sweep's only oracle death. The dense LUT remains the right shape
+    * for the big-|Q| family oracles (q174/q175/q178/q179/q181), where
+    * |cand|·m is ~2.8 B and the sparse join is the thing that dies.
     */
   private[graft] def recallCalibrationOracleSql(
       dim: Int, gridPermilles: Seq[Int], m: Int, k: Int,
@@ -4587,8 +4599,7 @@ object QueryCatalog {
            |  (SELECT COUNT(*) FROM atop_p$p JOIN truth USING (query_id, neighbor_id)) AS hits,
            |  (SELECT n_pairs FROM npairs) AS n_pairs""".stripMargin)
     }.mkString("\nUNION ALL\n")
-    val (rlutCtes, rSum) = residualAdcLut(dim, m)
-    s"""WITH ${signIvfProbeCtes(dim, permille = maxP, queryLimit = queryLimit)}, ${residualPqCtes(dim, m)}, $rlutCtes, tsim AS (
+    s"""WITH ${signIvfProbeCtes(dim, permille = maxP, queryLimit = queryLimit)}, ${residualPqCtes(dim, m)}, tsim AS (
        |  SELECT query_id, neighbor_id,
        |         floor(list_cosine_similarity(qv, cv) * 1000000) AS simk
        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
@@ -4617,10 +4628,12 @@ object QueryCatalog {
        |  GROUP BY 1, 2
        |), adcr AS (
        |  SELECT cand.query_id, cand.neighbor_id, cand.list_id, cand.nbetter,
-       |         $rSum AS rs
+       |         CAST(SUM(COALESCE(rsc.sjc, 0)) AS BIGINT) AS rs
        |  FROM cand
-       |  JOIN rlut ON rlut.query_id = cand.query_id
-       |  JOIN rncodes ON rncodes.neighbor_id = cand.neighbor_id
+       |  JOIN rcodes rc ON rc.neighbor_id = cand.neighbor_id
+       |  LEFT JOIN rsc ON rsc.query_id = cand.query_id
+       |              AND rsc.sub = rc.sub AND rsc.code = rc.code
+       |  GROUP BY 1, 2, 3, 4
        |), adca AS (
        |  SELECT adcr.query_id, adcr.neighbor_id, adcr.nbetter, adcr.rs + lc.lc AS adc
        |  FROM adcr JOIN lc ON lc.query_id = adcr.query_id AND lc.list_id = adcr.list_id
