@@ -6312,6 +6312,18 @@ object QueryCatalog {
     // weakest pair has j = 0.6 and [0.4, 0.5) is EMPTY, so the exact
     // graph is engine-invariant (see the q58 query comment for the
     // banding-recall argument on the Spark side).
+    // q58 EVALUATION NOTE (r14): the exact gram-intersection join runs
+    // over DISTINCT texts only. Identical texts pair by definition
+    // whenever they have ≥1 gram (equal sets, 2n ≥ n), so collapsing
+    // each exact-text group to its min-id representative and
+    // re-attaching members as star edges yields the SAME components —
+    // while the naive all-docs join squares with the duplication
+    // factor (the sf10 corpus is 100 verbatim copies of every text:
+    // its gram join spilled >70 GB and killed the r14 sweep pass;
+    // distinct texts keep it sf0.1-sized forever). Gram-less (<3
+    // token) texts never pair in the exact semantics, so their copies
+    // stay singletons: the member edge requires the rep to be in
+    // `sets`.
     "q58_docs_neardup_resolve" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
         |docs AS (
@@ -6321,9 +6333,13 @@ object QueryCatalog {
         |         array_to_string(t[1:CAST(GREATEST(len(t) - 2, 1) AS BIGINT)], ' ')
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |        FROM base WHERE doc_id % 7 = 0)
+        |), grp AS (
+        |  SELECT text, MIN(doc_id) AS rep FROM docs GROUP BY text
+        |), tg AS (
+        |  SELECT d.doc_id, g.rep FROM docs d JOIN grp g ON g.text = d.text
         |), toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |  FROM docs WHERE length(trim(text)) > 0
+        |  SELECT rep AS doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM grp WHERE length(trim(text)) > 0
         |), grams AS (
         |  SELECT DISTINCT doc_id,
         |         t[CAST(i AS INTEGER)] || ' ' || t[CAST(i+1 AS INTEGER)] || ' ' || t[CAST(i+2 AS INTEGER)] AS g
@@ -6338,9 +6354,15 @@ object QueryCatalog {
         |  JOIN sets sa ON i.doc_a = sa.doc_id
         |  JOIN sets sb ON i.doc_b = sb.doc_id
         |  WHERE 2 * i.ni >= sa.n + sb.n - i.ni
+        |), members AS (
+        |  SELECT t.doc_id AS src, t.rep AS dst
+        |  FROM tg t JOIN sets s ON s.doc_id = t.rep
+        |  WHERE t.doc_id <> t.rep
         |), edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT src, dst FROM members
+        |  UNION SELECT dst, src FROM members
         |), walk(node, reached) AS (
         |  SELECT doc_id, doc_id FROM docs
         |  UNION
