@@ -1287,20 +1287,45 @@ object Similarity {
     val codeRows = pqCodeRows(corpusC, dim, m)
     val luts = pqLuts(
       pqQueryTable(queries, pqCodebook(codeRows), dim, m, idCol, vecCol), m, w)
-    // narrow compressed-domain scan: packed codes stream against the
-    // BROADCAST per-query lookup tables and one kernel call scores
-    // each pair, so only (query_id, neighbor_id, adc) ever reaches the
-    // ranking exchange. The previous (sub, code)-keyed join + m-row
+    // narrow compressed-domain scan: one kernel call scores each pair,
+    // so only (query_id, neighbor_id, adc) ever reaches the ranking
+    // exchange. The previous (sub, code)-keyed join + m-row
     // aggregation materialized |Q|·n·m rows through a 2^(dim/m)·m-key
     // shuffle — ~75 GB of spill at the 100× sweep point (n = 200 000,
     // |Q| = n/50) before dying on disk.
     val codesPacked = corpusC.select(col("neighbor_id"),
       array(pqBlocks(dim, m).map(b => signBucket(col("cv2"), b)): _*).as("codes"))
-    val adc = codesPacked.crossJoin(broadcast(luts))
+    adcRerank(adcScan(codesPacked, luts, w, corpusC.count()),
+      queries, corpusC, k, rerank, idCol, vecCol)
+  }
+
+  /** Exhaustive ADC scan of packed codes against per-query LUTs, with
+    * the LOOP ORDER picked for cache locality (r14): the nested-loop
+    * join's inner side is re-read per outer row, so the inner side
+    * must be the one that stays cache-resident. Streaming the CORPUS
+    * against broadcast LUTs touches |Q|·2^w·m·8 B of lookup tables
+    * per corpus row — 64 MB at the sf10 sweep point, so every one of
+    * the |pairs|·m lookups was a DRAM miss and the scan ran 1 478 s
+    * where the SAME pair count through the cosine kernel (16 B of
+    * per-query state) ran 16 s. When the packed codes fit a broadcast
+    * (8·(m+1) B per vector — 12.8 MB at sf10, ≤ ~350 MB to 4 M
+    * vectors), stream the LUTS instead: each task's current 16 KB LUT
+    * is L1-resident and the codes scan sequentially. Past the
+    * broadcast budget the corpus-streamed shape is the only
+    * distribution that scales (LUT side grows with |Q|, code side
+    * with n — at 100 TB the codes cannot broadcast), and its locality
+    * fix is a blocked custom operator, not a join-order flip;
+    * documented in SCALING.md. Result set identical either way.
+    */
+  private def adcScan(
+      codesPacked: DataFrame, luts: DataFrame, w: Int, nCodes: Long): DataFrame = {
+    val joined =
+      if (nCodes <= 4000000L) broadcast(codesPacked).crossJoin(luts)
+      else codesPacked.crossJoin(broadcast(luts))
+    joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("adc"))
-    adcRerank(adc, queries, corpusC, k, rerank, idCol, vecCol)
   }
 
   /** Persist the PQ index: per-vector code arrays (`m` longs — the
@@ -1340,13 +1365,10 @@ object Similarity {
     val luts = pqLuts(
       pqQueryTable(queries, spark.read.parquet(s"$path/codebook"),
         dim, m, idCol, vecCol), m, w)
-    // the stored codes are already packed (codes[j] = block j): narrow
-    // kernel scan against broadcast LUTs, as in [[pqAdcTopK]]
-    val adc = spark.read.parquet(s"$path/codes")
-      .crossJoin(broadcast(luts))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("adc"))
+    // the stored codes are already packed (codes[j] = block j): the
+    // same loop-order-dispatched kernel scan as [[pqAdcTopK]]
+    val codes = spark.read.parquet(s"$path/codes")
+    val adc = adcScan(codes, luts, w, codes.count())
     adcRerank(adc, queries,
       vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
       k, rerank, idCol, vecCol)
