@@ -77,6 +77,17 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("codegen id"), s"scalar pipeline fell out of codegen:\n$p")
   }
 
+  test("q174: ADC scan broadcasts the packed-codes side below the budget (cache-local loop order)") {
+    // r14: the nested-loop join's INNER side is re-read per outer row,
+    // so below the ~4M-vector budget the codes must be the broadcast
+    // (build) side and the per-query LUTs stream — each task's 16KB
+    // LUT stays cache-resident (sf10: 1617s -> 23s). BuildLeft pins
+    // the adcScan dispatch took the broadcast-codes branch.
+    val p = plan("q174_emb_ann_pq_adc")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildLeft"),
+      s"ADC scan no longer broadcasts the codes side:\n$p")
+  }
+
   test("q77/q79: rank-truncation plans a partial WindowGroupLimit") {
     // quota sampling and TF-IDF top-k both filter row_number()<=k; the
     // partial group-limit before the shuffle is what keeps the window
