@@ -418,6 +418,12 @@ object Multimodal {
     * multi-band collisions are dedup-by-construction (the q167
     * canonical-bucket gate, applied to bands) and the result needs NO
     * distinct shuffle at all.
+    *
+    * PRECONDITION: `media_id` must be unique in `hashes` (one hash row
+    * per media item — what every hash producer in this module emits).
+    * The canonical-band gate dedups MULTI-BAND collisions of one pair,
+    * not duplicate input rows: feeding N rows per id yields N² copies
+    * of each pair (ADVICE r14). Dedup upstream if the input is raw.
     */
   def perceptualPairs(hashes: DataFrame, hashCol: String = "dhash",
       maxHamming: Int = 3): DataFrame = {
