@@ -3591,7 +3591,13 @@ object QueryCatalog {
     // sample queries at scale, corpus side stays indexed).
     "q185_ann_retrieval_mrr" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val queries = e.filter(col("vec_id") % 50 === 0)
+      // bounded eval set (r15): past 4 096 queries the MRR measurement
+      // hash-samples — identity at every gated scale AND at sf10
+      // (|Q| = 4 000), so the standing digests are byte-stable; at
+      // sf30+ this is what turns the eval's |Q|·n quadratic back into
+      // cap·n (the sf30 probe measured 6.6× at 3× without it)
+      val queries = Similarity.evalQuerySample(
+        e.filter(col("vec_id") % 50 === 0))
       val bits = Similarity.autoQuantBits(e.count(), 64)
       val ann = Similarity.signIvfTopK(queries, e, k = 10, dim = 64,
         bits = bits, nProbe = Similarity.probeBudget(bits))

@@ -308,4 +308,38 @@ object Kernels {
     }
     s
   }
+
+  /** ADC-score a BUFFERED corpus block (`codesFlat` = nRows × m packed
+    * codes, row-major; `ids` the matching vector ids) against ONE
+    * query's dense lookup table, offering every non-self pair straight
+    * into that query's bounded top-k heap. The blocked corpus-streamed
+    * scan's inner kernel (see `Similarity.adcScanBlocked`): the caller
+    * iterates LUT-major over a cache-sized block, so this loop reads
+    * the SAME 16 KB table for every row — L1-resident — while the
+    * codes stream sequentially; the heap offer is one compare against
+    * the current k-th in the common (losing) case, and NO per-pair
+    * object is ever allocated. Same integer arithmetic as
+    * [[adcLookupSum]] and the same total order as [[BoundedTopK]], so
+    * the blocked scan's survivors are bit-identical to the broadcast
+    * branch's.
+    */
+  def adcBlockTopK(
+      codesFlat: Array[Long], ids: Array[Long], nRows: Int, m: Int,
+      lut: Array[Long], w: Int, queryId: Long, heap: TopKHeap): Unit = {
+    var i = 0
+    var base = 0
+    while (i < nRows) {
+      if (ids(i) != queryId) {
+        var s = 0L
+        var j = 0
+        while (j < m) {
+          s += lut((j << w) + codesFlat(base + j).toInt)
+          j += 1
+        }
+        heap.offer(s, ids(i))
+      }
+      i += 1
+      base += m
+    }
+  }
 }

@@ -1178,7 +1178,7 @@ object Similarity {
     * carrying its block slice for the codebook sums. `corpusC` must
     * expose (neighbor_id, cv2).
     */
-  private def pqCodeRows(corpusC: DataFrame, dim: Int, m: Int): DataFrame = {
+  private[graft] def pqCodeRows(corpusC: DataFrame, dim: Int, m: Int): DataFrame = {
     val w = dim / m
     val subStructs = pqBlocks(dim, m).zipWithIndex.map { case (b, j) =>
       struct(lit(j).as("sub"), signBucket(col("cv2"), b).as("code"),
@@ -1194,7 +1194,7 @@ object Similarity {
     * then the engine-neutral floor division (see [[signListCentroids]]
     * for why not native DIV on negatives).
     */
-  private def pqCodebook(codeRows: DataFrame): DataFrame =
+  private[graft] def pqCodebook(codeRows: DataFrame): DataFrame =
     codeRows
       .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pp0", "x")))
       .groupBy(col("sub"), col("code"), (col("pp0") + 1).as("pp"))
@@ -1207,7 +1207,7 @@ object Similarity {
     * (sub, code) cell — m·2^(dim/m) rows per query, from a broadcast
     * codebook.
     */
-  private def pqQueryTable(
+  private[graft] def pqQueryTable(
       queries: DataFrame, codebook: DataFrame, dim: Int, m: Int,
       idCol: String, vecCol: String): DataFrame = {
     val w = dim / m
@@ -1229,7 +1229,7 @@ object Similarity {
     * corpus). Unobserved cells stay 0 and are never read: a corpus
     * code always names a cell its own codebook was trained on.
     */
-  private def pqLuts(sc: DataFrame, m: Int, w: Int): DataFrame =
+  private[graft] def pqLuts(sc: DataFrame, m: Int, w: Int): DataFrame =
     sc.select(col("query_id"),
         (col("sub").cast("long") * (1L << w) + col("code")).as("idx"),
         col("sjc"))
@@ -1242,12 +1242,15 @@ object Similarity {
           m << w).as("lut"))
 
   /** Packed per-vector code arrays (codes[j] = block j's code) from
-    * exploded code rows — the scan-side twin of the codebook
+    * exploded RESIDUAL code rows — the scan-side twin of the codebook
     * aggregation, derived from the same materialized rows so the
-    * corpus is not re-encoded.
+    * corpus is not re-encoded. Carries `list_id` (functionally
+    * dependent on neighbor_id) so the probed-list join happens ON this
+    * table — candidate pairs are born next to their codes instead of
+    * shuffling onto them (r15; see [[ivfAdcTopK]]).
     */
   private def packCodes(codeRows: DataFrame): DataFrame =
-    codeRows.groupBy(col("neighbor_id"))
+    codeRows.groupBy(col("neighbor_id"), col("list_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
@@ -1281,7 +1284,8 @@ object Similarity {
   def pqAdcTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       m: Int = 8, rerank: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusCount: Long = -1L): DataFrame = {
     val w = dim / m
     val corpusC = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2"))
     val codeRows = pqCodeRows(corpusC, dim, m)
@@ -1295,9 +1299,22 @@ object Similarity {
     // |Q| = n/50) before dying on disk.
     val codesPacked = corpusC.select(col("neighbor_id"),
       array(pqBlocks(dim, m).map(b => signBucket(col("cv2"), b)): _*).as("codes"))
-    adcRerank(adcScan(codesPacked, luts, w, corpusC.count()),
+    // dispatch needs the corpus size; callers that already know it pass
+    // it through (ADVICE r14) — the fallback count() collapses to the
+    // scan's row count (no code evaluation), one lightweight job
+    val n = if (corpusCount >= 0L) corpusCount else corpusC.count()
+    adcRerank(adcScan(codesPacked, luts, w, m, n, rerank),
       queries, corpusC, k, rerank, idCol, vecCol)
   }
+
+  /** Byte budget below which the packed-codes side of the exhaustive
+    * ADC scan broadcasts (r15, ADVICE r14: the old 4 M-ROW threshold
+    * assumed m = 8 — a caller with larger m would have broadcast a
+    * multi-GB side). 288 MB = the old boundary expressed in bytes
+    * (4 M vectors × 8·(m+1) B at m = 8), so the m = 8 dispatch — the
+    * shape every plan pin and sweep measured — is unchanged.
+    */
+  private[graft] val adcBroadcastBudgetBytes: Long = 288L << 20
 
   /** Exhaustive ADC scan of packed codes against per-query LUTs, with
     * the LOOP ORDER picked for cache locality (r14): the nested-loop
@@ -1307,26 +1324,101 @@ object Similarity {
     * per corpus row — 64 MB at the sf10 sweep point, so every one of
     * the |pairs|·m lookups was a DRAM miss and the scan ran 1 478 s
     * where the SAME pair count through the cosine kernel (16 B of
-    * per-query state) ran 16 s. When the packed codes fit a broadcast
-    * (8·(m+1) B per vector — 12.8 MB at sf10, ≤ ~350 MB to 4 M
-    * vectors), stream the LUTS instead: each task's current 16 KB LUT
-    * is L1-resident and the codes scan sequentially. Past the
-    * broadcast budget the corpus-streamed shape is the only
-    * distribution that scales (LUT side grows with |Q|, code side
-    * with n — at 100 TB the codes cannot broadcast), and its locality
-    * fix is a blocked custom operator, not a join-order flip;
-    * documented in SCALING.md. Result set identical either way.
+    * per-query state) ran 16 s. When the packed codes fit the
+    * broadcast budget (8·(m+1) B per vector — 12.8 MB at sf10),
+    * stream the LUTS instead: each task's current 16 KB LUT is
+    * L1-resident and the codes scan sequentially. Past the budget the
+    * corpus-streamed shape is the only distribution that scales (LUT
+    * side grows with |Q|, code side with n — at 100 TB the codes
+    * cannot broadcast); r15 gives it the same locality via the
+    * BLOCKED kernel scan ([[adcScanBlocked]]) instead of a row-at-a-
+    * time nested-loop join. Result set identical either way
+    * (spec-pinned both directions).
     */
   private def adcScan(
-      codesPacked: DataFrame, luts: DataFrame, w: Int, nCodes: Long): DataFrame = {
-    val joined =
-      if (nCodes <= 4000000L) broadcast(codesPacked).crossJoin(luts)
-      else codesPacked.crossJoin(broadcast(luts))
-    joined
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("adc"))
+      codesPacked: DataFrame, luts: DataFrame, w: Int, m: Int,
+      nCodes: Long, cut: Int): DataFrame = {
+    val scored =
+      if (nCodes * 8L * (m + 1) <= adcBroadcastBudgetBytes)
+        broadcast(codesPacked).crossJoin(luts)
+          .select(col("query_id"), col("neighbor_id"),
+            GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("adc"))
+      else adcScanBlocked(codesPacked, luts, w, m, cut)
+    scored.filter(col("query_id") =!= col("neighbor_id"))
   }
+
+  /** Corpus-streamed ADC scan for corpora past the broadcast budget,
+    * with the r14 cache-locality property RESTORED by blocking (the
+    * documented r14 future lever, now code) AND the top-k cut fused
+    * into the kernel: each task buffers `adcBlockRows` packed code
+    * rows (512 KB at m = 8 — L2-resident), scores the whole block
+    * against one query LUT at a time (LUT-major, so the 16 KB table
+    * is L1-resident instead of missing DRAM on every one of the
+    * |pairs|·m lookups the row-at-a-time nested-loop join performed),
+    * and offers each pair straight into that query's per-task
+    * [[graft.expressions.TopKHeap]] — NO per-pair row ever exists
+    * (a first cut that emitted every scored pair through the
+    * object-encoder paid ~2 µs/pair of tuple+serialization overhead
+    * and ran SLOWER than the DRAM-missing join it replaced —
+    * SCALING.md r15; the fused kernel emits |Q|·tasks·cut rows total).
+    *
+    * Per-task top-`cut` under BoundedTopK's total order (score desc,
+    * id asc) is a SUPERSET of the global top-`cut` members, and the
+    * downstream bounded aggregate re-cuts — survivors are bit-
+    * identical to the broadcast branch (spec-pinned). Self-pairs are
+    * skipped in-kernel so they can never displace a real candidate
+    * from a task cut. The LUT side is the per-query SERVING BATCH —
+    * the same side the row-at-a-time shape broadcast, bounded by |Q| —
+    * collected sorted and task-broadcast; per-task heap state is
+    * |Q|·cut·16 B. The corpus side never leaves its partitions.
+    */
+  private[graft] def adcScanBlocked(
+      codesPacked: DataFrame, luts: DataFrame, w: Int, m: Int,
+      cut: Int): DataFrame = {
+    val spark = codesPacked.sparkSession
+    import spark.implicits._
+    // |Q|·(m·2^w + 1) longs — the serving batch, broadcast-bounded by
+    // construction (the old shape broadcast the identical relation);
+    // sorted so per-task heap indexing is deterministic
+    val lutRows: Array[(Long, Array[Long])] = luts
+      .select(col("query_id"), col("lut")).as[(Long, Array[Long])]
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(lutRows)
+    codesPacked.select(col("neighbor_id"), col("codes"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(new graft.expressions.TopKHeap(cut))
+        val ids = new Array[Long](adcBlockRows)
+        val flat = new Array[Long](adcBlockRows * m)
+        it.grouped(adcBlockRows).foreach { blk =>
+          val nRows = blk.size
+          var i = 0
+          blk.foreach { case (id, cs) =>
+            ids(i) = id
+            System.arraycopy(cs, 0, flat, i * m, m)
+            i += 1
+          }
+          var qi = 0
+          while (qi < qs.length) {
+            graft.expressions.Kernels.adcBlockTopK(
+              flat, ids, nRows, m, qs(qi)._2, w, qs(qi)._1, heaps(qi))
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
+          h.sortedIndices.iterator.map(r => (qid, h.ids(r), h.scores(r)))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc")
+  }
+
+  /** Corpus rows buffered per kernel block: 8192 × m·8 B of codes
+    * (512 KB at m = 8) keeps the block + one LUT inside L2 while the
+    * LUT-major pass streams the table set once per block.
+    */
+  private val adcBlockRows: Int = 8192
 
   /** Persist the PQ index: per-vector code arrays (`m` longs — the
     * 8-bytes-per-vector table that makes PQ the memory-bounded path)
@@ -1360,15 +1452,19 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, vectors: DataFrame, k: Int, dim: Int,
       m: Int = 8, rerank: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      codesCount: Long = -1L): DataFrame = {
     val w = dim / m
     val luts = pqLuts(
       pqQueryTable(queries, spark.read.parquet(s"$path/codebook"),
         dim, m, idCol, vecCol), m, w)
     // the stored codes are already packed (codes[j] = block j): the
-    // same loop-order-dispatched kernel scan as [[pqAdcTopK]]
+    // same loop-order-dispatched kernel scan as [[pqAdcTopK]]. The
+    // dispatch count comes from the caller when known; the fallback is
+    // a parquet-footer row count on the bare index scan (ADVICE r14)
     val codes = spark.read.parquet(s"$path/codes")
-    val adc = adcScan(codes, luts, w, codes.count())
+    val n = if (codesCount >= 0L) codesCount else codes.count()
+    val adc = adcScan(codes, luts, w, m, n, rerank)
     adcRerank(adc, queries,
       vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
       k, rerank, idCol, vecCol)
@@ -1578,11 +1674,7 @@ object Similarity {
     val cents = signListCentroidsFromVectors(lvecs)
     val probed = centroidProbe(queries, cents, nProbe, idCol, vecCol)
       .select(col("query_id"), col("list_id"))
-    // probed lists join the code table on its PARTITION column — the
-    // list cut reaches the scan as (dynamic) partition pruning
     val codes = spark.read.parquet(s"$path/codes")
-    val cands = probed.join(codes, Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
     val sc = pqQueryTable(queries,
       residualCodebookFromSums(foldSums(
         spark.read.parquet(s"$path/codebook_sums"), Seq("sub", "code", "pp"))),
@@ -1596,18 +1688,22 @@ object Similarity {
       .select(col("query_id"), col("list_id"),
         aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("lc"))
-    // the stored codes are already packed (codes[j] = block j): narrow
-    // kernel scan against broadcast LUTs — exchanges carry only
-    // (query_id, neighbor_id, list_id, rs), as in [[ivfAdcTopK]]
+    // the stored codes are already packed (codes[j] = block j): the
+    // probed (query, list, lc) relation BROADCASTS onto the code
+    // table's list_id — its PARTITION column, so the list cut reaches
+    // the scan as dynamic partition pruning — and candidates score
+    // inline against the broadcast LUTs. No pair-derived row crosses
+    // an exchange before the BoundedTopK cut (r15; see [[ivfAdcTopK]]
+    // for the sf30 spill the old listConst shuffle caused).
     val w = dim / m
     val luts = pqLuts(sc, m, w)
-    val adc = cands
-      .select(col("query_id"), col("neighbor_id"), col("list_id"), col("codes"))
+    val adc = codes
+      .join(broadcast(listConst), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(luts), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("list_id"),
-        GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("rs"))
-      .join(listConst, Seq("query_id", "list_id"))
-      .select(col("query_id"), col("neighbor_id"), (col("rs") + col("lc")).as("adc"))
+      .select(col("query_id"), col("neighbor_id"),
+        (GraftFunctions.adcLookupSum(col("codes"), col("lut"), w) + col("lc"))
+          .as("adc"))
     adcRerank(adc, queries,
       vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")),
       k, rerank, idCol, vecCol)
@@ -1689,27 +1785,29 @@ object Similarity {
       .select(col("query_id"), col("list_id"),
         aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("lc"))
-    // the IVF cut: candidate pairs exist only inside probed lists
-    val cands = probed
-      .join(corpusC.select(col("neighbor_id"), col("list_id")), Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("list_id"))
-    // ADC restricted to the cut, scored NARROW: candidates join the
-    // packed code arrays (one row per vector, from the same
-    // materialized code rows) and the broadcast per-query LUTs, and
-    // one kernel call yields the residual score — exchanges carry
-    // (query_id, neighbor_id, list_id, rs) instead of candidates × m
-    // exploded rows (the join+aggregate shape spilled ~2.8 B rows at
-    // the 100× sweep point)
+    // the IVF cut AND the scoring in ONE streamed pass (r15): the
+    // probed (query, list, lc) relation — |Q|·nProbe rows, bounded by
+    // the serving batch — BROADCASTS onto the packed code table's
+    // list_id, so candidate pairs are born next to their codes and
+    // score inline against the broadcast LUTs; the first exchange any
+    // pair-derived row crosses is the BoundedTopK heap cut. The old
+    // shape shuffled the pair stream TWICE (onto packCodes.neighbor_id
+    // and onto listConst's keys): at the sf30 probe point (|Q| = n/50,
+    // 43.8% probed fraction → 3.15 B candidate rows) that spilled past
+    // the sandbox's 71 GB of free disk and died — and at 100 TB a
+    // candidate stream ∝ |Q|·n must NEVER cross an exchange; it stays
+    // where the codes are. Same pair set (listConst has exactly one
+    // row per probed (query, list)), same integer arithmetic —
+    // bit-identical results, re-gated hash-green.
     val w = dim / m
     val luts = pqLuts(sc, m, w)
-    val adc = cands
-      .join(packCodes(codeRows), Seq("neighbor_id"))
+    val adc = packCodes(codeRows)
+      .join(broadcast(listConst), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(luts), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("list_id"),
-        GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("rs"))
-      .join(listConst, Seq("query_id", "list_id"))
-      .select(col("query_id"), col("neighbor_id"), (col("rs") + col("lc")).as("adc"))
+      .select(col("query_id"), col("neighbor_id"),
+        (GraftFunctions.adcLookupSum(col("codes"), col("lut"), w) + col("lc"))
+          .as("adc"))
     adcRerank(adc, queries, corpusC.select(col("neighbor_id"), col("cv2")),
       k, rerank, idCol, vecCol)
   }
@@ -1831,7 +1929,10 @@ object Similarity {
     val luts = pqLuts(sc, m, w)
     val adcAll = DurableSnapshots.truncate(
       cands.select(col("query_id"), col("neighbor_id"), col("list_id"), col("nbetter"))
-        .join(packCodes(codeRows), Seq("neighbor_id"))
+        // join key includes list_id since packCodes carries it (r15) —
+        // a candidate's list IS its vector's list, so the key change is
+        // a no-op on the pair set and avoids a duplicate column
+        .join(packCodes(codeRows), Seq("neighbor_id", "list_id"))
         .join(broadcast(luts), Seq("query_id"))
         .select(col("query_id"), col("neighbor_id"), col("list_id"), col("nbetter"),
           GraftFunctions.adcLookupSum(col("codes"), col("lut"), w).as("rs"))
@@ -1975,5 +2076,31 @@ object Similarity {
       .withColumn("rr_ppm", when(col("__best").isNull, 0L)
         .otherwise(expr("CAST(1000000 DIV __best AS BIGINT)")))
       .drop("__best")
+  }
+
+  /** Bounded evaluation query set for the retrieval-quality metrics
+    * (r15, the sf30 probe's one super-linear find): an eval whose
+    * query set grows WITH the corpus is quadratic by construction —
+    * exact ground truth costs |Q|·n cosines and the occupancy-tuned
+    * probe's candidate stream is ∝ 0.438·|Q|·n, so q185 measured 6.6×
+    * at 3× the data (SCALING.md r15). MRR/recall are MEANS over
+    * queries: a fixed-size deterministic sample estimates them
+    * unbiased at any corpus size — the measurement cost becomes
+    * cap·n, linear in the corpus like every serving query.
+    *
+    * IDENTITY when |Q| ≤ cap, so every driver-gated scale and the
+    * sf10 standing digests are byte-stable (the autoQuantBits
+    * design: auto-scaling engages only past the scales the oracle
+    * pins). Past the cap: the `cap` queries with the smallest
+    * (xxhash64(id), id) — a deterministic, content-independent,
+    * rerun-stable choice computed by TakeOrdered over the
+    * queries-sized frame (never corpus volume).
+    */
+  def evalQuerySample(
+      queries: DataFrame, cap: Int = 4096,
+      idCol: String = "vec_id"): DataFrame = {
+    require(cap > 0, s"evalQuerySample: cap must be positive (got $cap)")
+    if (queries.count() <= cap) queries
+    else queries.orderBy(xxhash64(col(idCol)), col(idCol)).limit(cap)
   }
 }

@@ -88,6 +88,32 @@ class PlanPropertiesSpec extends SparkSpec {
       s"ADC scan no longer broadcasts the codes side:\n$p")
   }
 
+  test("q175/q181: the IVFADC candidate stream never crosses an exchange (r15 sf30 cliff)") {
+    // the probed (query, list, lc) relation broadcasts onto the code
+    // table's list_id and candidates score inline — no pair-derived
+    // row meets a shuffle before the BoundedTopK cut. The ONE
+    // SortMergeJoin allowed is the corpus-linear exact-rerank fetch
+    // (survivors × corpus floats). The old shape shuffled the
+    // candidate stream twice (onto packCodes and listConst): at sf30
+    // that is 3.15 B rows — it spilled past the sandbox's free disk
+    // and died (SCALING.md r15).
+    for (q <- Seq("q175_emb_ann_ivfadc", "q181_ann_ivfadc_compacted")) {
+      val p = plan(q)
+      // formatted explain prints each node twice (tree + detail);
+      // count the detail headers. The allowed SMJs are query-batch-
+      // bounded (the centroid probe's pairwise rank join, which the
+      // plan materializes up to twice) or corpus-linear (the rerank
+      // fetch); the REGRESSION signature is the candidate stream
+      // shuffling onto packCodes/listConst, which adds two more.
+      val smj = "(?m)^\\(\\d+\\) SortMergeJoin".r.findAllIn(p).size
+      assert(smj <= 2, s"$q: a pair-stream join lost its broadcast " +
+        s"($smj SortMergeJoins):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian crept in:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q: bounded top-k cut missing:\n$p")
+    }
+  }
+
   test("q77/q79: rank-truncation plans a partial WindowGroupLimit") {
     // quota sampling and TF-IDF top-k both filter row_number()<=k; the
     // partial group-limit before the shuffle is what keeps the window

@@ -83,6 +83,24 @@ class BoundedTopKSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"no object hash agg:\n$plan")
   }
 
+  test("sort-based fallback path (threshold = 2) is bit-identical to the hash path") {
+    // ObjectHashAggregateExec falls back to sort-based aggregation once
+    // a task sees more distinct keys than the threshold; GraftSession
+    // raises the default so the ANN cuts stay hashed, but correctness
+    // must NOT depend on which path runs (SCALING.md r14's claim, now
+    // pinned): threshold = 2 forces every multi-group task through the
+    // fallback — serialize/merge of mid-build heaps included.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prior = spark.conf.get(key)
+    val df = pairs(5000, groups = 37, scoreMod = 50)
+    val hashed = sortedRows(viaAgg(df, 5))
+    try {
+      spark.conf.set(key, "2")
+      assert(sortedRows(viaAgg(df, 5)) === hashed)
+      assert(sortedRows(viaAgg(df.repartition(13), 5)) === hashed)
+    } finally spark.conf.set(key, prior)
+  }
+
   test("heap unit semantics: worst-at-root replacement under (score desc, id asc)") {
     val h = new TopKHeap(3)
     Seq((5L, 10L), (5L, 2L), (7L, 9L), (1L, 1L), (5L, 1L), (7L, 50L))

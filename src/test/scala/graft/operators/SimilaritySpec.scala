@@ -245,6 +245,50 @@ class SimilaritySpec extends SparkSpec {
       "PQ/ADC at rerank=32 below the 0.7 floor")
   }
 
+  test("evalQuerySample: identity at or below the cap; deterministic fixed-size subset past it") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    // at/below the cap the input comes back unchanged (the gated-scale
+    // and sf10-digest stability contract)
+    val small = e.filter($"vec_id" % 50 === 0)
+    assert(ids(Similarity.evalQuerySample(small, cap = 4096)) === ids(small))
+    // past the cap: exactly cap rows, a subset of the input, stable
+    // across reruns and partitionings (no RNG anywhere)
+    val s1 = ids(Similarity.evalQuerySample(e, cap = 37))
+    val s2 = ids(Similarity.evalQuerySample(e.repartition(13), cap = 37))
+    assert(s1.length === 37)
+    assert(s1 === s2)
+    assert(s1.toSet.subsetOf(ids(e).toSet))
+  }
+
+  test("adcScan dispatch: blocked kernel ≡ broadcast-codes branch bit-exactly, both directions pinned") {
+    // r15: past the byte budget the exhaustive ADC scan runs the
+    // blocked corpus-streamed kernel (LUT-major over L2-resident code
+    // blocks) instead of broadcasting the codes. The corpus count is
+    // ONLY a dispatch input, so forcing it past the budget routes the
+    // IDENTICAL data through the blocked path — results must match the
+    // broadcast branch bit-for-bit, and each direction must plan its
+    // own shape (the q174 PlanPropertiesSpec pin covers the broadcast
+    // direction at catalog scale).
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bcast = Similarity.pqAdcTopK(q, e, 5, dim = 64, m = 8, rerank = 64)
+    val forced = Similarity.pqAdcTopK(q, e, 5, dim = 64, m = 8, rerank = 64,
+      corpusCount = Similarity.adcBroadcastBudgetBytes / (8L * 9) + 1)
+    val pb = bcast.queryExecution.executedPlan.toString
+    val pf = forced.queryExecution.executedPlan.toString
+    assert(pb.contains("BroadcastNestedLoopJoin"),
+      s"below the budget the packed codes must broadcast:\n$pb")
+    assert(!pf.contains("BroadcastNestedLoopJoin"),
+      s"past the budget nothing may nested-loop join:\n$pf")
+    assert(pf.contains("MapPartitions"),
+      s"past the budget the scan must run the blocked kernel:\n$pf")
+    assert(rows(forced) === rows(bcast))
+  }
+
   test("ivfAdcTopK: recall@5 >= 0.9 at sf0.01, bounded by its IVF cut") {
     // IVFADC (q175) = q44's probe ∘ residual ADC: recall can never
     // exceed the probe's candidate cut, and with RESIDUAL codes (r9)
