@@ -46,20 +46,36 @@ object StagingLayer {
     * walmart fixture, dirty rows included). Default OFF for
     * reference parity.
     */
+  /** The two full-row dedup postures of [[clean]], factored out so the
+    * A/B harness ([[graft.tools.StagingAB]]) measures the EXACT
+    * library code path on arbitrary-width corpora, not a re-statement
+    * of it. Semantics identical up to a 2^-128 md5 collision (see
+    * [[clean]]'s scaladoc).
+    *
+    * MEASURED WASH at 16 cols × 60 M rows (r14) AND at 33 cols ×
+    * ~2.5 KB rows (r15, SCALING.md): `dropDuplicates` on the key
+    * still ships whole rows through its shuffle, so the md5 only
+    * cheapens hash/sort comparisons that partial aggregation already
+    * bounds. A genuinely lighter wide-row posture is a different
+    * algorithm — shuffle (md5, id) pairs only, pick one id per key,
+    * semi-join survivors back against the unshuffled table — worth
+    * building only if a real corpus shows this path on a profile.
+    */
+  private[graft] def dedupRows(df: DataFrame, hashDedup: Boolean): DataFrame =
+    if (!hashDedup) df.dropDuplicates()
+    else {
+      val sep = 1.toChar.toString
+      val nul = 2.toChar.toString
+      val key = md5(concat_ws(sep, df.columns.toIndexedSeq.map { c =>
+        coalesce(graft.HashDump.escaped(col(c).cast("string")), lit(nul))
+      }: _*))
+      df.withColumn("__row_md5", key)
+        .dropDuplicates("__row_md5")
+        .drop("__row_md5")
+    }
+
   def clean(df: DataFrame, hashDedup: Boolean = false): DataFrame = {
-    val deduped0 =
-      if (!hashDedup) df.dropDuplicates()
-      else {
-        val sep = 1.toChar.toString
-        val nul = 2.toChar.toString
-        val key = md5(concat_ws(sep, df.columns.toIndexedSeq.map { c =>
-          coalesce(graft.HashDump.escaped(col(c).cast("string")), lit(nul))
-        }: _*))
-        df.withColumn("__row_md5", key)
-          .dropDuplicates("__row_md5")
-          .drop("__row_md5")
-      }
-    val deduped = deduped0
+    val deduped = dedupRows(df, hashDedup)
       .filter(col("date").isNotNull)
       .withColumn("unit_price", col("unit_price").cast(DecimalType(10, 2)))
       .withColumn("total_sales", col("total_sales").cast(DecimalType(15, 2)))
