@@ -1310,11 +1310,13 @@ object Similarity {
   /** Byte budget below which the packed-codes side of the exhaustive
     * ADC scan broadcasts (r15, ADVICE r14: the old 4 M-ROW threshold
     * assumed m = 8 — a caller with larger m would have broadcast a
-    * multi-GB side). 288 MB = the old boundary expressed in bytes
-    * (4 M vectors × 8·(m+1) B at m = 8), so the m = 8 dispatch — the
-    * shape every plan pin and sweep measured — is unchanged.
+    * multi-GB side). Exactly 4 M vectors × 8·(m+1) B at m = 8 — the
+    * old boundary expressed in bytes (ADVICE r15: the first cut used
+    * 288 MiB = 301.99 MB, which silently moved the m = 8 boundary to
+    * 4.19 M rows), so the m = 8 dispatch — the shape every plan pin
+    * and sweep measured — is unchanged at every corpus size.
     */
-  private[graft] val adcBroadcastBudgetBytes: Long = 288L << 20
+  private[graft] val adcBroadcastBudgetBytes: Long = 4000000L * 72
 
   /** Exhaustive ADC scan of packed codes against per-query LUTs, with
     * the LOOP ORDER picked for cache locality (r14): the nested-loop
@@ -1368,51 +1370,89 @@ object Similarity {
     * identical to the broadcast branch (spec-pinned). Self-pairs are
     * skipped in-kernel so they can never displace a real candidate
     * from a task cut. The LUT side is the per-query SERVING BATCH —
-    * the same side the row-at-a-time shape broadcast, bounded by |Q| —
-    * collected sorted and task-broadcast; per-task heap state is
-    * |Q|·cut·16 B. The corpus side never leaves its partitions.
+    * the same side the row-at-a-time shape broadcast, bounded by |Q|.
+    *
+    * The LUT regime is GUARDED by chunking (r16, VERDICT r15 #2: the
+    * first cut collected the whole LUT set driver-side and allocated
+    * |Q| heaps per task with no boundary behavior — 16 GB of driver
+    * LUTs and 32 GB of task heaps at |Q| = 1 M): the serving batch is
+    * split into ≤[[adcLutChunkBytes]] slices of contiguous query_ids,
+    * and each slice runs its own corpus pass. Per-query heaps are
+    * independent across queries, so a union of per-slice results IS
+    * the single-pass result, row for row (spec-pinned with a forced
+    * 1-LUT chunk size). Costs at the boundary: one extra 8 B/query
+    * key-collect job, and one corpus scan per slice — the scan is the
+    * cheap linear term next to the |Q|·n kernel work, which is
+    * invariant under chunking (measured at the 328 MB/2-slice point,
+    * SCALING.md r16). Driver LUT residency per pass, per-task heap
+    * state, and the task-broadcast block are all ≤ the chunk budget.
     */
   private[graft] def adcScanBlocked(
       codesPacked: DataFrame, luts: DataFrame, w: Int, m: Int,
-      cut: Int): DataFrame = {
+      cut: Int, lutChunkBytes: Long = adcLutChunkBytes): DataFrame = {
     val spark = codesPacked.sparkSession
     import spark.implicits._
-    // |Q|·(m·2^w + 1) longs — the serving batch, broadcast-bounded by
-    // construction (the old shape broadcast the identical relation);
-    // sorted so per-task heap indexing is deterministic
-    val lutRows: Array[(Long, Array[Long])] = luts
-      .select(col("query_id"), col("lut")).as[(Long, Array[Long])]
-      .collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(lutRows)
-    codesPacked.select(col("neighbor_id"), col("codes"))
-      .as[(Long, Array[Long])]
-      .mapPartitions { it =>
-        val qs = bc.value
-        val heaps = Array.fill(qs.length)(new graft.expressions.TopKHeap(cut))
-        val ids = new Array[Long](adcBlockRows)
-        val flat = new Array[Long](adcBlockRows * m)
-        it.grouped(adcBlockRows).foreach { blk =>
-          val nRows = blk.size
-          var i = 0
-          blk.foreach { case (id, cs) =>
-            ids(i) = id
-            System.arraycopy(cs, 0, flat, i * m, m)
-            i += 1
+    require(lutChunkBytes > 0, s"lutChunkBytes must be positive: $lutChunkBytes")
+    // one LUT row = query_id + m·2^w table longs
+    val lutRowBytes = 8L * ((m.toLong << w) + 1L)
+    val maxRowsPerChunk = math.max(1L, lutChunkBytes / lutRowBytes)
+      .min(Int.MaxValue).toInt
+    // the id list is 8 B/query — collectable for any |Q| whose LUTs
+    // could ever be materialized anywhere; sorted so chunk membership
+    // is a contiguous id range (a cheap BETWEEN refetch) and per-task
+    // heap indexing is deterministic
+    val qids: Array[Long] = luts.select(col("query_id")).as[Long]
+      .collect().sorted
+    def scanChunk(lutRows: Array[(Long, Array[Long])]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(lutRows)
+      codesPacked.select(col("neighbor_id"), col("codes"))
+        .as[(Long, Array[Long])]
+        .mapPartitions { it =>
+          val qs = bc.value
+          val heaps = Array.fill(qs.length)(new graft.expressions.TopKHeap(cut))
+          val ids = new Array[Long](adcBlockRows)
+          val flat = new Array[Long](adcBlockRows * m)
+          it.grouped(adcBlockRows).foreach { blk =>
+            val nRows = blk.size
+            var i = 0
+            blk.foreach { case (id, cs) =>
+              ids(i) = id
+              System.arraycopy(cs, 0, flat, i * m, m)
+              i += 1
+            }
+            var qi = 0
+            while (qi < qs.length) {
+              graft.expressions.Kernels.adcBlockTopK(
+                flat, ids, nRows, m, qs(qi)._2, w, qs(qi)._1, heaps(qi))
+              qi += 1
+            }
           }
-          var qi = 0
-          while (qi < qs.length) {
-            graft.expressions.Kernels.adcBlockTopK(
-              flat, ids, nRows, m, qs(qi)._2, w, qs(qi)._1, heaps(qi))
-            qi += 1
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            val qid = qs(qi)._1
+            h.sortedIndices.iterator.map(r => (qid, h.ids(r), h.scores(r)))
           }
         }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          val qid = qs(qi)._1
-          h.sortedIndices.iterator.map(r => (qid, h.ids(r), h.scores(r)))
-        }
-      }
-      .toDF("query_id", "neighbor_id", "adc")
+        .toDF("query_id", "neighbor_id", "adc")
+    }
+    def lutSlice(lo: Long, hi: Long, whole: Boolean): Array[(Long, Array[Long])] =
+      (if (whole) luts else luts.filter(col("query_id").between(lo, hi)))
+        .select(col("query_id"), col("lut")).as[(Long, Array[Long])]
+        .collect().sortBy(_._1)
+    if (qids.length <= maxRowsPerChunk)
+      scanChunk(lutSlice(0L, 0L, whole = true))
+    else
+      qids.grouped(maxRowsPerChunk)
+        .map(slice => scanChunk(lutSlice(slice.head, slice.last, whole = false)))
+        .reduce(_ union _)
   }
+
+  /** Per-pass LUT budget for [[adcScanBlocked]] — the same number as
+    * [[adcBroadcastBudgetBytes]] (288 MB): past the r15 measured-good
+    * 312 MB point the set outgrows any plausible LLC anyway, so extra
+    * passes trade only the cheap corpus-scan term for bounded driver
+    * and task memory.
+    */
+  private[graft] val adcLutChunkBytes: Long = 4000000L * 72
 
   /** Corpus rows buffered per kernel block: 8192 × m·8 B of codes
     * (512 KB at m = 8) keeps the block + one LUT inside L2 while the
@@ -2100,7 +2140,13 @@ object Similarity {
       queries: DataFrame, cap: Int = 4096,
       idCol: String = "vec_id"): DataFrame = {
     require(cap > 0, s"evalQuerySample: cap must be positive (got $cap)")
-    if (queries.count() <= cap) queries
+    // decide the identity branch from a cap+1-row probe, not a full
+    // count (ADVICE r15): the common ≤cap case — every gated scale —
+    // previously paid one extra job that recomputed the whole queries
+    // lineage (a corpus-side filter for q185) just to learn |Q| ≤ cap.
+    // limit(cap+1) terminates the scan as soon as cap+1 rows exist,
+    // and the branch taken is identical for any |Q|.
+    if (queries.limit(cap + 1).count() <= cap) queries
     else queries.orderBy(xxhash64(col(idCol)), col(idCol)).limit(cap)
   }
 }

@@ -14,10 +14,14 @@ import graft.operators.Similarity
   * against broadcast LUTs — every one of the |pairs|·m lookups walks
   * the full LUT set, i.e. misses DRAM once the set outgrows the LLC).
   * Both arms read the SAME pre-materialized codes + LUT parquet, run
-  * the same bounded top-k cut, and print pair-identical counts; only
-  * the scan shape differs. The row-at-a-time arm exists ONLY here, as
-  * the measured baseline — the library dispatches to the blocked
-  * kernel.
+  * the same bounded top-k cut, and print the survivor-set size plus an
+  * order-independent xxhash64-sum checksum of the exploded
+  * (query_id, neighbor_id) survivors (ADVICE r15: a bare post-cut
+  * group count is |Q| for both arms regardless of content — the
+  * checksum makes result divergence between the shapes visible right
+  * here, on top of the SimilaritySpec equivalence pin); only the scan
+  * shape differs. The row-at-a-time arm exists ONLY here, as the
+  * measured baseline — the library dispatches to the blocked kernel.
   *
   * The corpus is `copies` ScaleUp-organic key-shifted copies of the
   * sfDir embeddings (default 2 200 × sf0.1's 2 000 = 4.4 M codes =
@@ -73,8 +77,22 @@ object AdcScanBench {
 
     def run(label: String, scored: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n = cut(scored).count()
-      println(f"ADC_BENCH $label queries=$n t=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // order-independent sum of per-pair hashes: identical survivor
+      // SETS ⇒ identical (pairs, chk); the sum (not xor) keeps
+      // duplicated pairs from cancelling. Decimal sum mod 2^64 —
+      // HashDump's pattern — because a long sum of xxhash64 values
+      // overflows under ANSI arithmetic.
+      val two64 = new java.math.BigDecimal(
+        java.math.BigInteger.ONE.shiftLeft(64))
+      val s = cut(scored)
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .agg(count(lit(1)).as("pairs"),
+          pmod(sum(xxhash64(col("query_id"), col("t.i"))
+              .cast("decimal(38,0)")),
+            lit(two64)).cast("decimal(38,0)").cast("string").as("chk"))
+        .head
+      println(f"ADC_BENCH $label pairs=${s.getLong(0)} chk=${s.getString(1)} " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
     run("blocked_kernel", Similarity.adcScanBlocked(codes, luts, w, m, 64))

@@ -289,6 +289,41 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(forced) === rows(bcast))
   }
 
+  test("adcScanBlocked: LUT-chunked passes ≡ single pass row-for-row (r16 regime guard)") {
+    // r16 (VERDICT r15 #2): past adcLutChunkBytes the serving batch no
+    // longer collects/broadcasts as one piece — it splits into
+    // contiguous-query_id slices, one corpus pass each. Per-query heaps
+    // are independent across queries, so the union must equal the
+    // single-pass result EXACTLY. Forcing lutChunkBytes below one LUT
+    // row makes every slice a single query — the maximal split — and a
+    // mid-size budget exercises a multi-query slice boundary.
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dim = 64; val m = 8; val w = dim / m
+    val corpusC = e.select($"vec_id".as("neighbor_id"), $"embedding".as("cv2"))
+    val codes = corpusC.select(
+      org.apache.spark.sql.functions.col("neighbor_id"),
+      org.apache.spark.sql.functions.array(
+        Similarity.pqBlocks(dim, m).map(b =>
+          Similarity.signBucket(org.apache.spark.sql.functions.col("cv2"), b)): _*
+      ).as("codes"))
+    val q = e.filter($"vec_id" % 25 === 0)
+    val luts = Similarity.pqLuts(
+      Similarity.pqQueryTable(q,
+        Similarity.pqCodebook(Similarity.pqCodeRows(corpusC, dim, m)),
+        dim, m, "vec_id", "embedding"), m, w)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = rows(Similarity.adcScanBlocked(codes, luts, w, m, 8))
+    val oneLutRow = 8L * ((m.toLong << w) + 1L)
+    val maxSplit = rows(Similarity.adcScanBlocked(codes, luts, w, m, 8,
+      lutChunkBytes = 1L))
+    val midSplit = rows(Similarity.adcScanBlocked(codes, luts, w, m, 8,
+      lutChunkBytes = 3L * oneLutRow))
+    assert(single.nonEmpty)
+    assert(maxSplit === single)
+    assert(midSplit === single)
+  }
+
   test("ivfAdcTopK: recall@5 >= 0.9 at sf0.01, bounded by its IVF cut") {
     // IVFADC (q175) = q44's probe ∘ residual ADC: recall can never
     // exceed the probe's candidate cut, and with RESIDUAL codes (r9)
