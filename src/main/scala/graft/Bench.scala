@@ -91,11 +91,31 @@ object Bench {
     }
     val warmJson = warmRuns.map { case (k, v) => s"\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
+    // Per-query serving cost for the two |Q|-proportional ANN serving
+    // queries (VERDICT r15 #6): their query set is vec_id % 50 of the
+    // corpus BY DEFINITION, so their cross-scale totals grow with |Q|
+    // even when per-query cost shrinks — ms/q is the number the
+    // operator actually controls, made a first-class bench field so
+    // round comparisons read it directly instead of re-deriving |Q|.
+    val servingMsPerQ: String = {
+      try {
+        val nQ = graft.sources.Tables.load(spark, sfDir, "embeddings")
+          .filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+          .count()
+        if (nQ == 0L) "" else {
+          val entries = Seq("q175_emb_ann_ivfadc", "q181_ann_ivfadc_compacted")
+            .flatMap(n => results.find(_._1 == n))
+            .map { case (k, v) => s"\"" + k + "\":" + num(v * 1000.0 / nQ, 1) }
+          if (entries.isEmpty) ""
+          else s""","serving_ms_per_q":${entries.mkString("{", ",", "}")},"serving_n_q":$nQ"""
+        }
+      } catch { case _: Throwable => "" }
+    }
     val nQ = results.size
     val perQ0 = if (nQ > 0) total / nQ else 0.0
     val normJson = envMedian
       .map(f => s""","s_per_q_normalized":${num(perQ0 / f, 3)}""").getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup_s":${num(warmupS, 2)}$envJson$normJson,"queries_warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup_s":${num(warmupS, 2)}$envJson$normJson$servingMsPerQ,"queries_warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query map goes to a file; stdout gets a compact summary
     // as the LAST line. The driver keeps only a ~2 KB stdout tail, so
     // printing the ~6 KB full map decapitated the JSON and the driver
@@ -109,7 +129,7 @@ object Bench {
     // keep the contract's "queries" key (top-5 slowest, cold) so both
     // the original parser shape and the compact one find what they
     // need; "queries_warm" carries the same five re-timed warm.
-    val summary = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":$n,"s_per_q":${num(perQ, 3)}$normJson,"warmup_s":${num(warmupS, 2)}$envJson,"queries":$slowest,"queries_warm":$warmJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":$n,"s_per_q":${num(perQ, 3)}$normJson,"warmup_s":${num(warmupS, 2)}$envJson$servingMsPerQ,"queries":$slowest,"queries_warm":$warmJson,"sf":"$sfDir"}"""
     // Print TWICE (penultimate + final line): sbt can append its own
     // "[success] Total time" trailer after the forked run's output, so
     // a strict last-line parser needs the duplicate; a raw-line parser
