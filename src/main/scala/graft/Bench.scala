@@ -14,10 +14,20 @@ object Bench {
     // one representative per plan family (agg, window, banding join,
     // cosine/topk, pipeline, generate/explode, range window, CC loop)
     // so no timed query pays first-plan JIT for its whole shape.
+    // r16 additions: the ADC/IVFADC family (q174–q181 — custom scan
+    // kernels, BoundedTopK ObjectHashAggregate, DPP-pruned index
+    // serving: q178 covers build+write+read, q175 the in-flight
+    // composition) and the span-mining family (q193/q197 — window
+    // gram-hash Generate + count-window shapes) had NO warmup
+    // representative, so their first timed query paid the whole
+    // family's codegen/JIT: q193 measured 13.8 s cold vs 1.9 s warm
+    // for an identical plan at sf0.1.
     Seq("q01_pricing_summary", "q06_join_3way_agg", "q13_window_topk",
       "q26_docs_minhash_neardup", "q29_emb_cosine_topk", "q40_pipeline_dashboard",
       "q45_tpch_q3", "q50_word_count",
-      "q58_docs_neardup_resolve", "q64_events_trailing").foreach { q =>
+      "q58_docs_neardup_resolve", "q64_events_trailing",
+      "q175_emb_ann_ivfadc", "q178_emb_ann_ivfadc_index",
+      "q193_docs_repeated_spans").foreach { q =>
       try SparkEntry.queries(q)(spark, warmupDir).count()
       catch { case _: Throwable => () }
     }

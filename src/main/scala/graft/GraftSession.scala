@@ -93,6 +93,16 @@ object GraftSession {
       // the correct spill-aware behavior (correctness never depends on
       // this knob).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // partition-dir discovery: Spark launches a distributed LISTING
+      // JOB once a read spans more than this many paths (default 32).
+      // Every serving read of a 128-list IVF index tripped it, paying
+      // a ~1 s job to list 128 local directories that the driver lists
+      // in ~0.3 s (r16 measurement, WriteExp). 1024 keeps driver-side
+      // listing for index-sized partition counts on filesystem-backed
+      // stores; genuinely huge partitioned tables (or slow object
+      // stores — lower it there) still get the distributed listing
+      // past the threshold.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.ui.enabled", "false")
 
   def default(master: String = s"local[${availableCores}]",

@@ -38,8 +38,9 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, charLevel: Boolean): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel).as("sh"))
+    Rebalance.toParallelism(docs) // compute-dense kernel below (r16)
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel).as("sh"))
 
   def tokenShingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
@@ -172,8 +173,9 @@ object Dedup {
   def prepareNearDup(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleSize: Int = 3, charLevel: Boolean = false): DataFrame = {
     val shExpr = GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel)
-    docs.select(col(idCol).as("doc_id"), shExpr.as("sh"),
-      GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
+    Rebalance.toParallelism(docs) // compute-dense kernel below (r16)
+      .select(col(idCol).as("doc_id"), shExpr.as("sh"),
+        GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
   }
 
   /** [[nearDupPairs]] over a precomputed (doc_id, sh, sig) frame from
@@ -598,8 +600,9 @@ object Dedup {
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      GraftFunctions.winnow(col(textCol), k, w).as("fingerprints"))
+    Rebalance.toParallelism(docs) // compute-dense kernel below (r16)
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.winnow(col(textCol), k, w).as("fingerprints"))
 
   /** Compact per-document dedup artifacts — what a pipeline PERSISTS
     * for every kept document so later batches dedup against history
@@ -611,10 +614,11 @@ object Dedup {
   def artifacts(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleSize: Int = 3, charLevel: Boolean = false): DataFrame = {
     val shExpr = GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel)
-    docs.select(col(idCol).as("doc_id"),
-      md5(col(textCol).cast("binary")).as("text_hash"),
-      shExpr.as("sh"),
-      GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
+    Rebalance.toParallelism(docs) // compute-dense kernel below (r16)
+      .select(col(idCol).as("doc_id"),
+        md5(col(textCol).cast("binary")).as("text_hash"),
+        shExpr.as("sh"),
+        GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
   }
 
   /** The EXACT-hash stage of incremental dedup in isolation: batch
@@ -996,20 +1000,19 @@ object Dedup {
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    val toks = docs
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"),
-        expr(s"filter(split(trim(`$textCol`), '\\\\s+'), x -> x != '')").as("toks"))
-    val grams = toks.select(col("doc_id"),
-        expr(s"CASE WHEN size(toks) >= $w THEN " +
-          s"transform(sequence(1, size(toks) - ${w - 1}), " +
-          s"i -> struct(i AS pos, xxhash64(array_join(slice(toks, i, $w), ' ')) AS gh)) " +
-          s"ELSE CAST(array() AS array<struct<pos: int, gh: bigint>>) END").as("gs"))
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
-    val rep = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("gh"))
-    val covered = grams.join(neverBroadcast(rep), Seq("gh"))
+    val grams = windowGramHashes(rebalancedToks(docs, idCol, textCol), w)
+    // Occurrence count as ONE window over the single gram pass instead
+    // of groupBy + join back (r16): the join's probe side re-ran the
+    // whole tokenize + gram-hash lineage (a DAG diamond Spark
+    // recomputes), and the count-window shuffles the same narrow
+    // (doc_id, pos, gh) rows the SMJ shuffled — one exchange and one
+    // gram pass instead of two of each. Per-gh partition sizes equal
+    // the old join's per-key match groups, so skew exposure is
+    // unchanged; counts and the ≥2 cut are identical by definition.
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    val covered = grams
+      .withColumn("c", count(lit(1)).over(wCnt))
+      .filter(col("c") >= 2)
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${w - 1})")).as("p"))
       .distinct()
     val win = org.apache.spark.sql.expressions.Window
@@ -1020,6 +1023,47 @@ object Dedup {
         count(lit(1)).cast("long").as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
   }
+
+  /** Tokenized (doc_id, toks) for the span-mining family, with the
+    * scan REBALANCED to the session parallelism when the source
+    * arrives in fewer splits (r16 — the [[Similarity.bruteForceTopK]]
+    * rule): the downstream per-window slice+join+hash is compute-dense
+    * (O(len·w) per document), so parallelism must come from the ROW
+    * count, not the byte size — a 5 K-doc sf0.1 corpus is ONE parquet
+    * split, and the gram stage ran 9 s on one core while 31 idled. At
+    * real scale the scan already has ≥ cores splits and this is a
+    * no-op (no exchange is added).
+    */
+  private def rebalancedToks(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Rebalance.toParallelism(
+      docs.filter(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"),
+        expr("filter(split(trim(`__text`), '\\\\s+'), x -> x != '')").as("toks"))
+
+  /** (doc_id, pos — 1-based, gh = xxhash64 of the space-joined
+    * `w`-token window), with the hash computed ONCE per window (r16).
+    * The previous shape built the whole per-document gram array inside
+    * the generator expression; InferFiltersFromGenerate then copied
+    * that O(len·w) builder into a pushed-down scan filter (size > 0
+    * AND isnotnull), so every document paid the full gram construction
+    * once in the filter and again in the Generate — per CONSUMER of
+    * the frame (~4× per doc in the q193 plan). Here the generator
+    * explodes only the cheap position sequence (the inferred filter
+    * duplicates a size() call, nothing else) and the O(w)
+    * slice+join+hash runs in the projection above it, exactly once per
+    * window row. Hash values are the identical expression, so results
+    * are bit-identical.
+    */
+  private def windowGramHashes(toks: DataFrame, w: Int): DataFrame =
+    toks
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"CASE WHEN size(toks) >= $w THEN " +
+          s"sequence(1, size(toks) - ${w - 1}) " +
+          "ELSE CAST(array() AS array<int>) END")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"xxhash64(array_join(slice(toks, pos, $w), ' '))").as("gh"))
 
   /** Exact-substring dedup with keep-first semantics — the removal
     * mode of Lee et al. 2022 on top of [[repeatedSpans]]' windowed
@@ -1041,17 +1085,9 @@ object Dedup {
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    val toks = docs
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"),
-        expr(s"filter(split(trim(`$textCol`), '\\\\s+'), x -> x != '')").as("toks"))
-    val grams = toks.select(col("doc_id"),
-        expr(s"CASE WHEN size(toks) >= $w THEN " +
-          s"transform(sequence(1, size(toks) - ${w - 1}), " +
-          s"i -> struct(i AS pos, xxhash64(array_join(slice(toks, i, $w), ' ')) AS gh)) " +
-          s"ELSE CAST(array() AS array<struct<pos: int, gh: bigint>>) END").as("gs"))
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    // same rebalanced single-hash gram pass as [[repeatedSpans]] (r16)
+    val toks = rebalancedToks(docs, idCol, textCol)
+    val grams = windowGramHashes(toks, w)
     val wOcc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("gh")).orderBy(col("doc_id"), col("pos"))
     val nonFirst = grams

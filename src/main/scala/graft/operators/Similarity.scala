@@ -272,13 +272,14 @@ object Similarity {
       .filter(col("__rk") === 1)
       .select(col(idCol), col(vecCol), col("cid").as("list_id"))
       // explicit partition count: one file per list, not per
-      // (task × list) — AND nLists-way write parallelism. A keys-only
-      // repartition(col(...)) is an AQE-coalescible exchange: on a
-      // small build AQE folds it to ONE partition and a single task
-      // writes every list directory sequentially (~25 ms of parquet
-      // open/commit per directory — measured 3.1 s vs 0.9 s for the
-      // 128-list sign index). The explicit count pins the exchange.
-      .repartition(nLists, col("list_id"))
+      // (task × list). A keys-only repartition(col(...)) is an
+      // AQE-coalescible exchange: on a small build AQE folds it to ONE
+      // partition and a single task writes every list directory
+      // sequentially (~25 ms of parquet open/commit per directory —
+      // measured 3.1 s vs 0.9 s for the 128-list sign index). Width
+      // capped by the session shuffle width (r16): see
+      // [[BatchedIndex.writeWidth]].
+      .repartition(BatchedIndex.writeWidth(corpus.sparkSession, nLists), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -904,10 +905,12 @@ object Similarity {
     */
   private def centroidProbe(
       queries: DataFrame, cents: DataFrame, nProbe: Int,
-      idCol: String, vecCol: String): DataFrame =
-    centroidProbeRanks(queries, cents, idCol, vecCol)
+      idCol: String, vecCol: String, withQv: Boolean = true): DataFrame = {
+    val ranks = centroidProbeRanks(queries, cents, idCol, vecCol, withQv)
       .filter(col("nbetter") < nProbe)
-      .select(col("query_id"), col("qv"), col("list_id"))
+    if (withQv) ranks.select(col("query_id"), col("qv"), col("list_id"))
+    else ranks.select(col("query_id"), col("list_id"), col("s2"))
+  }
 
   /** [[centroidProbe]] without the budget cut: every (query, list)
     * pair with its probe rank `nbetter` (the count of strictly-better
@@ -916,9 +919,19 @@ object Similarity {
     * ([[recallProbeCurve]]): the ranking is nProbe-independent, so the
     * grid points differ only by a filter.
     */
+  /** `withQv = false` (r16) skips the query-vector attach join AND
+    * exposes `s2 = ⟨⌊q·scale⌋, c_L⟩` — the probe already computes the
+    * exact per-(query, probed-list) centroid dot product that the
+    * IVFADC serving paths re-derived as `lc` through two more joins
+    * (qi projection ⋈ broadcast centroid vectors); identical integer
+    * expression over identical inputs, so carrying it out is
+    * bit-identical and two joins + one broadcast build cheaper per
+    * serve. The ADC paths never read `qv` from the probe, so the
+    * attach join was pure overhead there.
+    */
   private def centroidProbeRanks(
       queries: DataFrame, cents: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, withQv: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       transform(col(vecCol),
         v => floor(v.cast("double") * centroidScale).cast("long")).as("qi"))
@@ -960,11 +973,17 @@ object Similarity {
     // sides — AQE broadcasts it when the query set is actually small;
     // a hint here would ship the whole score set to every executor at
     // 10⁶ queries
+    // `a.s2` joins the grouping key (functionally dependent on
+    // (query_id, list_id), so the groups are unchanged) to ride out as
+    // the serving paths' exact centroid term (scaladoc above).
     val ranked = a.join(b, Seq("query_id"))
-      .groupBy(col("query_id"), col("a.list_id").as("list_id"))
+      .groupBy(col("query_id"), col("a.list_id").as("list_id"),
+        col("a.s2").as("s2"))
       .agg(sum(when(better || tieSmaller, 1L).otherwise(0L)).as("nbetter"))
-    ranked.join(q.select(col("query_id"), col("qv")), Seq("query_id"))
-      .select(col("query_id"), col("qv"), col("list_id"), col("nbetter"))
+    if (!withQv)
+      ranked.select(col("query_id"), col("list_id"), col("s2"), col("nbetter"))
+    else ranked.join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .select(col("query_id"), col("qv"), col("list_id"), col("s2"), col("nbetter"))
   }
 
   /** IVF with a sign-pattern coarse quantizer: 2^bits lists keyed by
@@ -1051,13 +1070,13 @@ object Similarity {
       // write mints (write tasks × 2^bits) small files — at 1000
       // executors that is the classic small-files explosion. After the
       // shuffle each list lands in exactly one task → ≤2^bits files
-      // per build, with up to 2^bits-way write parallelism. The count
-      // is EXPLICIT: a keys-only repartition is an AQE-coalescible
-      // exchange, and on a small build AQE folds it to one partition —
-      // a single task then writes all 2^bits directories sequentially
-      // (~25 ms parquet open/commit each; measured 3.1 s vs 0.9 s at
-      // 128 lists).
-      .repartition(1 << bits, col("list_id"))
+      // per build. The count is EXPLICIT: a keys-only repartition is
+      // an AQE-coalescible exchange, and on a small build AQE folds it
+      // to one partition — a single task then writes all 2^bits
+      // directories sequentially (~25 ms parquet open/commit each;
+      // measured 3.1 s vs 0.9 s at 128 lists). Width capped by the
+      // session shuffle width (r16): [[BatchedIndex.writeWidth]].
+      .repartition(BatchedIndex.writeWidth(corpus.sparkSession, 1 << bits), col("list_id"))
       .write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/lists/batch_id=$buildBatchId")
     signListCentroidSums(corpus, quantDims(dim, bits), vecCol)
@@ -1086,8 +1105,9 @@ object Similarity {
       signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
       // ≤2^bits new files per batch, not per (task × list); explicit
       // count so AQE can't coalesce the exchange to one sequential
-      // writer task (see buildSignIvfIndex)
-      .repartition(1 << bits, col("list_id"))
+      // writer task (see buildSignIvfIndex); width capped by the
+      // session shuffle width (r16): [[BatchedIndex.writeWidth]]
+      .repartition(BatchedIndex.writeWidth(batch.sparkSession, 1 << bits), col("list_id"))
       .write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/lists/batch_id=$batchId")
     // The batch's OWN centroid sums land as their own shard — readers
@@ -1556,8 +1576,9 @@ object Similarity {
         .select(col("neighbor_id"), col("list_id"),
           array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
         // explicit count so AQE can't fold the exchange to one
-        // sequential writer task (see buildSignIvfIndex)
-        .repartition(1 << bits, col("list_id"))
+        // sequential writer task (see buildSignIvfIndex); width capped
+        // by the session shuffle width (r16): [[BatchedIndex.writeWidth]]
+        .repartition(BatchedIndex.writeWidth(spark, 1 << bits), col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id").parquet(s"$path/codes/batch_id=$buildBatchId")
       // SUMS, not means: long sums merge associatively, so readers
@@ -1612,7 +1633,9 @@ object Similarity {
       batchR
         .select(col("neighbor_id"), col("list_id"),
           array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
-        .repartition(1 << bits, col("list_id"))
+        // width capped by the session shuffle width (r16):
+        // [[BatchedIndex.writeWidth]]
+        .repartition(BatchedIndex.writeWidth(spark, 1 << bits), col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id").parquet(s"$path/codes/batch_id=$batchId")
       // the batch's own codebook-sums shard; readers fold shards by
@@ -1712,22 +1735,19 @@ object Similarity {
     BatchedIndex.assertConsistentBatches(spark, s"$path/codes", s"$path/codebook_sums")
     val lvecs = spark.read.parquet(s"$path/centroids")
     val cents = signListCentroidsFromVectors(lvecs)
-    val probed = centroidProbe(queries, cents, nProbe, idCol, vecCol)
-      .select(col("query_id"), col("list_id"))
     val codes = spark.read.parquet(s"$path/codes")
     val sc = pqQueryTable(queries,
       residualCodebookFromSums(foldSums(
         spark.read.parquet(s"$path/codebook_sums"), Seq("sub", "code", "pp"))),
       dim, m, idCol, vecCol)
-    val qi = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol),
-        v => floor(v.cast("double") * centroidScale).cast("long")).as("qi"))
-    val listConst = probed
-      .join(qi, Seq("query_id"))
-      .join(broadcast(lvecs), Seq("list_id"))
-      .select(col("query_id"), col("list_id"),
-        aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("lc"))
+    // the exact centroid term lc = ⟨⌊q·scale⌋, c_L⟩ rides out of the
+    // probe as s2 (r16, [[centroidProbeRanks]]): the probe computes it
+    // for the ranking anyway, so the old qi-projection ⋈ broadcast
+    // centroid-vectors re-derivation (two joins + one broadcast per
+    // serve) is gone — bit-identical integer arithmetic.
+    val listConst = centroidProbe(queries, cents, nProbe, idCol, vecCol,
+        withQv = false)
+      .select(col("query_id"), col("list_id"), col("s2").as("lc"))
     // the stored codes are already packed (codes[j] = block j): the
     // probed (query, list, lc) relation BROADCASTS onto the code
     // table's list_id — its PARTITION column, so the list cut reaches
@@ -1793,8 +1813,6 @@ object Similarity {
       listCentroidVectors(signListCentroidSums(corpus, dims, vecCol)),
       checkpointDir, "ivfadc_centroids")
     val cents = signListCentroidsFromVectors(lvecs)
-    val probed = centroidProbe(queries, cents, nProbe, idCol, vecCol)
-      .select(col("query_id"), col("list_id"))
     // integer residuals: rv = ⌊v·scale⌋ − centroid(list(v))
     val corpusR = corpusC
       .join(broadcast(lvecs.select(col("list_id"), col("mvec"))), Seq("list_id"))
@@ -1815,16 +1833,14 @@ object Similarity {
     // lookup table: RAW query components against the RESIDUAL codebook
     // (⟨q, r̂_v⟩ — the quantized half of the decomposition)
     val sc = pqQueryTable(queries, residualCodebook(codeRows), dim, m, idCol, vecCol)
-    // exact half: lc = ⟨⌊q·scale⌋, c_L⟩ per (query, probed list)
-    val qi = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol),
-        v => floor(v.cast("double") * centroidScale).cast("long")).as("qi"))
-    val listConst = probed
-      .join(qi, Seq("query_id"))
-      .join(broadcast(lvecs.select(col("list_id"), col("mvec"))), Seq("list_id"))
-      .select(col("query_id"), col("list_id"),
-        aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("lc"))
+    // exact half: lc = ⟨⌊q·scale⌋, c_L⟩ per (query, probed list) —
+    // rides out of the probe as s2 (r16, [[centroidProbeRanks]]): the
+    // probe computes the identical integer dot product for its
+    // ranking, so the old qi-projection ⋈ broadcast centroid-vectors
+    // re-derivation (two joins + a broadcast build) is gone.
+    val listConst = centroidProbe(queries, cents, nProbe, idCol, vecCol,
+        withQv = false)
+      .select(col("query_id"), col("list_id"), col("s2").as("lc"))
     // the IVF cut AND the scoring in ONE streamed pass (r15): the
     // probed (query, list, lc) relation — |Q|·nProbe rows, bounded by
     // the serving batch — BROADCASTS onto the packed code table's
@@ -1954,15 +1970,11 @@ object Similarity {
     val codeRows = DurableSnapshots.truncate(
       residualCodeRows(corpusR, dim, m), checkpointDir, "recall_codes")
     val sc = pqQueryTable(queriesS, residualCodebook(codeRows), dim, m, idCol, vecCol)
-    val qi = queriesS.select(col(idCol).as("query_id"),
-      transform(col(vecCol),
-        v => floor(v.cast("double") * centroidScale).cast("long")).as("qi"))
-    val listConst = ranks.select(col("query_id"), col("list_id"))
-      .join(qi, Seq("query_id"))
-      .join(broadcast(lvecs.select(col("list_id"), col("mvec"))), Seq("list_id"))
-      .select(col("query_id"), col("list_id"),
-        aggregate(zip_with(col("qi"), col("mvec"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("lc"))
+    // lc rides out of the probe as s2 (r16, [[centroidProbeRanks]]) —
+    // the materialized ranks snapshot already carries it per
+    // (query, list), so the qi ⋈ centroid-vectors re-derivation is gone
+    val listConst = ranks.select(col("query_id"), col("list_id"),
+      col("s2").as("lc"))
     // narrow kernel scoring (see [[ivfAdcTopK]]): packed codes ×
     // broadcast per-query LUTs, exchanges carry ids + one long
     val w = dim / m
