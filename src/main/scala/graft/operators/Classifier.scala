@@ -68,7 +68,7 @@ object Classifier {
     val text = col(textCol)
     val ntok = greatest(TextFunctions.tokenCount(text).cast("long"), lit(1L))
     val len1 = greatest(length(text).cast("long"), lit(1L))
-    Rebalance.toParallelism(docs).select( // compute-dense kernels (r16)
+    docs.select(
       (col(idCol) +: keep.map(col)) ++ Seq(
         lit(1000000L).as("x0"),
         tdiv(TextFunctions.stopwordTokenCount(text, "en") * lit(1000000L), ntok)

@@ -38,9 +38,8 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, charLevel: Boolean): DataFrame =
-    Rebalance.toParallelism(docs) // compute-dense kernel below (r16)
-      .select(col(idCol).as("doc_id"),
-        GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel).as("sh"))
+    docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel).as("sh"))
 
   def tokenShingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
@@ -173,9 +172,8 @@ object Dedup {
   def prepareNearDup(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleSize: Int = 3, charLevel: Boolean = false): DataFrame = {
     val shExpr = GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel)
-    Rebalance.toParallelism(docs) // compute-dense kernel below (r16)
-      .select(col(idCol).as("doc_id"), shExpr.as("sh"),
-        GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
+    docs.select(col(idCol).as("doc_id"), shExpr.as("sh"),
+      GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
   }
 
   /** [[nearDupPairs]] over a precomputed (doc_id, sh, sig) frame from
@@ -600,9 +598,8 @@ object Dedup {
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame =
-    Rebalance.toParallelism(docs) // compute-dense kernel below (r16)
-      .select(col(idCol).as("doc_id"),
-        GraftFunctions.winnow(col(textCol), k, w).as("fingerprints"))
+    docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.winnow(col(textCol), k, w).as("fingerprints"))
 
   /** Compact per-document dedup artifacts — what a pipeline PERSISTS
     * for every kept document so later batches dedup against history
@@ -614,11 +611,10 @@ object Dedup {
   def artifacts(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleSize: Int = 3, charLevel: Boolean = false): DataFrame = {
     val shExpr = GraftFunctions.shingleSet(col(textCol), shingleSize, charLevel)
-    Rebalance.toParallelism(docs) // compute-dense kernel below (r16)
-      .select(col(idCol).as("doc_id"),
-        md5(col(textCol).cast("binary")).as("text_hash"),
-        shExpr.as("sh"),
-        GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
+    docs.select(col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("text_hash"),
+      shExpr.as("sh"),
+      GraftFunctions.minhashFromSet(shExpr, k).as("sig"))
   }
 
   /** The EXACT-hash stage of incremental dedup in isolation: batch

@@ -71,7 +71,7 @@ object LanguageModel {
       expr("transform(sequence(0, size(__ws) - 2), " +
         "i -> struct(__ws[i] AS w1, concat(__ws[i], ' ', __ws[i+1]) AS bigram))"))
       .otherwise(expr("CAST(array() AS array<struct<w1: string, bigram: string>>)"))
-    Rebalance.toParallelism(docs.select(col(idCol), col(textCol).as("__text")))
+    docs.select(col(idCol), col(textCol).as("__text"))
       .withColumn("__ws", tokensCol)
       .select(col(idCol), explode(pairs).as("__p"))
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.bigram").as("bigram"))
@@ -93,7 +93,7 @@ object LanguageModel {
     */
   private def taggedNgramCounts(
       docs: DataFrame, textCol: String, roles: Seq[(String, String)]): DataFrame = {
-    Rebalance.toParallelism(docs.select(col(textCol).as("__text")))
+    docs.select(col(textCol).as("__text"))
       .withColumn("__ws", tokensCol)
       .select(explode(concat(roles.map(r => expr(r._2)): _*)).as("__r"))
       .select(col("__r.t").as("t"), col("__r.k").as("k"))

@@ -3,17 +3,24 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 
 /** Scan rebalancing for compute-dense per-row kernels (r16 — the
-  * [[Similarity.bruteForceTopK]] rule generalized): operators whose
-  * per-row work is heavy (winnowing, shingle/MinHash kernels, per-token
-  * LM counting, per-window gram hashing) must take their parallelism
-  * from the ROW count, not the input's byte size. A small parquet
-  * corpus is one row group — one scan split — so without this the
-  * kernel stage runs on one core while the rest idle (q193 measured
-  * 9 s single-task at sf0.1; the sf10 sweep measured 800 M cosines in
-  * ONE 845 s task). At real scale the scan already has ≥ cores splits
-  * and this is a NO-OP — no exchange is added; when it does fire, the
-  * one narrow exchange it adds is noise next to the kernel work it
-  * parallelizes. Results are invariant: every consumer is keyed
+  * [[Similarity.bruteForceTopK]] rule as a helper): operators whose
+  * per-row work is HEAVY (per-window gram hashing — O(len·w) string
+  * builds per document; quadratic cosine scans) must take their
+  * parallelism from the ROW count, not the input's byte size. A small
+  * parquet corpus is one row group — one scan split — so without this
+  * the kernel stage runs on one core while the rest idle (q193
+  * measured 9 s single-task at sf0.1; the sf10 sweep measured 800 M
+  * cosines in ONE 845 s task). At real scale the scan already has
+  * ≥ cores splits and this is a NO-OP — no exchange is added.
+  *
+  * NOT for cheap compiled kernels: applying it to the shingle/MinHash
+  * and winnowing projections REGRESSED q26 1.25 → 2.98 s and q28
+  * 1.24 → 2.52 s at sf0.1 (same-canary A/B) — those kernels finish in
+  * well under a second single-task, and the exchange this adds is
+  * multiplied by every unmaterialized reference to the frame (column
+  * pruning specializes each copy, so the exchanges don't reuse).
+  * Gate: use only where the single-task kernel pass measures in
+  * SECONDS. Results are invariant either way: every consumer is keyed
   * aggregation/join work downstream.
   */
 private[operators] object Rebalance {
