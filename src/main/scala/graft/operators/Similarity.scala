@@ -1237,6 +1237,16 @@ object Similarity {
       .select(col("query_id"),
         (col("p0") / w).cast("int").as("sub"), (col("p0") % w + 1).as("pp"),
         floor(col("x").cast("double") * centroidScale).cast("long").as("qx"))
+      // ONE exchange for the whole LUT build (r16): hash(query_id)
+      // satisfies every downstream clustering — (query_id, sub, code)
+      // here and (query_id) in [[pqLuts]] — and the broadcast codebook
+      // join preserves the streamed side's partitioning, so both
+      // aggregations run exchange-free above this. The old shape paid
+      // two agg exchanges per serving batch (hash(q,s,c) does not
+      // satisfy hash(q)); rows shipped are |Q|·dim either way (the
+      // 16×-fan-out codebook join now sits above the exchange instead
+      // of its partial agg below — both sides are query-batch-sized).
+      .repartition(col("query_id"))
       .join(broadcast(codebook), Seq("sub", "pp"))
       .groupBy(col("query_id"), col("sub"), col("code"))
       .agg(sum(col("qx") * col("mc")).as("sjc"))
