@@ -1917,8 +1917,10 @@ object QueryCatalog {
           col("l_shipdate"))
         // columnar encode is CPU-bound: fan the write out past the
         // source scan's partitioning (a single ~25 MB parquet file
-        // scans as 1-3 splits, serializing the encode)
-        .repartition(16)
+        // scans as 1-3 splits, serializing the encode); width from the
+        // session, not a constant (r16) — 16 halved a 32-core box and
+        // over-fanned the driver's low-core scaling run
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .groupBy(col("l_returnflag"),
@@ -3222,8 +3224,8 @@ object QueryCatalog {
       // q117/q172 discipline — the r9 sf3 sweep measured the JPEG twin
       // at 12× on a 2-split source: 30 idle cores)
       val media = Multimodal.pngFromText(s,
-        t(s, dir, "documents").repartition(32), "doc_id", "text",
-        width = 16)
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", width = 16)
       Multimodal.imageIoStats(media).toDF()
         .select(col("media_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("n_pixels"),
@@ -3241,7 +3243,8 @@ object QueryCatalog {
     "q171_multimodal_jpeg" -> ((s, dir) => {
       // CPU-bound codec: explicit fan-out, see q170
       val media = Multimodal.jpegFromText(s,
-        assertAscii(t(s, dir, "documents")).repartition(32),
+        assertAscii(t(s, dir, "documents"))
+          .repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", width = 16)
       Multimodal.imageIoStats(media).toDF()
         .select(col("media_id"), col("width").cast("long").as("width"),
@@ -3262,8 +3265,9 @@ object QueryCatalog {
       val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       // text encode/parse is CPU-bound: fan the write out past the
       // source scan's 1-3 splits so both the serialize and the
-      // re-parse run wide
-      t(s, dir, "lineitem").repartition(16).write.mode("overwrite")
+      // re-parse run wide; width from the session (r16, see q117)
+      t(s, dir, "lineitem").repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite")
         .option("header", "true").option("timestampFormat", tsFmt)
         .csv(path)
       s.read
