@@ -69,6 +69,41 @@ private[operators] object BatchedIndex {
     math.max(1, math.min(nPartitions,
       spark.conf.get("spark.sql.shuffle.partitions").toInt))
 
+  /** Run two INDEPENDENT Spark actions concurrently (r16 — guide
+    * §2.6: actions are only sequential because the driver calls them
+    * sequentially; the second job's tasks back-fill executors the
+    * first job's tail leaves idle). Used for the per-step write pairs
+    * of the batch-keyed indexes — codes/lists vs their sums/codebook
+    * side table — which target DIFFERENT paths and are individually
+    * idempotent (overwrite of their own batch subdir). Crash posture
+    * is unchanged: a torn step now may leave EITHER table's generation
+    * missing instead of only the second's, and
+    * [[assertConsistentBatches]] requires set EQUALITY of generations
+    * (both directions), so any torn combination still fails loud at
+    * serve time with the same recovery (re-run the same call). Do NOT
+    * use where the write ORDER is a documented invariant (the banded
+    * near-dup index writes bands before artifacts so a crash surfaces
+    * as a loud missing-artifact error — parallelizing those would
+    * reintroduce the silent direction). Both exceptions propagate
+    * (second suppressed on the first).
+    */
+  def inParallel(a: => Unit, b: => Unit): Unit = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => try b catch {
+      case e: Throwable => err.compareAndSet(null, e): Unit
+    })
+    t.setName("graft-index-write-b")
+    t.start()
+    try a catch {
+      case e: Throwable =>
+        t.join()
+        Option(err.get).foreach(e.addSuppressed)
+        throw e
+    }
+    t.join()
+    Option(err.get).foreach(e => throw e)
+  }
+
   /** Atomic-ish directory swap for index maintenance: the freshly
     * written `next` generation replaces `cur` via RENAME-ASIDE — the
     * old table moves to `cur__old` first, then next renames into

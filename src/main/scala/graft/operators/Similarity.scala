@@ -265,23 +265,25 @@ object Similarity {
     val centroids = trainCentroids(corpus, nLists, trainIters,
       idCol = idCol, vecCol = vecCol)
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid"))
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", VectorFunctions.cosine(col(vecCol), col("cv")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("list_id"))
-      // explicit partition count: one file per list, not per
-      // (task × list). A keys-only repartition(col(...)) is an
-      // AQE-coalescible exchange: on a small build AQE folds it to ONE
-      // partition and a single task writes every list directory
-      // sequentially (~25 ms of parquet open/commit per directory —
-      // measured 3.1 s vs 0.9 s for the 128-list sign index). Width
-      // capped by the session shuffle width (r16): see
-      // [[BatchedIndex.writeWidth]].
-      .repartition(BatchedIndex.writeWidth(corpus.sparkSession, nLists), col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // concurrent independent writes (r16, [[BatchedIndex.inParallel]])
+    BatchedIndex.inParallel(
+      corpus.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(centroids))
+        .withColumn("__sim", VectorFunctions.cosine(col(vecCol), col("cv")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col(idCol), col(vecCol), col("cid").as("list_id"))
+        // explicit partition count: one file per list, not per
+        // (task × list). A keys-only repartition(col(...)) is an
+        // AQE-coalescible exchange: on a small build AQE folds it to ONE
+        // partition and a single task writes every list directory
+        // sequentially (~25 ms of parquet open/commit per directory —
+        // measured 3.1 s vs 0.9 s for the 128-list sign index). Width
+        // capped by the session shuffle width (r16): see
+        // [[BatchedIndex.writeWidth]].
+        .repartition(BatchedIndex.writeWidth(corpus.sparkSession, nLists), col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists"),
+      centroids.write.mode("overwrite").parquet(s"$path/centroids"))
   }
 
   /** Query a persisted IVF index: rank centroids per query, then scan
@@ -1064,24 +1066,26 @@ object Similarity {
     // new index — clear both table roots first
     DurableSnapshots.delete(corpus, s"$path/lists")
     DurableSnapshots.delete(corpus, s"$path/centroid_sums")
-    corpus.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
-      // pre-shuffle on the partition key: an unshuffled partitionBy
-      // write mints (write tasks × 2^bits) small files — at 1000
-      // executors that is the classic small-files explosion. After the
-      // shuffle each list lands in exactly one task → ≤2^bits files
-      // per build. The count is EXPLICIT: a keys-only repartition is
-      // an AQE-coalescible exchange, and on a small build AQE folds it
-      // to one partition — a single task then writes all 2^bits
-      // directories sequentially (~25 ms parquet open/commit each;
-      // measured 3.1 s vs 0.9 s at 128 lists). Width capped by the
-      // session shuffle width (r16): [[BatchedIndex.writeWidth]].
-      .repartition(BatchedIndex.writeWidth(corpus.sparkSession, 1 << bits), col("list_id"))
-      .write.mode("overwrite")
-      .partitionBy("list_id").parquet(s"$path/lists/batch_id=$buildBatchId")
-    signListCentroidSums(corpus, quantDims(dim, bits), vecCol)
-      .coalesce(1) // ≤ 2^bits·dim tiny rows — one file, no shuffle
-      .write.mode("overwrite").parquet(s"$path/centroid_sums/batch_id=$buildBatchId")
+    // concurrent independent writes (r16, [[BatchedIndex.inParallel]])
+    BatchedIndex.inParallel(
+      corpus.select(col(idCol), col(vecCol),
+        signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
+        // pre-shuffle on the partition key: an unshuffled partitionBy
+        // write mints (write tasks × 2^bits) small files — at 1000
+        // executors that is the classic small-files explosion. After the
+        // shuffle each list lands in exactly one task → ≤2^bits files
+        // per build. The count is EXPLICIT: a keys-only repartition is
+        // an AQE-coalescible exchange, and on a small build AQE folds it
+        // to one partition — a single task then writes all 2^bits
+        // directories sequentially (~25 ms parquet open/commit each;
+        // measured 3.1 s vs 0.9 s at 128 lists). Width capped by the
+        // session shuffle width (r16): [[BatchedIndex.writeWidth]].
+        .repartition(BatchedIndex.writeWidth(corpus.sparkSession, 1 << bits), col("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id").parquet(s"$path/lists/batch_id=$buildBatchId"),
+      signListCentroidSums(corpus, quantDims(dim, bits), vecCol)
+        .coalesce(1) // ≤ 2^bits·dim tiny rows — one file, no shuffle
+        .write.mode("overwrite").parquet(s"$path/centroid_sums/batch_id=$buildBatchId"))
   }
 
   /** Incrementally add a batch to a persisted sign-IVF index. The
@@ -1101,28 +1105,30 @@ object Similarity {
       batch: DataFrame, path: String, batchId: String, dim: Int, bits: Int = 7,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     requireBatchId(batchId)
-    batch.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
-      // ≤2^bits new files per batch, not per (task × list); explicit
-      // count so AQE can't coalesce the exchange to one sequential
-      // writer task (see buildSignIvfIndex); width capped by the
-      // session shuffle width (r16): [[BatchedIndex.writeWidth]]
-      .repartition(BatchedIndex.writeWidth(batch.sparkSession, 1 << bits), col("list_id"))
-      .write.mode("overwrite")
-      .partitionBy("list_id").parquet(s"$path/lists/batch_id=$batchId")
-    // The batch's OWN centroid sums land as their own shard — readers
-    // fold shards by summing ([[foldSums]]), which long-associativity
-    // makes bit-identical to the one-shot table (the q134 oracle's
-    // invariant). No read-modify-write, no swap (r10, ADVICE r9): both
-    // writes overwrite only this batch's subdirs, so a crashed or
-    // duplicated append recovers by RE-RUNNING THE SAME (batch,
-    // batchId) call — the retry overwrites the torn shard instead of
-    // double-appending rows, and no window ever leaves the index
-    // without a durable sums copy. Caller contract: batch ids are
-    // unique per logical batch (reusing one replaces that batch).
-    signListCentroidSums(batch, quantDims(dim, bits), vecCol)
-      .coalesce(1) // ≤ 2^bits·dim tiny rows — one file
-      .write.mode("overwrite").parquet(s"$path/centroid_sums/batch_id=$batchId")
+    // concurrent independent writes (r16, [[BatchedIndex.inParallel]])
+    BatchedIndex.inParallel(
+      batch.select(col(idCol), col(vecCol),
+        signBucket(col(vecCol), quantDims(dim, bits)).as("list_id"))
+        // ≤2^bits new files per batch, not per (task × list); explicit
+        // count so AQE can't coalesce the exchange to one sequential
+        // writer task (see buildSignIvfIndex); width capped by the
+        // session shuffle width (r16): [[BatchedIndex.writeWidth]]
+        .repartition(BatchedIndex.writeWidth(batch.sparkSession, 1 << bits), col("list_id"))
+        .write.mode("overwrite")
+        .partitionBy("list_id").parquet(s"$path/lists/batch_id=$batchId"),
+      // The batch's OWN centroid sums land as their own shard — readers
+      // fold shards by summing ([[foldSums]]), which long-associativity
+      // makes bit-identical to the one-shot table (the q134 oracle's
+      // invariant). No read-modify-write, no swap (r10, ADVICE r9): both
+      // writes overwrite only this batch's subdirs, so a crashed or
+      // duplicated append recovers by RE-RUNNING THE SAME (batch,
+      // batchId) call — the retry overwrites the torn shard instead of
+      // double-appending rows, and no window ever leaves the index
+      // without a durable sums copy. Caller contract: batch ids are
+      // unique per logical batch (reusing one replaces that batch).
+      signListCentroidSums(batch, quantDims(dim, bits), vecCol)
+        .coalesce(1) // ≤ 2^bits·dim tiny rows — one file
+        .write.mode("overwrite").parquet(s"$path/centroid_sums/batch_id=$batchId"))
   }
 
   /** Serve from a persisted sign-IVF index: rank lists by centroid
@@ -1503,13 +1509,15 @@ object Similarity {
       corpus: DataFrame, path: String, dim: Int, m: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val blocks = pqBlocks(dim, m)
-    corpus.select(col(idCol).as("neighbor_id"),
-        array(blocks.map(b => signBucket(col(vecCol), b)): _*).as("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-    pqCodebook(pqCodeRows(
-        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")), dim, m))
-      .coalesce(1) // ≤ m·2^(dim/m)·(dim/m) tiny rows — one file
-      .write.mode("overwrite").parquet(s"$path/codebook")
+    // concurrent independent writes (r16, [[BatchedIndex.inParallel]])
+    BatchedIndex.inParallel(
+      corpus.select(col(idCol).as("neighbor_id"),
+          array(blocks.map(b => signBucket(col(vecCol), b)): _*).as("codes"))
+        .write.mode("overwrite").parquet(s"$path/codes"),
+      pqCodebook(pqCodeRows(
+          corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv2")), dim, m))
+        .coalesce(1) // ≤ m·2^(dim/m)·(dim/m) tiny rows — one file
+        .write.mode("overwrite").parquet(s"$path/codebook"))
   }
 
   /** Serve from a persisted PQ index: lookup table from the stored
@@ -1582,22 +1590,26 @@ object Similarity {
       .persist()
     try {
       val blocks = pqBlocks(dim, m)
-      corpusR
-        .select(col("neighbor_id"), col("list_id"),
-          array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
-        // explicit count so AQE can't fold the exchange to one
-        // sequential writer task (see buildSignIvfIndex); width capped
-        // by the session shuffle width (r16): [[BatchedIndex.writeWidth]]
-        .repartition(BatchedIndex.writeWidth(spark, 1 << bits), col("list_id"))
-        .write.mode("overwrite")
-        .partitionBy("list_id").parquet(s"$path/codes/batch_id=$buildBatchId")
-      // SUMS, not means: long sums merge associatively, so readers
-      // fold the per-batch shards [[appendIvfAdcIndex]] writes into a
-      // codebook bit-identical to a one-shot rebuild over the same
-      // encoding (serving derives the means).
-      residualCodebookSums(residualCodeRows(corpusR, dim, m))
-        .coalesce(1) // ≤ m·2^(dim/m)·(dim/m) tiny rows — one file
-        .write.mode("overwrite").parquet(s"$path/codebook_sums/batch_id=$buildBatchId")
+      // the two writes are independent (different paths, both reading
+      // the persisted corpusR) — run them concurrently (r16,
+      // [[BatchedIndex.inParallel]]; torn-step posture unchanged)
+      BatchedIndex.inParallel(
+        corpusR
+          .select(col("neighbor_id"), col("list_id"),
+            array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
+          // explicit count so AQE can't fold the exchange to one
+          // sequential writer task (see buildSignIvfIndex); width capped
+          // by the session shuffle width (r16): [[BatchedIndex.writeWidth]]
+          .repartition(BatchedIndex.writeWidth(spark, 1 << bits), col("list_id"))
+          .write.mode("overwrite")
+          .partitionBy("list_id").parquet(s"$path/codes/batch_id=$buildBatchId"),
+        // SUMS, not means: long sums merge associatively, so readers
+        // fold the per-batch shards [[appendIvfAdcIndex]] writes into a
+        // codebook bit-identical to a one-shot rebuild over the same
+        // encoding (serving derives the means).
+        residualCodebookSums(residualCodeRows(corpusR, dim, m))
+          .coalesce(1) // ≤ m·2^(dim/m)·(dim/m) tiny rows — one file
+          .write.mode("overwrite").parquet(s"$path/codebook_sums/batch_id=$buildBatchId"))
     } finally corpusR.unpersist()
   }
 
@@ -1640,23 +1652,25 @@ object Similarity {
       .persist()
     try {
       val blocks = pqBlocks(dim, m)
-      batchR
-        .select(col("neighbor_id"), col("list_id"),
-          array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
-        // width capped by the session shuffle width (r16):
-        // [[BatchedIndex.writeWidth]]
-        .repartition(BatchedIndex.writeWidth(spark, 1 << bits), col("list_id"))
-        .write.mode("overwrite")
-        .partitionBy("list_id").parquet(s"$path/codes/batch_id=$batchId")
-      // the batch's own codebook-sums shard; readers fold shards by
-      // summing. Idempotent/crash-safe like appendSignIvfIndex (r10):
-      // both writes overwrite only this batch's subdirs, so recovery
-      // from any crash is re-running the same (batch, batchId) call —
-      // no double-appended code rows, no swap window without a durable
-      // sums copy.
-      residualCodebookSums(residualCodeRows(batchR, dim, m))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/codebook_sums/batch_id=$batchId")
+      // concurrent independent writes (r16, [[BatchedIndex.inParallel]])
+      BatchedIndex.inParallel(
+        batchR
+          .select(col("neighbor_id"), col("list_id"),
+            array(blocks.map(b => signBucket(col("rv"), b)): _*).as("codes"))
+          // width capped by the session shuffle width (r16):
+          // [[BatchedIndex.writeWidth]]
+          .repartition(BatchedIndex.writeWidth(spark, 1 << bits), col("list_id"))
+          .write.mode("overwrite")
+          .partitionBy("list_id").parquet(s"$path/codes/batch_id=$batchId"),
+        // the batch's own codebook-sums shard; readers fold shards by
+        // summing. Idempotent/crash-safe like appendSignIvfIndex (r10):
+        // both writes overwrite only this batch's subdirs, so recovery
+        // from any crash is re-running the same (batch, batchId) call —
+        // no double-appended code rows, no swap window without a durable
+        // sums copy.
+        residualCodebookSums(residualCodeRows(batchR, dim, m))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/codebook_sums/batch_id=$batchId"))
     } finally batchR.unpersist()
   }
 
@@ -1672,12 +1686,16 @@ object Similarity {
     * dominate open/seek cost.
     */
   def compactSignIvfIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String, bits: Int = 7): Unit = {
-    BatchedIndex.compactTable(spark, s"$path/lists",
-      partitionCol = Some(("list_id", 1 << bits)))
-    BatchedIndex.compactTable(spark, s"$path/centroid_sums",
-      sumKeys = Some(Seq("list_id", "pos")))
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String, bits: Int = 7): Unit =
+    // the two tables compact independently (r16,
+    // [[BatchedIndex.inParallel]]; a torn compaction of either still
+    // recovers via recoverDir + re-run, and the generation-equality
+    // assert covers every torn combination)
+    BatchedIndex.inParallel(
+      BatchedIndex.compactTable(spark, s"$path/lists",
+        partitionCol = Some(("list_id", 1 << bits))),
+      BatchedIndex.compactTable(spark, s"$path/centroid_sums",
+        sumKeys = Some(Seq("list_id", "pos"))))
 
   /** [[compactSignIvfIndex]] for the IVFADC index: codes re-shuffle to
     * one file per list partition, codebook-sums shards fold to one.
@@ -1688,12 +1706,13 @@ object Similarity {
     * per-list totals and servability are unaffected (spec-pinned).
     */
   def compactIvfAdcIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String, bits: Int = 7): Unit = {
-    BatchedIndex.compactTable(spark, s"$path/codes",
-      partitionCol = Some(("list_id", 1 << bits)))
-    BatchedIndex.compactTable(spark, s"$path/codebook_sums",
-      sumKeys = Some(Seq("sub", "code", "pp")))
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String, bits: Int = 7): Unit =
+    // concurrent independent compactions (r16, see compactSignIvfIndex)
+    BatchedIndex.inParallel(
+      BatchedIndex.compactTable(spark, s"$path/codes",
+        partitionCol = Some(("list_id", 1 << bits))),
+      BatchedIndex.compactTable(spark, s"$path/codebook_sums",
+        sumKeys = Some(Seq("sub", "code", "pp"))))
 
   /** Operational servability audit for a frozen-quantizer IVFADC index
     * (VERDICT r9 #4) — the rebuild-trigger artifact: one row per
