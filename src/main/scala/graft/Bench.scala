@@ -14,6 +14,11 @@ object Bench {
     // one representative per plan family (agg, window, banding join,
     // cosine/topk, pipeline, generate/explode, range window, CC loop)
     // so no timed query pays first-plan JIT for its whole shape.
+    // FROZEN as warmup_set "r16" (VERDICT r16 #3): any future edit to
+    // this list ships in its own measurement-only commit, bumps the
+    // warmup_set tag in the JSON, and records old- AND new-protocol
+    // totals in BASELINE.md — cold totals are only round-over-round
+    // comparable at equal warmup_set.
     // r16 additions: the ADC/IVFADC family (q174–q181 — custom scan
     // kernels, BoundedTopK ObjectHashAggregate, DPP-pruned index
     // serving: q178 covers build+write+read, q175 the in-flight
@@ -125,7 +130,14 @@ object Bench {
     val perQ0 = if (nQ > 0) total / nQ else 0.0
     val normJson = envMedian
       .map(f => s""","s_per_q_normalized":${num(perQ0 / f, 3)}""").getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup_s":${num(warmupS, 2)}$envJson$normJson$servingMsPerQ,"queries_warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
+    // Scaling-contract echo (VERDICT r16 #2): the effective master/
+    // parallelism/shuffle width IN the artifact, so `$SPARK_GRAFT_CPUS`
+    // honoring is checkable from the JSON alone instead of from source.
+    // warmup_set versions the warmup list (ADVICE r16): cold numbers are
+    // only round-over-round comparable at equal warmup_set — the list
+    // is FROZEN at "r16" (last changed r16; see BASELINE.md).
+    val envEcho = s""","cpus":$cpus,"default_parallelism":${spark.sparkContext.defaultParallelism},"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"warmup_set":"r16""""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup_s":${num(warmupS, 2)}$envEcho$envJson$normJson$servingMsPerQ,"queries_warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query map goes to a file; stdout gets a compact summary
     // as the LAST line. The driver keeps only a ~2 KB stdout tail, so
     // printing the ~6 KB full map decapitated the JSON and the driver
@@ -139,7 +151,7 @@ object Bench {
     // keep the contract's "queries" key (top-5 slowest, cold) so both
     // the original parser shape and the compact one find what they
     // need; "queries_warm" carries the same five re-timed warm.
-    val summary = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":$n,"s_per_q":${num(perQ, 3)}$normJson,"warmup_s":${num(warmupS, 2)}$envJson$servingMsPerQ,"queries":$slowest,"queries_warm":$warmJson,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n":$n,"s_per_q":${num(perQ, 3)}$normJson,"warmup_s":${num(warmupS, 2)}$envEcho$envJson$servingMsPerQ,"queries":$slowest,"queries_warm":$warmJson,"sf":"$sfDir"}"""
     // Print TWICE (penultimate + final line): sbt can append its own
     // "[success] Total time" trailer after the forked run's output, so
     // a strict last-line parser needs the duplicate; a raw-line parser

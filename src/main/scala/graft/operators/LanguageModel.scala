@@ -64,18 +64,27 @@ object LanguageModel {
 
   /** (id, w1, bigram) — one row per adjacent token pair. Documents
     * with fewer than two tokens contribute no rows (guarded empty
-    * array, not a null explode). */
+    * array, not a null explode).
+    *
+    * Positions-first generate (r17, the q193/`windowGramHashes` rule):
+    * the generator explodes only the cheap int position sequence and
+    * the string pair is built in the projection ABOVE it, once per
+    * output row — the previous shape built the whole per-document pair
+    * array INSIDE the generator, and `InferFiltersFromGenerate` copied
+    * that O(len) string builder into a pushed-down filter, so every
+    * document paid the full concat construction twice. Identical
+    * output: for n ≥ 2 positions 0..n−2 emit (__ws[i],
+    * concat(__ws[i], ' ', __ws[i+1])) — the exact rows the transform
+    * produced. */
   private def explodedBigrams(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val pairs = when(size(col("__ws")) >= 2,
-      expr("transform(sequence(0, size(__ws) - 2), " +
-        "i -> struct(__ws[i] AS w1, concat(__ws[i], ' ', __ws[i+1]) AS bigram))"))
-      .otherwise(expr("CAST(array() AS array<struct<w1: string, bigram: string>>)"))
+      textCol: String): DataFrame =
     docs.select(col(idCol), col(textCol).as("__text"))
       .withColumn("__ws", tokensCol)
-      .select(col(idCol), explode(pairs).as("__p"))
-      .select(col(idCol), col("__p.w1").as("w1"), col("__p.bigram").as("bigram"))
-  }
+      .select(col(idCol), col("__ws"),
+        explode(expr("CASE WHEN size(__ws) >= 2 THEN sequence(0, size(__ws) - 2) " +
+          "ELSE CAST(array() AS array<int>) END")).as("__i"))
+      .select(col(idCol), expr("__ws[__i]").as("w1"),
+        expr("concat(__ws[__i], ' ', __ws[__i + 1])").as("bigram"))
 
   /** One corpus pass → every count table an n-gram model needs
     * (VERDICT r10 #7). Each document's token array emits one tagged
@@ -92,29 +101,57 @@ object LanguageModel {
     * full corpus scan itself, not a cheap re-aggregation.)
     */
   private def taggedNgramCounts(
-      docs: DataFrame, textCol: String, roles: Seq[(String, String)]): DataFrame = {
+      docs: DataFrame, textCol: String, roles: Seq[NgramRole]): DataFrame = {
+    // Positions-first generate (r17, the q193/`windowGramHashes` rule):
+    // the old shape concat'd per-role STRUCT ARRAYS (each an O(len)
+    // string-concat builder) as the generator input, and
+    // InferFiltersFromGenerate copied that whole builder into a
+    // pushed-down filter — every document paid the n-gram string
+    // construction twice. Now the generator explodes one flat int
+    // index over the concatenated role ranges (the inferred filter
+    // re-derives only size() arithmetic) and the (t, k) strings are
+    // built in the projection above, once per output row. Role ranges
+    // are laid out in `roles` order, so the emitted multiset of (t, k)
+    // rows — all that the groupBy sees — is identical.
+    val cnts = roles.map(r => s"(${r.cnt})")
+    def prefix(k: Int): String = if (k == 0) "0" else cnts.take(k).mkString(" + ")
+    val total = prefix(roles.size)
+    def branches(f: (NgramRole, String) => String): String =
+      roles.zipWithIndex.map { case (r, k) =>
+        val local = if (k == 0) "__i" else s"__i - (${prefix(k)})"
+        if (k == roles.size - 1) s"ELSE ${f(r, local)}"
+        else s"WHEN __i < ${prefix(k + 1)} THEN ${f(r, local)}"
+      }.mkString("CASE ", " ", " END")
     docs.select(col(textCol).as("__text"))
       .withColumn("__ws", tokensCol)
-      .select(explode(concat(roles.map(r => expr(r._2)): _*)).as("__r"))
-      .select(col("__r.t").as("t"), col("__r.k").as("k"))
+      .select(col("__ws"),
+        explode(expr(s"CASE WHEN ($total) >= 1 THEN sequence(0, ($total) - 1) " +
+          "ELSE CAST(array() AS array<int>) END")).as("__i"))
+      .select(expr(branches((r, _) => s"'${r.tag}'")).as("t"),
+        expr(branches((r, j) => r.elem(s"($j)"))).as("k"))
       .groupBy(col("t"), col("k")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
   }
 
-  private val uniRole = "u" ->
-    "transform(__ws, w -> struct('u' AS t, w AS k))"
-  private val prefixRole = "p" ->
-    ("CASE WHEN size(__ws) >= 2 THEN transform(slice(__ws, 1, size(__ws) - 1), " +
-      "w -> struct('p' AS t, w AS k)) " +
-      "ELSE CAST(array() AS array<struct<t: string, k: string>>) END")
-  private val bigramRole = "b" ->
-    ("CASE WHEN size(__ws) >= 2 THEN transform(sequence(0, size(__ws) - 2), " +
-      "i -> struct('b' AS t, concat(__ws[i], ' ', __ws[i+1]) AS k)) " +
-      "ELSE CAST(array() AS array<struct<t: string, k: string>>) END")
-  private val trigramRole = "t3" ->
-    ("CASE WHEN size(__ws) >= 3 THEN transform(sequence(0, size(__ws) - 3), " +
-      "i -> struct('t3' AS t, concat(__ws[i], ' ', __ws[i+1], ' ', __ws[i+2]) AS k)) " +
-      "ELSE CAST(array() AS array<struct<t: string, k: string>>) END")
+  /** One n-gram role of the tagged single-pass count: `cnt` — SQL for
+    * how many rows a document contributes (in terms of `__ws`), `elem`
+    * — SQL for the k-string at 0-based local index `j` within the
+    * role's range. Counts/elements reproduce the r11 array builders
+    * exactly: u = every token, p = every token with a successor
+    * (indices 0..n−2), b = adjacent pairs, t3 = adjacent triples.
+    */
+  private final case class NgramRole(
+      tag: String, cnt: String, elem: String => String)
+
+  private val uniRole = NgramRole("u", "size(__ws)", j => s"__ws[$j]")
+  private val prefixRole = NgramRole("p",
+    "greatest(size(__ws) - 1, 0)", j => s"__ws[$j]")
+  private val bigramRole = NgramRole("b",
+    "greatest(size(__ws) - 1, 0)",
+    j => s"concat(__ws[$j], ' ', __ws[$j + 1])")
+  private val trigramRole = NgramRole("t3",
+    "greatest(size(__ws) - 2, 0)",
+    j => s"concat(__ws[$j], ' ', __ws[$j + 1], ' ', __ws[$j + 2])")
 
   /** Train the bigram LM on `docs` in ONE corpus pass (r11, VERDICT
     * r10 #7): the tagged-role explode feeds bigram counts, prefix
@@ -304,21 +341,22 @@ object LanguageModel {
     * no rows. The backoff's c(w2) denominator rides on `w2`.
     */
   private def explodedTrigrams(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val triples = when(size(col("__ws")) >= 3,
-      expr("transform(sequence(0, size(__ws) - 3), i -> struct(" +
-        "concat(__ws[i], ' ', __ws[i+1], ' ', __ws[i+2]) AS tri, " +
-        "concat(__ws[i], ' ', __ws[i+1]) AS ctx, " +
-        "concat(__ws[i+1], ' ', __ws[i+2]) AS bi, " +
-        "__ws[i+1] AS w2, __ws[i+2] AS w3))"))
-      .otherwise(expr("CAST(array() AS array<struct<" +
-        "tri: string, ctx: string, bi: string, w2: string, w3: string>>)"))
+      textCol: String): DataFrame =
+    // positions-first generate — see [[explodedBigrams]] (r17): the
+    // int position sequence is the generator input; the five string
+    // keys are built in the projection above it, once per output row
+    // instead of once in the generator and once in the inferred
+    // filter's copy of the array builder.
     docs.select(col(idCol), col(textCol).as("__text"))
       .withColumn("__ws", tokensCol)
-      .select(col(idCol), explode(triples).as("__p"))
-      .select(col(idCol), col("__p.tri").as("tri"), col("__p.ctx").as("ctx"),
-        col("__p.bi").as("bi"), col("__p.w2").as("w2"), col("__p.w3").as("w3"))
-  }
+      .select(col(idCol), col("__ws"),
+        explode(expr("CASE WHEN size(__ws) >= 3 THEN sequence(0, size(__ws) - 3) " +
+          "ELSE CAST(array() AS array<int>) END")).as("__i"))
+      .select(col(idCol),
+        expr("concat(__ws[__i], ' ', __ws[__i + 1], ' ', __ws[__i + 2])").as("tri"),
+        expr("concat(__ws[__i], ' ', __ws[__i + 1])").as("ctx"),
+        expr("concat(__ws[__i + 1], ' ', __ws[__i + 2])").as("bi"),
+        expr("__ws[__i + 1]").as("w2"), expr("__ws[__i + 2]").as("w3"))
 
   /** Train the stupid-backoff trigram LM in ONE corpus pass (the
     * [[taggedNgramCounts]] shape): unigram, bigram, and trigram counts

@@ -930,6 +930,15 @@ object Similarity {
     * bit-identical and two joins + one broadcast build cheaper per
     * serve. The ADC paths never read `qv` from the probe, so the
     * attach join was pure overhead there.
+    *
+    * CONTRACT (r17, ADVICE r16): `idCol` values must be UNIQUE in
+    * `queries` — s2 is functionally dependent on (query_id, list_id)
+    * only then. Duplicate ids with different vectors would carry
+    * distinct s2 values into the grouping key and split their
+    * `nbetter` counts instead of merging them (the pre-r16 behavior).
+    * Every caller passes either distinct corpus ids or a sampled
+    * subset of them, so the contract holds by construction; a new
+    * caller with non-unique ids must dedupe first.
     */
   private def centroidProbeRanks(
       queries: DataFrame, cents: DataFrame,

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Throwaway: per-job + per-stage durations for arbitrary queries.
-  * Usage: runMain graft.tmp.QTrace <sfDir> <runs> q1 q2 ...
+  * Usage: runMain graft.tools.QTrace <sfDir> <runs> q1 q2 ...
   */
 object QTrace {
   def main(args: Array[String]): Unit = {
