@@ -158,10 +158,60 @@ object QueryCatalog {
     * use 2·off / 3·off — disjoint from the corpus AND each other.
     */
   private def plantOffset(df: DataFrame, idCol: String): Long = {
-    val m = df.agg(max(col(idCol))).head
-    val maxId = if (m.isNullAt(0)) 0L else m.getLong(0)
+    val footer = sourceParquetPath(df)
+      .flatMap(p => Tables.footerMaxLong(df.sparkSession, p, idCol))
+    val maxId = footer match {
+      case Some(m) => m.getOrElse(0L) // exact footer max (None = no rows)
+      case None =>
+        val m = df.agg(max(col(idCol))).head
+        if (m.isNullAt(0)) 0L else m.getLong(0)
+    }
     (maxId / 1000000L + 1L) * 1000000L
   }
+
+  /** The single parquet root behind `df` when — and only when — the
+    * frame is a BARE scan (Project-of-attributes/alias nodes over one
+    * parquet relation; any Filter/derivation disqualifies). This is
+    * the guard that lets [[plantOffset]]/[[probeCount]] answer from
+    * footer metadata with values identical to the scan-based
+    * aggregation: over a bare scan, footer row counts and column
+    * min/max ARE the aggregation's answers.
+    */
+  private def sourceParquetPath(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def walk(p: LogicalPlan): Option[String] = p match {
+      case Project(projs, child)
+          if projs.forall(_.isInstanceOf[AttributeReference]) => walk(child)
+      case SubqueryAlias(_, child) => walk(child)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+            if fs.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]
+              && fs.location.rootPaths.size == 1 =>
+          Some(fs.location.rootPaths.head.toString)
+        case _ => None
+      }
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
+  /** Row count of `df` — from parquet footer metadata when the frame
+    * is a bare table scan ([[sourceParquetPath]]; block row counts are
+    * exact by the format's definition), else the ordinary `count()`.
+    * The catalog's parameter probes (quantizer widths, inverted-index
+    * caps) are metadata questions; answering them without a cluster
+    * scan is the difference between a footer read and a full-table
+    * pass at 100 TB (r17 — the probe cost was ~2 Spark jobs each,
+    * ~38 probes per bench pass).
+    */
+  private def probeCount(df: DataFrame): Long =
+    sourceParquetPath(df) match {
+      case Some(p) => Tables.footerRowCount(df.sparkSession, p)
+      case None => df.count()
+    }
 
   /** The [[plantOffset]] scalar as oracle SQL (DuckDB). */
   private def plantOffsetSql(table: String, idCol: String): String =
@@ -942,7 +992,7 @@ object QueryCatalog {
       val partial = d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + off).as("doc_id"),
           substring(col("text"), 1, 200).as("text"))
-      val mdf = math.max(1000L, d.count() / 5).min(Int.MaxValue.toLong).toInt
+      val mdf = math.max(1000L, probeCount(d) / 5).min(Int.MaxValue.toLong).toInt
       Dedup.fingerprintPairs(d.unionByName(partial), "doc_id", "text",
           k = 8, w = 4, minShared = 3, maxDocFreq = mdf)
         .filter(col("doc_a") % 5 === 0 && col("doc_b") === col("doc_a") + off)
@@ -1088,7 +1138,7 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val bits = Similarity.autoQuantBits(probeCount(e), 64)
       Similarity.buildSignIvfIndex(e, path, dim = 64, bits = bits)
       // fraction-denominated probe budget (r11, ADVICE): 375 ‰ of the
       // lists = the pinned 48-of-128 at every gated scale, and the
@@ -2239,7 +2289,7 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val bits = Similarity.autoQuantBits(probeCount(e), 64)
       // fraction-denominated probe budget (r11, ADVICE): 375 ‰ of the
       // lists = the pinned 48-of-128 at every gated scale; holds the
       // probed fraction as autoQuantBits grows the list count
@@ -2382,7 +2432,7 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val bits = Similarity.autoQuantBits(probeCount(e), 64)
       Similarity.buildSignIvfIndex(e.filter(col("vec_id") % 3 =!= 0), path,
         dim = 64, bits = bits)
       Similarity.appendSignIvfIndex(e.filter(col("vec_id") % 3 === 0), path,
@@ -3207,7 +3257,7 @@ object QueryCatalog {
       val planted = d.filter(col("doc_id") % 6 === 0)
         .select(col("doc_id"), concat(lit(banner + " "), col("text")).as("text"))
       val all = d.filter(col("doc_id") % 6 =!= 0).unionByName(planted)
-      val minDf = math.max(6L, d.count() / 12L)
+      val minDf = math.max(6L, probeCount(d) / 12L)
       Dedup.removeFrequentSpans(all, "doc_id", "text", n = 5, minDf = minDf)
         .orderBy(col("doc_id"))
     }),
@@ -3342,7 +3392,7 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val n = e.count()
+      val n = probeCount(e)
       val bits = Similarity.autoQuantBits(n, 64)
       // occupancy-scaled exact-rerank cut (r10): 96 at every gated
       // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
@@ -3384,7 +3434,7 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val n = e.count()
+      val n = probeCount(e)
       val bits = Similarity.autoQuantBits(n, 64)
       // occupancy-scaled exact-rerank cut (r10): 96 at every gated
       // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
@@ -3415,7 +3465,7 @@ object QueryCatalog {
     // make it a genuine sample inside the driver gate.
     "q199_ann_recall_sampled" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val n = e.count()
+      val n = probeCount(e)
       val bits = Similarity.autoQuantBits(n, 64)
       val rerank = Similarity.autoAdcRerank(n)
       Similarity.recallProbeCurve(e.filter(col("vec_id") % 50 === 0), e,
@@ -3439,7 +3489,7 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val n = e.count()
+      val n = probeCount(e)
       val bits = Similarity.autoQuantBits(n, 64)
       // occupancy-scaled exact-rerank cut (r10): 96 at every gated
       // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
@@ -3469,7 +3519,7 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val n = e.count()
+      val n = probeCount(e)
       val bits = Similarity.autoQuantBits(n, 64)
       // occupancy-scaled exact-rerank cut (r10): 96 at every gated
       // scale (the pinned oracle budget), ~n/100 beyond — a fixed cut
@@ -3502,7 +3552,7 @@ object QueryCatalog {
       // every driver-gated scale — the layout the pinned oracle
       // encodes — growing toward nlist ≈ √n beyond (sweep scales),
       // where fixed bits made probed candidate pools grow ∝ n
-      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val bits = Similarity.autoQuantBits(probeCount(e), 64)
       Similarity.buildIvfAdcIndex(e.filter(col("vec_id") % 3 =!= 0), path,
         dim = 64, bits = bits, m = 8)
       Similarity.appendIvfAdcIndex(e.filter(col("vec_id") % 3 === 0), path,
@@ -3520,7 +3570,7 @@ object QueryCatalog {
     "q181_ann_ivfadc_compacted" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val path = scratchDir("graft_ivfadc_cmp")
-      val n = e.count()
+      val n = probeCount(e)
       val bits = Similarity.autoQuantBits(n, 64)
       val rerank = Similarity.autoAdcRerank(n)
       Similarity.buildIvfAdcIndex(e.filter(col("vec_id") % 3 =!= 0), path,
@@ -3569,7 +3619,7 @@ object QueryCatalog {
         .unionByName(bench.withColumn("vec_id", -col("vec_id") - 1L))
       Similarity.semanticDecontaminateBlocked(train, bench,
           thresholdE6 = 950000L, dim = 64,
-          bits = Similarity.autoQuantBits(e.count(), 64))
+          bits = Similarity.autoQuantBits(probeCount(e), 64))
         .orderBy(col("train_id"))
     }),
 
@@ -3602,7 +3652,7 @@ object QueryCatalog {
       // cap·n (the sf30 probe measured 6.6× at 3× without it)
       val queries = Similarity.evalQuerySample(
         e.filter(col("vec_id") % 50 === 0))
-      val bits = Similarity.autoQuantBits(e.count(), 64)
+      val bits = Similarity.autoQuantBits(probeCount(e), 64)
       val ann = Similarity.signIvfTopK(queries, e, k = 10, dim = 64,
         bits = bits, nProbe = Similarity.probeBudget(bits))
       val truth = Similarity.bruteForceTopK(queries, e, k = 1)

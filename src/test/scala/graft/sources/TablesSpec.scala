@@ -78,4 +78,46 @@ class TablesSpec extends SparkSpec {
       }
     } finally spark.conf.set(key, saved)
   }
+
+  test("footer probes equal the scan-based aggregations exactly (r17)") {
+    import org.apache.spark.sql.functions.max
+    // row counts: block row counts are definitional metadata — must
+    // equal count() on every testdata table
+    Tables.names.foreach { n =>
+      val p = Tables.path(dir, n)
+      assert(Tables.footerRowCount(spark, p) == Tables.load(spark, dir, n).count(),
+        s"footerRowCount($n) != count()")
+    }
+    // integral max: footer stats must reproduce agg(max(id)) where the
+    // id columns exist
+    Seq("documents" -> "doc_id", "embeddings" -> "vec_id",
+      "part" -> "p_partkey", "orders" -> "o_orderkey").foreach { case (n, c) =>
+      val p = Tables.path(dir, n)
+      val expected = Tables.load(spark, dir, n).agg(max(col(c))).head.getLong(0)
+      assert(Tables.footerMaxLong(spark, p, c) == Some(Some(expected)),
+        s"footerMaxLong($n.$c) != agg(max)")
+    }
+    // unknown column: must demand the scan fallback, never guess
+    assert(Tables.footerMaxLong(spark, Tables.path(dir, "documents"),
+      "no_such_column").isEmpty)
+  }
+
+  test("footer max handles all-null and empty tables like agg(max) (r17)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType, nullable = true)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_footer_spec")
+    val allNull = s"$tmp/allnull.parquet"
+    spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(null),
+          org.apache.spark.sql.Row(null)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(allNull)
+    // all-null column: provably no non-null max — Some(None), matching
+    // agg(max) = NULL (plantOffset's maxId = 0 branch)
+    assert(Tables.footerMaxLong(spark, allNull, "id") == Some(None))
+    val empty = s"$tmp/empty.parquet"
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .coalesce(1).write.mode("overwrite").parquet(empty)
+    assert(Tables.footerRowCount(spark, empty) == 0L)
+    assert(Tables.footerMaxLong(spark, empty, "id") == Some(None))
+  }
 }
