@@ -103,6 +103,16 @@ object GraftSession {
       // stores — lower it there) still get the distributed listing
       // past the threshold.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // parallelismFirst stays at its DEFAULT (true) — measured, not
+      // assumed (r17): setting it false (the Spark doc's advisory-size
+      // recommendation, guide §2.2) coalesced compute-dense mid-size
+      // stages to one task and REGRESSED the catalog 98.7 → 106.3 s
+      // warm at sf0.1 (q58 +1.0 s, q199 +0.8 s, q59 +0.8 s) while
+      // total task count barely moved (3 873 → 3 826) — per-task
+      // scheduling was never the floor, per-JOB fixed cost is. On a
+      // byte-bound cluster the advisory size matters; locally the
+      // kernels are CPU-dense at small bytes, exactly the case the
+      // parallelism floor protects.
       .config("spark.ui.enabled", "false")
 
   def default(master: String = s"local[${availableCores}]",
