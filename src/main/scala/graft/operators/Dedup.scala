@@ -292,6 +292,19 @@ object Dedup {
     val spark = pairs.sparkSession
     val shufKey = "spark.sql.shuffle.partitions"
     val savedParts = spark.conf.get(shufKey)
+    // AQE off for the label loop (r17): the loop pre-sizes every
+    // shuffle from the MEASURED edge count below — exactly the
+    // information AQE would re-derive, at the price of one scheduler
+    // round-trip (a separate job) per exchange per round. With AQE on,
+    // each truncation action ran ~6 exchange-materialization jobs of
+    // pure fixed cost (the loop's frames are (id, label) pairs on
+    // explicitly sized partitions — nothing to coalesce, no joins big
+    // enough to re-plan); classic planning fuses each round into ONE
+    // job. Results are identical (AQE never changes values), and the
+    // conf is saved/restored on this thread under the SAME
+    // single-writer contract the partition override above documents.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val savedAqe = spark.conf.get(aqeKey)
     var edges: DataFrame = null
     try {
       // Materialize the edge cache under the CALLER's shuffle sizing
@@ -308,6 +321,7 @@ object Dedup {
       val nEdges = edgesRaw.count()
       val loopParts = math.max(1L, math.min(nEdges / 1000000L + 1L, 100000L))
       spark.conf.set(shufKey, loopParts.toString)
+      spark.conf.set(aqeKey, "false") // see scaladoc note above; restored in finally
       // Re-materialize the edge set at the loop's own sizing, hashed
       // on the propagate join key: without this every loop stage still
       // schedules one map task per CALLER-conf cache block (32-task
@@ -403,6 +417,7 @@ object Dedup {
         throw e
     } finally {
       spark.conf.set(shufKey, savedParts)
+      spark.conf.set(aqeKey, savedAqe)
       checkpointDir.foreach { d =>
         try DurableSnapshots.delete(pairs, s"$d/edges")
         catch { case _: Throwable => () }

@@ -331,18 +331,23 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents: loop shuffle sizing is restored; edge snapshot freed") {
     import spark.implicits._
     val shufKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled" // loop disables AQE (r17)
     val before = spark.conf.get(shufKey)
+    val beforeAqe = spark.conf.get(aqeKey)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     // the loop overrides the session's shuffle sizing from the measured
     // edge count — the caller's conf must come back, success or failure
     Dedup.connectedComponents(pairs).collect()
     assert(spark.conf.get(shufKey) === before,
       "caller's shuffle.partitions must be restored after the CC loop")
+    assert(spark.conf.get(aqeKey) === beforeAqe,
+      "caller's AQE setting must be restored after the CC loop")
     // durable mode: the <dir>/edges snapshot must not outlive the call
     // (only the final labels round may, since the result reads it)
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_edges").toString
     Dedup.connectedComponents(pairs, checkpointDir = Some(dir)).collect()
     assert(spark.conf.get(shufKey) === before)
+    assert(spark.conf.get(aqeKey) === beforeAqe)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "edges")),
       "edge snapshot must be freed before return")
   }
