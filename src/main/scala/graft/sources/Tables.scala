@@ -18,6 +18,22 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Inferred RAW schema per table path (r17). Schema inference on the
+    * v1 parquet path costs a footer read + relation resolution per
+    * `spark.read.parquet` call — measured 45–63 ms/load vs 5.7 ms with
+    * an explicit schema, and a bench pass issues ~400 loads (~18 s of
+    * pure re-inference). The schema is METADATA of an immutable file
+    * (the same per-session immutability the memoized dashboard build
+    * documents, and the same class as Spark's own FileStatusCache) —
+    * no row, statistic, or result is cached, and the first load of
+    * each path still infers from the footer under the pinned
+    * NTZ-inference-off conf, so cached loads are bit-identical AND
+    * session-independent (the explicit schema makes bare NTZ-default
+    * sessions read the same types without the conf dance).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // TIMESTAMP(NANOS) parquet (events.ts) is unreadable without this
     // legacy flag; set it defensively so queries work on any session
@@ -37,12 +53,20 @@ object Tables {
     // the caller's own unrelated parquet reads keep their session's
     // semantics (TablesSpec asserts both).
     val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
-    val ntzSaved = spark.conf.get(ntzKey)
+    val p = path(dir, name)
+    val cachedSchema = schemaCache.get(p)
     val df =
-      try {
-        spark.conf.set(ntzKey, "false")
-        spark.read.parquet(path(dir, name))
-      } finally spark.conf.set(ntzKey, ntzSaved)
+      if (cachedSchema != null) spark.read.schema(cachedSchema).parquet(p)
+      else {
+        val ntzSaved = spark.conf.get(ntzKey)
+        val d =
+          try {
+            spark.conf.set(ntzKey, "false")
+            spark.read.parquet(p)
+          } finally spark.conf.set(ntzKey, ntzSaved)
+        schemaCache.put(p, d.schema)
+        d
+      }
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
     // long (spark.sql.legacy.parquet.nanosAsLong) — convert to a µs
     // timestamp with integral division (double division would lose

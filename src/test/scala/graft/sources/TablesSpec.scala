@@ -79,6 +79,26 @@ class TablesSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("cached-schema loads are identical to the inferring first load (r17)") {
+    // the schema cache skips per-load footer inference; the cached
+    // read must produce the same schema AND the same rows (events is
+    // the sensitive table: nanos-ts legacy read + conversion)
+    val a = Tables.load(spark, dir, "events")
+    val b = Tables.load(spark, dir, "events") // cache hit by now
+    assert(a.schema == b.schema)
+    assert(a.orderBy(col("event_id")).collect().toSeq ==
+      b.orderBy(col("event_id")).collect().toSeq)
+    // and on an NTZ-defaults session the cached schema still pins
+    // TIMESTAMP (no conf consultation needed at all)
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      assert(Tables.load(spark, dir, "orders")
+        .schema("o_orderdate").dataType == TimestampType)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("footer probes equal the scan-based aggregations exactly (r17)") {
     import org.apache.spark.sql.functions.max
     // row counts: block row counts are definitional metadata — must
